@@ -1,0 +1,70 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Each query is forced end-to-end with the no-op sink (``format("noop")``) so
+the full plan executes without driver-side collect overhead distorting the
+measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+from cdc_wastewater_analysis_ml_spark.plans.registry import QUERIES
+from cdc_wastewater_analysis_ml_spark.session import get_spark
+
+#: Headline set: one per operator family (scan+agg, join, window, sort, text).
+HEADLINE = [
+    "flagship_weekly_detection_rate",
+    "join_left_equi",
+    "join_semi_topk",
+    "agg_conditional_rate_joined",
+    "agg_quantiles_by_key",
+    "window_lag",
+    "window_running_sum",
+    "sort_rows_ranked",
+    "topk_categories",
+    "math_scalars",
+    "dedup_exact_text",
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark("bench")
+
+    # Warm the JVM/code paths once on the smallest fixture so per-query times
+    # measure execution, not first-call initialization.
+    _force(QUERIES[HEADLINE[0]](spark, "/root/testdata/sf0.001"))
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _force(QUERIES[name](spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,154 @@
+"""Relational operators: project / filter / dedup / joins / sort / top-k / set ops.
+
+Pure ``DataFrame -> DataFrame`` functions (SURVEY §2.2, §2.3, §2.6, §2.7) with
+pinned tie-break and null semantics.  All built-in expressions — Catalyst gets
+full pushdown/pruning visibility, and small-side joins are explicitly
+broadcast so a 100 TB fact table never shuffles against a kB-sized dimension.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def project_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """≙ ``df[features]`` (codes.py:196). Column pruning reaches the scan."""
+    return df.select(*cols)
+
+
+def drop_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """≙ ``df.drop(columns=[...], errors='ignore')`` (codes.py:72-79).
+
+    Spark ``drop`` ignores missing names natively — same observable behavior.
+    """
+    return df.drop(*cols)
+
+
+def filter_eq(df: DataFrame, col: str, value) -> DataFrame:
+    """≙ ``df[df[col] == v]`` (codes.py:144)."""
+    return df.filter(F.col(col) == F.lit(value))
+
+
+def filter_isin(df: DataFrame, col: str, values: Sequence) -> DataFrame:
+    """≙ ``df[df[col].isin(lst)]`` (codes.py:169)."""
+    return df.filter(F.col(col).isin(list(values)))
+
+
+def filter_notnull(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """≙ ``df.dropna(subset=[...])`` (codes.py:117,141,195)."""
+    return df.na.drop(subset=list(cols))
+
+
+def dedup_rows(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """≙ ``df.drop_duplicates()`` (codes.py:96).
+
+    pandas keeps the *first* occurrence (positional); Spark keeps an arbitrary
+    row per group.  For full-row dedup the surviving values are identical by
+    definition, so the relations agree.  For keyed dedup with a deterministic
+    survivor use :func:`dedup_rows_keep_min`.
+    """
+    return df.dropDuplicates(list(subset)) if subset else df.dropDuplicates()
+
+
+def dedup_rows_keep_min(df: DataFrame, keys: Sequence[str], order_col: str) -> DataFrame:
+    """Keyed dedup with deterministic survivor: min ``order_col`` per key group.
+
+    Spark-first replacement for pandas' positional "keep first": one shuffle on
+    the keys, no window materialization (``min_by`` on the non-key columns via
+    a row_number would be an alternative; the groupBy form map-side combines).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def join_left_equi(left: DataFrame, right: DataFrame, on: Sequence[str] | str) -> DataFrame:
+    """≙ ``pd.merge(a, b, on=key, how='left')`` (codes.py:145)."""
+    return left.join(right, on=on, how="left")
+
+
+def join_broadcast_map(
+    df: DataFrame,
+    map_df: DataFrame,
+    key: str,
+    value_col: str,
+    default=None,
+) -> DataFrame:
+    """Dictionary-style enrichment ≙ ``series.map(dict)`` + ``fillna(default)``
+    (codes.py:68-69).
+
+    Explicit ``broadcast`` of the mapping table: at scale the fact side never
+    shuffles; the map ships to every executor once.
+    """
+    out = df.join(F.broadcast(map_df), on=key, how="left")
+    if default is not None:
+        out = out.withColumn(value_col, F.coalesce(F.col(value_col), F.lit(default)))
+    return out
+
+
+def topk_categories(
+    df: DataFrame, col: str, k: int, tiebreak_asc: bool = True
+) -> DataFrame:
+    """k most frequent values of ``col`` with pinned tie-break.
+
+    ≙ ``value_counts().index[:10]`` (codes.py:168).  pandas tie order at the
+    k-boundary is positional/undefined; the engine pins ``asc(col)`` so the
+    result is a deterministic relation (SURVEY §2.6).
+    """
+    order = [F.desc("count"), F.asc(col) if tiebreak_asc else F.desc(col)]
+    return df.groupBy(col).count().orderBy(*order).limit(k)
+
+
+def join_semi_topk(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Filter rows to the top-k categories of ``col``.
+
+    ≙ ``df[df[col].isin(top_10)]`` (codes.py:168-169), expressed as a
+    left-semi join against the top-k relation — the top-k side is tiny, so
+    Catalyst broadcasts it; no second scan of the fact table on the driver.
+    """
+    topk = topk_categories(df, col, k).select(col)
+    return df.join(F.broadcast(topk), on=col, how="left_semi")
+
+
+def sort_rows(df: DataFrame, cols: Sequence[str], ascending: bool = True) -> DataFrame:
+    """Global multi-key sort, nulls last ≙ ``sort_values`` (codes.py:55).
+
+    pandas puts NaN last for both directions; Spark defaults differ by
+    direction, so null placement is pinned explicitly.
+    """
+    keys = [
+        F.asc_nulls_last(c) if ascending else F.desc_nulls_last(c) for c in cols
+    ]
+    return df.orderBy(*keys)
+
+
+def limit_head(df: DataFrame, n: int, order: Sequence[str] | None = None) -> DataFrame:
+    """≙ ``df.head(n)`` (notebook cell 1).
+
+    Spark has no row order, so a deterministic head requires an explicit
+    ``order``; without it this is just ``limit`` (any-n-rows).
+    """
+    return (sort_rows(df, order) if order else df).limit(n)
+
+
+def union_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Bag union by column name (engine extension, SURVEY §2.7)."""
+    return a.unionByName(b)
+
+
+def intersect_rows(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Set intersection (engine extension, SURVEY §2.7)."""
+    return a.intersect(b)
+
+
+def except_rows(a: DataFrame, b: DataFrame, keep_duplicates: bool = True) -> DataFrame:
+    """Bag/set difference (engine extension, SURVEY §2.7)."""
+    return a.exceptAll(b) if keep_duplicates else a.subtract(b)

@@ -1,0 +1,98 @@
+"""Window / time-series operators (SURVEY §2.5) — the reference's signature
+capability, re-expressed as Spark Window functions.
+
+Scale note: a window ``partitionBy(key)`` shuffles once on the key and then
+computes per-partition with no further exchange.  Low-cardinality keys (the
+reference's ~50 jurisdictions) under-parallelize — AQE cannot split a window
+partition — so callers with few groups should pre-aggregate or accept the
+ceiling; the engine documents rather than hides this.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _ordered_window(part_keys: Sequence[str], order_keys: Sequence[str]):
+    order = [F.asc_nulls_last(c) for c in order_keys]
+    return Window.partitionBy(*part_keys).orderBy(*order)
+
+
+def window_lag(
+    df: DataFrame,
+    part_keys: Sequence[str],
+    order_keys: Sequence[str],
+    col: str,
+    offsets: Sequence[int] = (1, 2),
+    default: float = 0.0,
+    out_prefix: str | None = None,
+) -> DataFrame:
+    """Per-key lagged values with fill for the leading rows.
+
+    ≙ ``df.sort_values([key, ts]); groupby(key)[c].shift(n).fillna(0)``
+    (codes.py:55-59).  The reference's tie order on equal timestamps is
+    nondeterministic (quicksort); the engine requires the caller to include a
+    deterministic tiebreak column in ``order_keys`` (SURVEY §7 hard-part 1).
+    """
+    w = _ordered_window(part_keys, order_keys)
+    prefix = out_prefix or f"{col}_lag"
+    out = df
+    for n in offsets:
+        out = out.withColumn(f"{prefix}{n}", F.lag(F.col(col), n, default).over(w))
+    return out
+
+
+def window_lead(
+    df: DataFrame,
+    part_keys: Sequence[str],
+    order_keys: Sequence[str],
+    col: str,
+    n: int = 1,
+    out: str | None = None,
+) -> DataFrame:
+    """Forward counterpart of lag (engine extension, same primitive)."""
+    w = _ordered_window(part_keys, order_keys)
+    return df.withColumn(out or f"{col}_lead{n}", F.lead(F.col(col), n).over(w))
+
+
+def window_row_number(
+    df: DataFrame,
+    part_keys: Sequence[str],
+    order_keys: Sequence[str],
+    out: str = "rn",
+) -> DataFrame:
+    """Deterministic per-key row numbering (engine extension)."""
+    return df.withColumn(out, F.row_number().over(_ordered_window(part_keys, order_keys)))
+
+
+def window_running_sum(
+    df: DataFrame,
+    part_keys: Sequence[str],
+    order_keys: Sequence[str],
+    col: str,
+    out: str = "running_sum",
+) -> DataFrame:
+    """Cumulative sum within key over event order (engine extension; also the
+    building block of the ROC/PR metric queries, SURVEY §2.10)."""
+    w = _ordered_window(part_keys, order_keys).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn(out, F.sum(F.col(col)).over(w))
+
+
+def window_rolling_mean(
+    df: DataFrame,
+    part_keys: Sequence[str],
+    order_keys: Sequence[str],
+    col: str,
+    n: int,
+    out: str | None = None,
+) -> DataFrame:
+    """Trailing n-row mean within key (engine extension — the time-series
+    smoothing counterpart of the reference's weekly resample)."""
+    w = _ordered_window(part_keys, order_keys).rowsBetween(-(n - 1), Window.currentRow)
+    return df.withColumn(out or f"{col}_rollmean{n}", F.avg(F.col(col)).over(w))

@@ -1,0 +1,76 @@
+"""SparkSession construction with scale-oriented defaults.
+
+The reference executes eagerly on one thread with no partitioning
+(``codes.py:21`` onward).  This engine instead declares lazy DataFrame plans
+and relies on Catalyst + AQE; the session defaults below are the knobs that
+matter at cluster scale and are harmless in local mode:
+
+- AQE on (runtime coalescing, skew-join splitting) — at 100 TB the static
+  shuffle-partition count is always wrong for some stage; AQE fixes it.
+- ``spark.sql.session.timeZone=UTC`` — pins event-time semantics so weekly /
+  monthly bucketing is reproducible across machines (and matches DuckDB's
+  naive-timestamp reading of the same parquet).
+- Arrow enabled — every pandas interchange (createDataFrame/toPandas and all
+  pandas UDFs) is batch-columnar, not row-pickled.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs that query functions may re-assert on a session the
+# caller (e.g. the verify driver) constructed without our builder.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    # The driver fixtures store events.ts as parquet TIMESTAMP(NANOS), which
+    # Spark cannot read natively; read as long and convert in the loader.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def get_spark(
+    app_name: str = "cdc-wastewater-analysis-ml-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults."""
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    apply_runtime_confs(spark)
+    return spark
+
+
+def apply_runtime_confs(spark: SparkSession) -> None:
+    """Assert the runtime-settable confs on an externally built session.
+
+    Safe/idempotent: only touches confs that can change after JVM start.
+    Called by the table loaders so driver-owned sessions get deterministic
+    time-zone and AQE behavior too.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf may be static on some builds
+            pass

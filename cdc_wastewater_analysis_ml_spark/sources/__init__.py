@@ -1,0 +1,11 @@
+from .readers import load_table, load_tables, scan_csv, scan_parquet
+from .sinks import sink_csv, sink_parquet
+
+__all__ = [
+    "load_table",
+    "load_tables",
+    "scan_csv",
+    "scan_parquet",
+    "sink_csv",
+    "sink_parquet",
+]
