@@ -1,0 +1,222 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Scale-first generalizations of the reference's ``drop_duplicates``
+(codes.py:96) for a 100 TB documents table:
+
+- exact: hash-groupBy on a content fingerprint — the shuffle carries a 32-char
+  key + doc_id, never document bodies.
+- MinHash+LSH: shingle → k min-hashes → b bands; candidate pairs emerge from a
+  self-join on (band, band_signature) — only docs sharing a band bucket ever
+  meet, so the join is linear-ish in practice instead of O(n²).
+- SimHash: 32-bit sign-aggregated token fingerprint; near-dup candidates share
+  a band of the bit string.
+- n-gram Jaccard: exact pairwise similarity, restricted to candidate pairs (or
+  used directly at small scale / as the LSH verification stage).
+
+Determinism: every hash is md5 (available and bit-identical in Spark and
+DuckDB); "random" bits are the high bit of hex nibbles of md5 output — no RNG,
+so results are reproducible across engines and runs.  All pure Catalyst
+expressions (explode/groupBy/joins) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint, word_shingles
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact near-zero-cost dedup: min id per content fingerprint."""
+    return (
+        df.withColumn("fp", fingerprint(text_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """One row per doc: ``minhash_0..k-1`` columns.
+
+    Min-hash h_i(doc) = min over shingles of md5(i || ':' || shingle)
+    (lexicographic min over hex strings — identical ordering everywhere).
+    Computed with array expressions per row — no explode, no shuffle at all
+    until someone aggregates the signatures.
+    """
+    shingles = word_shingles(text_col, shingle_n)
+
+    def seeded_min(seed: int) -> Column:
+        prefix = f"{seed}:"
+        # NB: single-parameter lambda — a 2-arg lambda would be interpreted
+        # by F.transform as (element, index) and shadow the seed.
+        return F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(prefix), s)))
+        )
+
+    cols = [F.col(id_col)]
+    for i in range(num_hashes):
+        cols.append(seeded_min(i).alias(f"minhash_{i}"))
+    return df.select(*cols)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH.
+
+    ``num_hashes`` minhashes split into ``bands`` bands of r = k/b rows; docs
+    agreeing on ALL minhashes of any band become a candidate pair (classic
+    banding: P[candidate] = 1-(1-s^r)^b for Jaccard s).  The self-join runs on
+    (band_id, band_key) — a high-cardinality composite key, so the shuffle is
+    well distributed; pairs are emitted once with id_a < id_b.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws("|", *[F.col(f"minhash_{b * r + j}") for j in range(r)]).alias(
+                "band_key"
+            ),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
+    ).select(id_col, F.col("band.band_id").alias("band_id"), F.col("band.band_key").alias("band_key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_key") == F.col("b.band_key"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
+    """32-bit SimHash fingerprint as a '0'/'1' string column ``simhash``.
+
+    Bit j of a token's hash = high bit of hex nibble j of md5(token) (hex
+    char ≥ '8'), a portable stand-in for real bit extraction.  Document bit j
+    = sign of Σ_tokens (±1).  Emitted as a bit-string so banding/Hamming ops
+    are plain substring/comparison expressions in any engine.
+    """
+    if not 1 <= bits <= 32:
+        raise ValueError("bits must be 1..32")
+    from .text import tokenize
+
+    toks = tokenize(text_col)
+
+    def bit_vote(j: int) -> Column:
+        pos = j + 1
+        vote = F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(F.substring(F.md5(t), pos, 1) >= "8", 1).otherwise(-1),
+        )
+        return F.when(vote > 0, F.lit("1")).otherwise(F.lit("0"))
+
+    bit_cols = [bit_vote(j) for j in range(bits)]
+    return df.select(F.col(id_col), F.concat(*bit_cols).alias("simhash"))
+
+
+def simhash_band_candidates(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 32, bands: int = 4
+) -> DataFrame:
+    """Candidate pairs whose SimHash agrees on ≥1 of ``bands`` bit-bands
+    (Hamming-distance screening: distance < bands ⇒ some band matches)."""
+    r = bits // bands
+    sh = simhash(df, text_col, id_col, bits)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.substring("simhash", b * r + 1, r).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    banded = sh.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_key")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_key") == F.col("b.band_key"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact pairwise Jaccard over word-shingle sets, pairs ≥ threshold.
+
+    Explode distinct shingles → self-join on shingle → |A∩B| per pair →
+    Jaccard via |A|+|B|−|A∩B|.  At scale this runs AFTER an LSH candidate
+    filter (the verification stage); standalone it is quadratic in docs that
+    share a shingle — which is exactly the set it must inspect anyway.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[
+                F.col("a.sh") == F.col("b.sh"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

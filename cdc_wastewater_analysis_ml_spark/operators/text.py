@@ -1,0 +1,134 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All built from JVM-side expressions (split/regexp/md5/aggregate) — no Python
+UDFs — so they pipeline inside whole-stage codegen over a 100 TB documents
+table.  Every op is deterministic and has an exact SQL oracle.
+
+These generalize the reference's single-table column transforms
+(codes.py:28-51) to the documents substrate (TESTDATA.md).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(c: Column | str) -> Column:
+    """Lowercase + collapse internal whitespace + trim: the canonical form
+    used by fingerprinting and shingling."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+
+
+def tokenize(c: Column | str) -> Column:
+    """Whitespace tokenization → array<string> (empty-safe)."""
+    return F.split(normalize_text(c), " ")
+
+
+def token_count(c: Column | str) -> Column:
+    """Whitespace token count (the cheap "token budget" proxy)."""
+    return F.size(tokenize(c))
+
+
+def char_ngrams(c: Column | str, n: int) -> Column:
+    """Character n-grams of the normalized text → array<string>."""
+    norm = normalize_text(c)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - F.lit(n - 1), F.lit(1))),
+        lambda i: norm.substr(i, F.lit(n)),
+    )
+
+
+def word_shingles(c: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles (space-joined) → array<string>.
+
+    Built with sequence+transform+slice — pure Catalyst expressions; a doc
+    with fewer than ``n`` tokens yields one shingle (the whole text).
+    """
+    toks = tokenize(c)
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+
+
+def punct_ratio(c: Column | str) -> Column:
+    """Fraction of characters that are punctuation ``.,!?;:`` (0 for empty)."""
+    c = F.col(c) if isinstance(c, str) else c
+    total = F.length(c)
+    stripped = F.length(F.regexp_replace(c, r"[.,!?;:]", ""))
+    return F.when(total > 0, (total - stripped) / total).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(c: Column | str, stopwords: Sequence[str] = ("the", "a", "and", "of", "to")) -> Column:
+    """Fraction of tokens that are stopwords (0 for empty docs)."""
+    toks = tokenize(c)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(F.array_intersect(toks, sw))  # distinct-match variant
+    n_hits = F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, t: acc + F.when(F.array_contains(sw, t), 1).otherwise(0),
+    )
+    return F.when(F.size(toks) > 0, n_hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(c: Column | str, target_len: int = 500) -> Column:
+    """Heuristic document quality in [0, 1]:
+    ``min(1, len/target) × (1 − punct_ratio) × (1 − stopword_ratio/2)``.
+
+    The reference's quality gates are the defensive range checks at
+    codes.py:89-93; this is their text-pipeline generalization (length /
+    punctuation / stopword signals, SURVEY §7 phase 4).
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    length_part = F.least(F.lit(1.0), F.length(c) / F.lit(float(target_len)))
+    return length_part * (1.0 - punct_ratio(c)) * (1.0 - stopword_ratio(c) / 2.0)
+
+
+#: Marker tokens per language for the n-gram/stopword language heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist"),
+    "en": ("the", "a", "and", "is", "of"),
+    "es": ("el", "la", "los", "que", "es"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+
+
+def lang_id(c: Column | str, markers: dict[str, tuple[str, ...]] | None = None) -> Column:
+    """Marker-token language heuristic with deterministic tiebreak.
+
+    Scores each candidate language by counting its marker tokens; picks the
+    max score, ties broken by language code ascending; all-zero → 'und'
+    (undetermined).  Pure expression tree — no UDF.
+    """
+    markers = markers or LANG_MARKERS
+    toks = tokenize(c)
+
+    def score(words: tuple[str, ...]) -> Column:
+        sw = F.array(*[F.lit(wd) for wd in words])
+        return F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc + F.when(F.array_contains(sw, t), 1).otherwise(0),
+        )
+
+    # struct(score DESC via negation, lang ASC) → array_min picks the winner
+    entries = [
+        F.struct((-score(words)).alias("neg"), F.lit(lang).alias("lang"))
+        for lang, words in sorted(markers.items())
+    ]
+    best = F.array_min(F.array(*entries))
+    return F.when(best["neg"] < 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(c: Column | str) -> Column:
+    """Deterministic content fingerprint: md5 of the normalized text.
+
+    The exact-dedup key (scale path: group/bucket by fingerprint instead of
+    shuffling full document bodies)."""
+    return F.md5(normalize_text(c))

@@ -780,3 +780,8 @@ def q_dedup_exact_text(spark, sf_dir):
     return d.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select(
         "doc_id", "text"
     )
+
+
+# Part 2 of the registry (metrics + dedup/similarity/text extensions) lives in
+# registry_ext.py; importing it populates QUERIES/ORACLES via @register.
+from . import registry_ext  # noqa: E402,F401  (intentional tail import)
