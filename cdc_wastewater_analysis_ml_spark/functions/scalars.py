@@ -21,11 +21,12 @@ def _col(c: Column | str) -> Column:
 def cast_timestamp(c: Column | str, fmt: str | None = None) -> Column:
     """Parse string → timestamp; unparsable → null.
 
-    ≙ ``pd.to_datetime(col, errors='coerce')`` (codes.py:28).  Spark's
-    non-ANSI ``to_timestamp`` already yields null on failure.
+    ≙ ``pd.to_datetime(col, errors='coerce')`` (codes.py:28).  Uses
+    ``try_to_timestamp``: Spark 4 runs ANSI mode by default, where plain
+    ``to_timestamp`` *throws* on malformed input instead of yielding null.
     """
     c = _col(c)
-    return F.to_timestamp(c, fmt) if fmt else F.to_timestamp(c)
+    return F.try_to_timestamp(c, F.lit(fmt)) if fmt else F.try_to_timestamp(c)
 
 
 def date_month(c: Column | str) -> Column:

@@ -1,0 +1,75 @@
+"""EP3 golden-metric tolerance tests (SURVEY §5.2.3).
+
+The reference's exact metric values (BASELINE.md) are tied to its private
+CSV; on the synthetic fixture we assert the *shape* guarantees instead:
+4-scenario results table, stratification exactness, PCA k selection, metric
+ranges, and that learned models beat chance on the learnable synthetic
+signal.  Reduced boosting rounds keep the suite fast (maxIter is the only
+deviation; the reference value 100 is the default in run_reference_scenarios).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_wastewater_analysis_ml_spark.plans import ml
+from cdc_wastewater_analysis_ml_spark.plans.features import engineer_features, model_ready
+from cdc_wastewater_analysis_ml_spark.schema import LABEL_COLUMN, MODEL_FEATURES
+from tools.wastewater_fixture import write_fixture
+
+
+@pytest.fixture(scope="module")
+def model_df(spark, tmp_path_factory):
+    path = write_fixture(str(tmp_path_factory.mktemp("wwml")), n_rows=8000)
+    df = engineer_features(spark.read.parquet(path))
+    out = model_ready(df)
+    out.cache().count()
+    return out
+
+
+def test_stratified_split_exact_counts(model_df):
+    train, test = ml.split_train_test_stratified(model_df, LABEL_COLUMN, 0.2, seed=42)
+    per_class = (
+        model_df.groupBy(LABEL_COLUMN).count().collect()
+    )
+    test_counts = {r[LABEL_COLUMN]: r["count"] for r in test.groupBy(LABEL_COLUMN).count().collect()}
+    for row in per_class:
+        expected = int(row["count"] * 0.2)
+        assert test_counts[row[LABEL_COLUMN]] == expected
+    assert train.count() + test.count() == model_df.count()
+
+
+def test_split_deterministic(model_df):
+    t1, _ = ml.split_train_test_stratified(model_df, LABEL_COLUMN, 0.2, seed=42)
+    t2, _ = ml.split_train_test_stratified(model_df, LABEL_COLUMN, 0.2, seed=42)
+    assert t1.count() == t2.count()
+    assert t1.exceptAll(t2).count() == 0
+
+
+def test_variance_pca_selects_k(model_df):
+    train, _ = ml.split_train_test_stratified(model_df, LABEL_COLUMN, 0.2, 42)
+    assembled = ml.assemble(train, MODEL_FEATURES)
+    scaled = ml.fit_scaler(assembled).transform(assembled)
+    model, k = ml.fit_variance_pca(scaled, n_features=len(MODEL_FEATURES))
+    assert 1 <= k <= len(MODEL_FEATURES)
+    ev = list(model.explainedVariance)
+    assert sum(ev) >= 0.95 or k == len(MODEL_FEATURES)
+
+
+def test_four_scenarios_metric_ranges(model_df):
+    results = ml.run_reference_scenarios(
+        model_df, MODEL_FEATURES, LABEL_COLUMN, seed=42, max_iter=10
+    )
+    assert [r.model for r in results] == [
+        "GradientBoosting (Original)",
+        "LinearRegression (Original)",
+        "GradientBoosting (PCA)",
+        "LinearRegression (PCA)",
+    ]
+    for r in results:
+        assert 0.0 <= r.accuracy <= 1.0
+        assert 0.0 <= r.roc_auc <= 1.0
+        assert 0.0 <= r.average_precision <= 1.0
+    # the synthetic label depends on pcr_target_avg_conc whose lags correlate
+    # with jurisdiction_target_mean + lag features → better than chance
+    gbt = results[0]
+    assert gbt.roc_auc > 0.55, f"GBT failed to learn: {gbt}"
