@@ -1,0 +1,13 @@
+from .ops import (
+    read_events_stream,
+    stream_conditional_rate,
+    stream_lag_per_key,
+    stream_weekly_mean,
+)
+
+__all__ = [
+    "read_events_stream",
+    "stream_conditional_rate",
+    "stream_lag_per_key",
+    "stream_weekly_mean",
+]

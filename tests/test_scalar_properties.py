@@ -1,0 +1,134 @@
+"""Property-based semantic tests (SURVEY §5.2.4): the null/edge conventions
+of the scalar kernels against a pandas-on-driver oracle, randomized inputs.
+
+Each hypothesis example generates a batch of values and runs one Spark plan
+over the batch (not one plan per value) to keep the suite fast.
+"""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from cdc_wastewater_analysis_ml_spark.functions import scalars as S
+
+_settings = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+floats_with_nulls = st.lists(
+    st.one_of(
+        st.none(),
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _df(spark, values):
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "id long, v double"
+    )
+
+
+@_settings
+@given(floats_with_nulls)
+def test_derive_binary_label_null_is_zero(spark, values):
+    got = (
+        _df(spark, values)
+        .select("id", S.derive_binary_label("v").alias("y"))
+        .orderBy("id")
+        .toPandas()["y"]
+    )
+    s = pd.Series(values, dtype="float64")
+    expected = (s > 0).astype(int)  # pandas: NaN > 0 → False → 0 (codes.py:50)
+    assert (got.to_numpy() == expected.to_numpy()).all()
+
+
+@_settings
+@given(floats_with_nulls)
+def test_clip_upper_preserves_null(spark, values):
+    got = (
+        _df(spark, values)
+        .select("id", S.clip_upper("v", 100.0).alias("y"))
+        .orderBy("id")
+        .toPandas()["y"]
+    )
+    s = pd.Series(values, dtype="float64")
+    expected = np.clip(s, a_min=None, a_max=100)  # codes.py:90: NaN stays NaN
+    assert np.allclose(got, expected, equal_nan=True)
+
+
+@_settings
+@given(
+    st.lists(
+        st.floats(min_value=0.0, max_value=1e9, allow_nan=False),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_log1p_matches_numpy_on_valid_domain(spark, values):
+    got = (
+        _df(spark, values)
+        .select("id", S.log1p_("v").alias("y"))
+        .orderBy("id")
+        .toPandas()["y"]
+    )
+    assert np.allclose(got, np.log1p(values))
+
+
+@_settings
+@given(st.lists(st.integers(min_value=0, max_value=40000), min_size=1, max_size=60))
+def test_weekday_matches_pandas_monday0(spark, day_offsets):
+    df = spark.createDataFrame(
+        [(i, int(d)) for i, d in enumerate(day_offsets)], "id long, d int"
+    ).select(
+        "id", F.date_add(F.to_date(F.lit("1970-01-01")), F.col("d")).alias("dt")
+    )
+    got = df.select("id", S.date_weekday("dt").alias("y")).orderBy("id").toPandas()["y"]
+    expected = pd.Series(
+        pd.Timestamp("1970-01-01") + pd.to_timedelta(day_offsets, unit="D")
+    ).dt.dayofweek  # Monday=0 (codes.py:31)
+    assert (got.to_numpy() == expected.to_numpy()).all()
+
+
+@_settings
+@given(floats_with_nulls)
+def test_bucketize_left_closed_matches_pd_cut(spark, values):
+    edges = [0.0, 10.0, 100.0, 1000.0, float("inf")]
+    labels = ["a", "b", "c", "d"]
+    got = (
+        _df(spark, values)
+        .select("id", S.bucketize("v", edges, labels).alias("y"))
+        .orderBy("id")
+        .toPandas()["y"]
+    )
+    expected = pd.cut(
+        pd.Series(values, dtype="float64"), bins=edges, labels=labels, right=False
+    ).astype(object)
+    for g, e in zip(got, expected):
+        assert (g is None and (e is None or e != e)) or g == e
+
+
+@_settings
+@given(
+    st.lists(
+        st.sampled_from(["x", "y", "z", "w"]), min_size=1, max_size=60
+    )
+)
+def test_mode_smallest_value_tiebreak(spark, values):
+    from cdc_wastewater_analysis_ml_spark.operators.aggregates import mode_scalar
+
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    got = mode_scalar(df, "v")
+    expected = pd.Series(values).mode()[0]  # pandas sorts modes asc (codes.py:83)
+    assert got == expected
