@@ -17,7 +17,8 @@ import time
 from cdc_wastewater_analysis_ml_spark.plans.registry import QUERIES
 from cdc_wastewater_analysis_ml_spark.session import get_spark
 
-#: Headline set: one per operator family (scan+agg, join, window, sort, text).
+#: Headline set: one per operator family — relational core, joins, windows,
+#: metric queries, dedup/similarity/text extensions.
 HEADLINE = [
     "flagship_weekly_detection_rate",
     "join_left_equi",
@@ -30,6 +31,15 @@ HEADLINE = [
     "topk_categories",
     "math_scalars",
     "dedup_exact_text",
+    "metric_roc_auc",
+    "metric_average_precision",
+    "text_quality_score",
+    "text_lang_id",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "sim_cosine_lsh",
 ]
 
 
