@@ -782,6 +782,8 @@ def q_dedup_exact_text(spark, sf_dir):
     )
 
 
-# Part 2 of the registry (metrics + dedup/similarity/text extensions) lives in
-# registry_ext.py; importing it populates QUERIES/ORACLES via @register.
+# Parts 2+3 of the registry (metrics + dedup/similarity/text extensions; EP1
+# composite + ML queries) live in sibling modules; importing them populates
+# QUERIES/ORACLES via @register.
 from . import registry_ext  # noqa: E402,F401  (intentional tail import)
+from . import registry_ml  # noqa: E402,F401  (intentional tail import)

@@ -1,0 +1,213 @@
+"""Registry part 3: the EP1 composite pipeline as one oracle-gated query,
+plus rows-only ML queries (SURVEY §2.9 — model fits have no SQL oracle; the
+driver records the weaker rows-only check for them, golden tests cover the
+numerics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import scalars as S
+from ..operators import aggregates as A
+from ..operators import relational as R
+from ..operators import windows as W
+from ..sources import load_table
+from . import ml
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# EP1 composition over events: the reference's feature-engineering chain
+# (codes.py:28-109) re-targeted at the events fixture, end-to-end in ONE
+# oracle-gated query: date parts → null indicator → median fill → log →
+# label → per-key lags → bucketize → target-encode → interaction.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_feature_engineering",
+    """
+    WITH t AS (SELECT *, CASE WHEN event_id % 10 = 0 THEN NULL ELSE value END AS v
+               FROM events),
+      m AS (SELECT median(v) AS med FROM t),
+      f AS (SELECT event_id, user_id, ts, event_type,
+                   CAST(month(ts) AS INTEGER) AS collection_month,
+                   CAST(isodow(ts) - 1 AS INTEGER) AS collection_dayofweek,
+                   CAST(v IS NULL AS INTEGER) AS v_missing,
+                   coalesce(v, (SELECT med FROM m)) AS v_filled,
+                   CASE WHEN v > 50 THEN 1 ELSE 0 END AS detected
+            FROM t),
+      g AS (SELECT f.*,
+                   round(ln(1 + v_filled), 6) AS log_v,
+                   lag(round(ln(1 + v_filled), 6), 1, 0.0) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS log_v_lag1,
+                   lag(round(ln(1 + v_filled), 6), 2, 0.0) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS log_v_lag2,
+                   CASE WHEN v_filled >= 0 AND v_filled < 50 THEN 'low'
+                        WHEN v_filled >= 50 AND v_filled < 200 THEN 'mid'
+                        WHEN v_filled >= 200 THEN 'high'
+                        ELSE NULL END AS value_group
+            FROM f),
+      enc AS (SELECT user_id, avg(detected) AS user_target_mean
+              FROM g GROUP BY user_id)
+    SELECT g.event_id, g.collection_month, g.collection_dayofweek, g.v_missing,
+           g.detected, g.log_v, g.log_v_lag1, g.log_v_lag2, g.value_group,
+           round(coalesce(enc.user_target_mean, 0.5), 6) AS user_target_mean,
+           floor(g.log_v * round(coalesce(enc.user_target_mean, 0.5), 6)
+                 * 1000000 + 0.5) / 1000000 AS interact_v_mean
+    FROM g LEFT JOIN enc USING (user_id)
+    """,
+)
+def q_pipeline_fe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP1 end-to-end composition (codes.py:28-109) on events: every §2 stage
+    chained as ONE lazy plan — two shuffles total (lag window + encoding agg),
+    scalar median via the reference's own two-query structure."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "v",
+        F.when(F.col("event_id") % 10 == 0, F.lit(None).cast("double")).otherwise(
+            F.col("value")
+        ),
+    )
+    med = A.median_scalar(ev, "v")
+    f = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        S.date_month("ts").alias("collection_month"),
+        S.date_weekday("ts").cast("int").alias("collection_dayofweek"),
+        S.null_indicator("v").alias("v_missing"),
+        S.fill_null("v", med).alias("v_filled"),
+        S.derive_binary_label("v", 50.0).alias("detected"),
+    ).withColumn("log_v", F.round(S.log1p_("v_filled"), 6))
+    g = W.window_lag(
+        f, ["user_id"], ["ts", "event_id"], "log_v", offsets=(1, 2), default=0.0,
+        out_prefix="log_v_lag",
+    ).withColumn(
+        "value_group",
+        S.bucketize("v_filled", [0.0, 50.0, 200.0, float("inf")], ["low", "mid", "high"]),
+    )
+    enc = A.agg_mean_by_key(g, "user_id", "detected", out="user_target_mean")
+    out = R.join_broadcast_map(g, enc, "user_id", "user_target_mean", default=0.5)
+    return out.select(
+        "event_id",
+        "collection_month",
+        "collection_dayofweek",
+        "v_missing",
+        "detected",
+        "log_v",
+        "log_v_lag1",
+        "log_v_lag2",
+        "value_group",
+        F.round("user_target_mean", 6).alias("user_target_mean"),
+        # Portable rounding: the product of a 6-decimal value and a small
+        # rational (k/n mean) lands on .5e-6 decimal boundaries where Spark's
+        # BigDecimal HALF_UP and DuckDB's numeric round disagree on the same
+        # double; floor(x*1e6 + 0.5)/1e6 over identical rounded inputs is the
+        # same IEEE op sequence in both engines.
+        (
+            F.floor(
+                F.col("log_v") * F.round("user_target_mean", 6) * 1e6 + 0.5
+            )
+            / 1e6
+        ).alias("interact_v_mean"),
+    )
+
+
+@register(
+    "threshold_binarize",
+    """
+    SELECT event_id,
+           CASE WHEN round(value / 500.0, 2) > 0.5 THEN 1 ELSE 0 END AS pred
+    FROM events
+    """,
+)
+def q_threshold_binarize(spark, sf_dir):
+    """(pred > 0.5).astype(int) ≙ codes.py:260."""
+    ev = load_table(spark, sf_dir, "events")
+    score = F.round(F.col("value") / 500.0, 2)
+    return ev.select(
+        "event_id", F.when(score > 0.5, 1).otherwise(0).alias("pred")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rows-only ML queries (no SQL oracle — model fits; SURVEY §2.9).  Each trains
+# on a deterministic feature/label derivation from events and emits a small
+# metrics relation; golden tests assert the numeric behavior.
+# ---------------------------------------------------------------------------
+
+
+def _ml_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic supervised frame: label = seasonal+magnitude signal."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        (F.col("value") / 100.0).alias("f1"),
+        (F.col("user_id") % 7).cast("double").alias("f2"),
+        F.dayofweek("ts").cast("double").alias("f3"),
+        F.when(
+            (F.col("value") + 20 * (F.col("user_id") % 7)) > 100, 1
+        ).otherwise(0).cast("double").alias("label"),
+    )
+
+
+@register("ml_split_stratified_counts", None)
+def q_ml_split(spark, sf_dir):
+    """Exact stratified 80/20 split ≙ codes.py:203-205 — emits per-class
+    train/test counts (rows-only check; exactness asserted in tests)."""
+    df = _ml_frame(spark, sf_dir)
+    train, test = ml.split_train_test_stratified(df, "label", 0.2, seed=42)
+    tr = train.groupBy("label").agg(F.count(F.lit(1)).alias("train_n"))
+    te = test.groupBy("label").agg(F.count(F.lit(1)).alias("test_n"))
+    return tr.join(te, "label").orderBy("label")
+
+
+@register("ml_gbt_metrics", None)
+def q_ml_gbt(spark, sf_dir):
+    """GBT train/score/evaluate ≙ codes.py:226,251,264-271 (rows-only)."""
+    df = _ml_frame(spark, sf_dir)
+    train, test = ml.split_train_test_stratified(df, "label", 0.2, seed=42)
+    feats = ["f1", "f2", "f3"]
+    from pyspark.ml.classification import GBTClassifier
+
+    model = GBTClassifier(
+        labelCol="label", featuresCol="features_raw", maxIter=10, maxDepth=3,
+        stepSize=0.1, seed=42,
+    ).fit(ml.assemble(train, feats))
+    scored = ml.score_gbt(model, ml.assemble(test, feats), "label")
+    r = ml.evaluate_scored(scored, "gbt")
+    return spark.createDataFrame(
+        [(r.model, round(r.accuracy, 4), round(r.roc_auc, 4), round(r.average_precision, 4))],
+        "model string, accuracy double, roc_auc double, average_precision double",
+    )
+
+
+@register("ml_linear_probability_metrics", None)
+def q_ml_linreg(spark, sf_dir):
+    """OLS-as-classifier ≙ codes.py:227,258-261 (rows-only)."""
+    df = _ml_frame(spark, sf_dir)
+    train, test = ml.split_train_test_stratified(df, "label", 0.2, seed=42)
+    feats = ["f1", "f2", "f3"]
+    model = ml.train_linear_probability(ml.assemble(train, feats), "label", "features_raw")
+    scored = ml.score_linear(model, ml.assemble(test, feats), "label")
+    r = ml.evaluate_scored(scored, "linreg")
+    return spark.createDataFrame(
+        [(r.model, round(r.accuracy, 4), round(r.roc_auc, 4), round(r.average_precision, 4))],
+        "model string, accuracy double, roc_auc double, average_precision double",
+    )
+
+
+@register("ml_scaler_pca_k", None)
+def q_ml_pca(spark, sf_dir):
+    """StandardScaler + variance-threshold PCA ≙ codes.py:208-218 (rows-only):
+    emits chosen k and cumulative explained variance."""
+    df = _ml_frame(spark, sf_dir)
+    feats = ["f1", "f2", "f3"]
+    assembled = ml.assemble(df, feats)
+    scaled = ml.fit_scaler(assembled).transform(assembled)
+    model, k = ml.fit_variance_pca(scaled, n_features=len(feats), threshold=0.95)
+    cum = float(sum(model.explainedVariance))
+    return spark.createDataFrame(
+        [(k, round(cum, 4))], "pca_k int, explained_variance double"
+    )
