@@ -166,3 +166,56 @@ def agg_quantiles_by_key(
         F.percentile(F.col(col), F.lit(p)).alias(f"p{int(p * 100)}") for p in probs
     ]
     return df.groupBy(key).agg(*aggs)
+
+
+def _level_aggs(value_col: str):
+    return [
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col(value_col)), 6).alias("sum_value"),
+    ]
+
+
+def agg_rollup(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Hierarchical subtotals over ``keys`` (SURVEY §2.4 free generalization
+    of the monthly/weekly EDA aggregates — grand total, per-k1, per-(k1,k2)).
+
+    One shuffle; Spark expands grouping sets map-side, so the pass over the
+    fact table is still single.  ``gid`` is Spark's ``grouping_id()`` (bit per
+    key, most-significant = first key), which disambiguates subtotal rows from
+    natural-null groups.
+    """
+    return (
+        df.rollup(*keys)
+        .agg(F.grouping_id().cast("int").alias("gid"), *_level_aggs(value_col))
+        .select(*keys, "gid", "n", "sum_value")
+    )
+
+
+def agg_cube(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """All 2^k grouping combinations (SURVEY §2.4 free generalization)."""
+    return (
+        df.cube(*keys)
+        .agg(F.grouping_id().cast("int").alias("gid"), *_level_aggs(value_col))
+        .select(*keys, "gid", "n", "sum_value")
+    )
+
+
+def agg_distinct_count_by_key(
+    df: DataFrame, key: str, col: str, out: str = "distinct_n"
+) -> DataFrame:
+    """Exact per-group distinct count (SURVEY §2.4). Two-phase under the hood
+    (expand-distinct then count) — exact but shuffle-heavy at scale; prefer
+    :func:`agg_approx_distinct_by_key` for 100 TB cardinality estimation."""
+    return df.groupBy(key).agg(F.countDistinct(F.col(col)).alias(out))
+
+
+def agg_approx_distinct_by_key(
+    df: DataFrame, key: str, col: str, rsd: float = 0.05, out: str = "approx_n"
+) -> DataFrame:
+    """HyperLogLog++ distinct estimate — single-pass, mergeable sketch, the
+    scale path for cardinality (SURVEY §2.4). No SQL oracle (sketch values
+    are implementation-defined); gated by a tolerance test against the exact
+    count."""
+    return df.groupBy(key).agg(
+        F.approx_count_distinct(F.col(col), rsd=rsd).alias(out)
+    )

@@ -241,3 +241,59 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def near_dup_embedding_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: ``(id_a < id_b, cos >= t)``.
+
+    Exact all-pairs form — the correctness baseline.  At corpus scale the
+    quadratic candidate set must be pruned first: bucket by random-hyperplane
+    signature (:func:`near_dup_embedding_lsh`) or IVF cell, then run this
+    scorer within buckets only.
+    """
+    from .similarity import cosine
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def near_dup_embedding_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    planes: int = 4,
+    dims: int = 64,
+) -> DataFrame:
+    """Near-dup pairs restricted to same-LSH-bucket candidates — the scale
+    path: the self-join becomes an equi-join on the signature, so candidate
+    volume drops ~2^planes-fold and the shuffle is keyed by bucket.  Recall
+    trades off via ``planes`` (cosine-similar vectors collide with high
+    probability under random hyperplanes)."""
+    from .similarity import cosine, rhp_signature
+
+    sig = rhp_signature(df, id_col, vec_col, planes, dims)
+    a = sig.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "rhp_sig"
+    )
+    b = sig.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "rhp_sig"
+    )
+    return (
+        a.join(b, on="rhp_sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

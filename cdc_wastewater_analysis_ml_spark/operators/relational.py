@@ -12,6 +12,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def project_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
@@ -137,6 +138,74 @@ def limit_head(df: DataFrame, n: int, order: Sequence[str] | None = None) -> Dat
     ``order``; without it this is just ``limit`` (any-n-rows).
     """
     return (sort_rows(df, order) if order else df).limit(n)
+
+
+def join_asof(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Backward as-of join: for each left row, the most recent right row with
+    ``right_ts <= left_ts`` within the same key group (SURVEY §2.3 extension —
+    the natural generalization of the reference's lag features,
+    codes.py:56-59, to irregular series).
+
+    Spark-first merge strategy: tag both sides, union, ONE shuffle on the key,
+    then ``last(value, ignorenulls=True)`` over an unbounded-preceding row
+    window ordered by ``(ts, side)`` — right rows sort before left rows at
+    equal timestamps, so an exactly-simultaneous right row matches (``<=``
+    semantics, same as DuckDB/pandas ``merge_asof``).  No per-row probe, no
+    range join, no broadcast needed: scales to 100 TB as a single sort-merge
+    pass per key partition.
+
+    ``value_cols`` must not collide with left columns.  If the right side can
+    hold several rows per ``(keys, right_ts)``, pre-aggregate it first — the
+    survivor among exact ties is otherwise unspecified (same caveat as
+    DuckDB's ASOF JOIN).
+    """
+    l_tagged = left.withColumn("__side", F.lit(1))
+    r_tagged = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias(left_ts),
+        *[F.col(c) for c in value_cols],
+    ).withColumn("__side", F.lit(0))
+    merged = r_tagged.unionByName(l_tagged, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(left_ts).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in value_cols:
+        merged = merged.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return merged.filter(F.col("__side") == 1).drop("__side")
+
+
+def join_range(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    window_expr: str,
+) -> DataFrame:
+    """Equi+range join: right rows with ``left_ts - window < right_ts <=
+    left_ts`` for the same key (SURVEY §2.3 extension).
+
+    The equi component (``key``) drives a sort-merge/shuffled-hash join —
+    Catalyst plans the range predicate as a post-join filter within each key
+    group, so there is no cross product across keys.  ``window_expr`` is a SQL
+    interval literal body, e.g. ``"INTERVAL 1 HOUR"``.
+    """
+    lo = F.col(f"__l.{left_ts}") - F.expr(window_expr)
+    cond = (
+        (F.col(f"__l.{key}") == F.col(f"__r.{key}"))
+        & (F.col(f"__r.{right_ts}") > lo)
+        & (F.col(f"__r.{right_ts}") <= F.col(f"__l.{left_ts}"))
+    )
+    return left.alias("__l").join(right.alias("__r"), on=cond, how="left")
 
 
 def union_all(a: DataFrame, b: DataFrame) -> DataFrame:

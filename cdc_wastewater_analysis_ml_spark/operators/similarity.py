@@ -147,3 +147,101 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def assign_ivf_cells(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    out: str = "cell",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine, ties → lowest
+    centroid id) — the IVF coarse quantizer.
+
+    Centroids arrive as a driver-side list (they are tiny — nlist entries) and
+    are inlined as literals, so assignment is a pure map-side projection: zero
+    shuffle, zero broadcast join, whole-stage codegen over the corpus scan.
+    At 100 TB the corpus is written out partitioned by ``cell`` once and every
+    subsequent query prunes to its probe cells.
+    """
+    scored = F.array(
+        *[
+            F.struct(
+                cosine(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in vec]).cast("array<double>"),
+                ).alias("cos"),
+                F.lit(-int(cid)).alias("neg_cid"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+    best = F.array_max(scored)
+    return df.withColumn(out, -best["neg_cid"])
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: probe only the ``nprobe`` cells whose centroids
+    are closest to the query (SURVEY §7 phase 4 scale path; baseline =
+    :func:`cosine_topk_bruteforce`).
+
+    Corpus cell assignment is map-side (see :func:`assign_ivf_cells`); each
+    query fans out to ``nprobe`` (query, cell) probes that equi-join the
+    bucketed corpus — the cross join shrinks by ~nlist/nprobe versus brute
+    force.  Deterministic: centroids are caller-fixed (no RNG), ties break on
+    centroid id then neighbor id.
+    """
+    c = assign_ivf_cells(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        centroids,
+        "c_vec",
+        "cell",
+    )
+    q_scored = F.array(
+        *[
+            F.struct(
+                cosine(
+                    F.col("q_vec"),
+                    F.array(*[F.lit(float(x)) for x in vec]).cast("array<double>"),
+                ).alias("cos"),
+                F.lit(-int(cid)).alias("neg_cid"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .withColumn(
+            "cell",
+            F.explode(
+                F.transform(
+                    F.slice(F.sort_array(q_scored, asc=False), 1, nprobe),
+                    lambda s: -s["neg_cid"],
+                )
+            ),
+        )
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(c, on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

@@ -1,0 +1,297 @@
+"""Registry part 4: scale-path extensions — as-of/range joins, grouping-set
+aggregates, embedding near-dup, IVF similarity, multimodal plumbing.
+
+SURVEY §2.3 (join backlog), §2.4 (free generalizations), §7 phase 4.  Every
+oracle follows the house rules: identical column aliases, ``round(x, 6)`` on
+float outputs computed on BOTH sides, explicit casts so DuckDB's wider
+integer types (HUGEINT sums) land on the same dtypes as Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import aggregates as A
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import relational as R
+from ..operators import similarity as SIM
+from ..sources import load_table
+from .registry import register
+from .registry_ext import _cos_sql, _rhp_sig_sql
+
+# ---------------------------------------------------------------------------
+# Temporal joins (SURVEY §2.3 extension backlog)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_asof",
+    """
+    WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+         r AS (SELECT user_id, ts, round(max(value), 6) AS purchase_value
+               FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+    SELECT l.event_id, l.user_id, r.purchase_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each click gets the latest prior-or-simultaneous
+    purchase value for the same user (generalizes codes.py:56-59 lags to
+    irregular series).  Single shuffle on user_id (merge strategy)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 6).alias("purchase_value"))
+    )
+    return R.join_asof(
+        clicks, purchases, ["user_id"], "ts", "ts", ["purchase_value"]
+    ).select("event_id", "user_id", "purchase_value")
+
+
+@register(
+    "join_range",
+    """
+    WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+         r AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'view')
+    SELECT l.event_id,
+           count(r.event_id) AS views_1h,
+           round(coalesce(sum(r.value), 0), 6) AS view_value_1h
+    FROM l LEFT JOIN r
+      ON l.user_id = r.user_id
+     AND r.ts > l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
+    GROUP BY l.event_id
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi+range join: per click, count/sum same-user views in the trailing
+    hour.  The user_id equi key keeps the join keyed (no cross product);
+    range predicate evaluates inside each key group."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = R.join_range(clicks, views, "user_id", "ts", "ts", "INTERVAL 1 HOUR")
+    return joined.groupBy(F.col("__l.event_id").alias("event_id")).agg(
+        F.count(F.col("__r.event_id")).alias("views_1h"),
+        F.round(F.coalesce(F.sum(F.col("__r.value")), F.lit(0.0)), 6).alias(
+            "view_value_1h"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping-set aggregates (SURVEY §2.4 free generalizations)
+# ---------------------------------------------------------------------------
+
+_ROLLUP_SQL = """
+    WITH t AS (SELECT event_type, CAST(month(ts) AS INTEGER) AS month, value
+               FROM events)
+    SELECT event_type, month,
+           CAST(grouping_id(event_type, month) AS INTEGER) AS gid,
+           count(*) AS n, round(sum(value), 6) AS sum_value
+    FROM t GROUP BY {sets} (event_type, month)
+"""
+
+
+def _grouped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(
+        "event_type", F.month("ts").alias("month"), "value"
+    )
+
+
+@register("agg_rollup", _ROLLUP_SQL.format(sets="ROLLUP"))
+def q_agg_rollup(spark, sf_dir):
+    """Hierarchical subtotals (type, month) → (type) → grand total; one
+    shuffle, grouping sets expanded map-side."""
+    return A.agg_rollup(_grouped_events(spark, sf_dir), ["event_type", "month"], "value")
+
+
+@register("agg_cube", _ROLLUP_SQL.format(sets="CUBE"))
+def q_agg_cube(spark, sf_dir):
+    """All 2^k grouping combinations of (type, month)."""
+    return A.agg_cube(_grouped_events(spark, sf_dir), ["event_type", "month"], "value")
+
+
+@register(
+    "agg_distinct_count",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS distinct_n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_distinct_count(spark, sf_dir):
+    """Exact per-type distinct users (SURVEY §2.4)."""
+    ev = load_table(spark, sf_dir, "events")
+    return A.agg_distinct_count_by_key(ev, "event_type", "user_id")
+
+
+@register("agg_approx_distinct", None)
+def q_agg_approx_distinct(spark, sf_dir):
+    """HLL++ distinct estimate — sketch values are implementation-defined, so
+    no SQL oracle (rows-only); tests bound the error vs the exact count."""
+    ev = load_table(spark, sf_dir, "events")
+    return A.agg_approx_distinct_by_key(ev, "event_type", "user_id")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (SURVEY §7 phase 4 — generalizes dedup_rows)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH scored AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round({_cos_sql('a', 'b')}, 6) AS cos
+      FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.35
+    """,
+)
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Exact embedding near-dup pairs (cos ≥ 0.35) — correctness baseline
+    for the LSH-pruned scale path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.near_dup_embedding_pairs(emb, "vec_id", "embedding", 0.35)
+
+
+@register(
+    "dedup_embedding_cosine_lsh",
+    f"""
+    WITH sig AS (SELECT e.vec_id, e.embedding,
+                        {_rhp_sig_sql('e', 4)} AS rhp_sig
+                 FROM embeddings e),
+      scored AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({_cos_sql('a', 'b')}, 6) AS cos
+        FROM sig a JOIN sig b USING (rhp_sig)
+        WHERE a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.35
+    """,
+)
+def q_dedup_embedding_cosine_lsh(spark, sf_dir):
+    """LSH-bucketed near-dup: candidates restricted to equal 4-plane
+    signatures — the equi-join scale path (recall < 1 by design; the oracle
+    replicates the bucketing so the check is exact)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.near_dup_embedding_lsh(emb, "vec_id", "embedding", 0.35, planes=4)
+
+
+# ---------------------------------------------------------------------------
+# IVF similarity search (SURVEY §7 phase 4 — ANN scale path #2)
+# ---------------------------------------------------------------------------
+
+_IVF_SQL = f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 8),
+      assign AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos_sql('e', 'c')} DESC, c.cid ASC) AS rn
+        FROM embeddings e, cent c),
+      cells AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+      q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+      qp AS (
+        SELECT q.vec_id AS query_id, q.embedding, c.cid,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_cos_sql('q', 'c')} DESC, c.cid ASC) AS rn
+        FROM q, cent c),
+      probes AS (SELECT query_id, embedding, cid FROM qp WHERE rn <= 2),
+      scored AS (
+        SELECT p.query_id, s.vec_id AS neighbor_id,
+               round({_cos_sql('p', 's')}, 6) AS cos
+        FROM probes p JOIN cells s USING (cid) WHERE p.query_id <> s.vec_id),
+      ranked AS (SELECT *, CAST(row_number() OVER (
+                     PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)
+                     AS INTEGER) AS rank
+                 FROM scored)
+    SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@register("sim_cosine_ivf", _IVF_SQL)
+def q_sim_cosine_ivf(spark, sf_dir):
+    """IVF top-5: fixed coarse quantizer (centroids = vec_id < 8), nprobe=2.
+    Cell assignment is a zero-shuffle map-side argmax over inlined centroid
+    literals; probes equi-join the bucketed corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    ]
+    return SIM.cosine_topk_ivf(
+        emb.filter(F.col("vec_id") < 10), emb, centroids, "vec_id", "embedding",
+        k=5, nprobe=2,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (brief: opaque binary + typed metadata; decode stubbed)
+# ---------------------------------------------------------------------------
+
+
+def _media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic media table from documents: payload = UTF-8 bytes of text,
+    modality round-robins by doc_id.  Deterministic, oracle-replicable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+
+
+@register(
+    "multimodal_media_stats",
+    """
+    WITH m AS (SELECT doc_id AS media_id,
+                      CASE CAST(doc_id % 3 AS INTEGER)
+                           WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                           ELSE 'video' END AS modality,
+                      encode(text) AS payload
+               FROM documents)
+    SELECT modality, count(*) AS n,
+           CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
+           round(avg(octet_length(payload)), 6) AS avg_bytes,
+           CAST(sum(CASE WHEN payload IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_payloads
+    FROM m GROUP BY modality
+    """,
+)
+def q_multimodal_media_stats(spark, sf_dir):
+    """Per-modality payload statistics — the sanity gate before decode; pure
+    built-ins over the binary column (no UDF)."""
+    stats = M.media_stats(_media_frame(spark, sf_dir))
+    return stats.withColumn("avg_bytes", F.round("avg_bytes", 6))
+
+
+@register(
+    "multimodal_decode_features",
+    """
+    SELECT doc_id AS media_id,
+           CAST(1 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INTEGER) % 64
+                AS INTEGER) AS width,
+           CAST(1 + CAST(concat('0x', substr(md5(text), 3, 2)) AS INTEGER) % 64
+                AS INTEGER) AS height
+    FROM documents
+    """,
+)
+def q_multimodal_decode_features(spark, sf_dir):
+    """Arrow-batched mapInPandas decode (deterministic fake codec — md5-digest
+    dimensions; real decode is the clearly-marked stub).  The oracle recomputes
+    the digest arithmetic, so the UDF plumbing (batch shape, schema, binary
+    round-trip) is value-checked end-to-end."""
+    decoded = M.decode_images(_media_frame(spark, sf_dir))
+    return decoded.select("media_id", "width", "height")

@@ -1,0 +1,137 @@
+"""Semantic tests for the scale-path operators (as-of/range joins, grouping
+sets, approx distinct, embedding near-dup, IVF ANN) — pinned behaviors the
+oracle hash alone doesn't isolate."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from cdc_wastewater_analysis_ml_spark.operators import aggregates as A
+from cdc_wastewater_analysis_ml_spark.operators import dedup as D
+from cdc_wastewater_analysis_ml_spark.operators import relational as R
+from cdc_wastewater_analysis_ml_spark.operators import similarity as SIM
+from cdc_wastewater_analysis_ml_spark.sources import load_table
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_join_asof_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-01T10:00:00")),  # before any right row
+            (2, "u1", _ts("2024-01-01T12:00:00")),  # exact tie with right ts
+            (3, "u1", _ts("2024-01-01T15:00:00")),  # after both right rows
+            (4, "u2", _ts("2024-01-01T12:00:00")),  # other key, no right rows
+        ],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01T12:00:00"), 10.0),
+            ("u1", _ts("2024-01-01T14:00:00"), 20.0),
+        ],
+        "k string, rts timestamp, v double",
+    )
+    out = {
+        r["id"]: r["v"]
+        for r in R.join_asof(left, right, ["k"], "ts", "rts", ["v"]).collect()
+    }
+    assert out == {1: None, 2: 10.0, 3: 20.0, 4: None}
+
+
+def test_join_range_window_bounds(spark):
+    base = _ts("2024-01-01T12:00:00")
+    left = spark.createDataFrame([(1, "u1", base)], "id long, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [
+            ("u1", base - dt.timedelta(minutes=61), 1.0),  # outside (too old)
+            ("u1", base - dt.timedelta(minutes=60), 2.0),  # boundary: excluded (>)
+            ("u1", base - dt.timedelta(minutes=59), 3.0),  # inside
+            ("u1", base, 4.0),  # boundary: included (<=)
+            ("u1", base + dt.timedelta(seconds=1), 5.0),  # future: excluded
+        ],
+        "k string, rts timestamp, v double",
+    )
+    got = sorted(
+        r["v"]
+        for r in R.join_range(left, right, "k", "ts", "rts", "INTERVAL 1 HOUR")
+        .select(F.col("__r.v").alias("v"))
+        .collect()
+    )
+    assert got == [3.0, 4.0]
+
+
+def test_rollup_gid_levels(spark, sf_small):
+    ev = load_table(spark, sf_small, "events").select(
+        "event_type", F.month("ts").alias("month"), "value"
+    )
+    rows = A.agg_rollup(ev, ["event_type", "month"], "value").collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r["gid"], []).append(r)
+    # gid 0 = detail, 1 = per-type subtotal, 3 = grand total; 2 never appears
+    assert set(by_gid) == {0, 1, 3}
+    assert len(by_gid[3]) == 1
+    total = by_gid[3][0]["n"]
+    assert total == ev.count()
+    assert sum(r["n"] for r in by_gid[1]) == total
+    assert sum(r["n"] for r in by_gid[0]) == total
+    # cube adds the per-month slice (gid 2)
+    cube_gids = {r["gid"] for r in A.agg_cube(ev, ["event_type", "month"], "value").collect()}
+    assert cube_gids == {0, 1, 2, 3}
+
+
+def test_approx_distinct_within_rsd(spark, sf_small):
+    ev = load_table(spark, sf_small, "events")
+    exact = {
+        r["event_type"]: r["distinct_n"]
+        for r in A.agg_distinct_count_by_key(ev, "event_type", "user_id").collect()
+    }
+    approx = {
+        r["event_type"]: r["approx_n"]
+        for r in A.agg_approx_distinct_by_key(ev, "event_type", "user_id", rsd=0.05).collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(3, 0.15 * n), (k, n, approx[k])
+
+
+def test_near_dup_lsh_subset_of_exact(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in D.near_dup_embedding_pairs(emb, threshold=0.2).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in D.near_dup_embedding_lsh(emb, threshold=0.2, planes=4).collect()
+    }
+    # precision 1: every LSH pair is a true pair with the identical score
+    assert set(lsh) <= set(exact)
+    for pair, cos in lsh.items():
+        assert cos == exact[pair]
+
+
+def test_ivf_scores_match_bruteforce(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings")
+    centroids = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < 4).collect()
+    ]
+    queries = emb.filter(F.col("vec_id") < 5)
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in SIM.cosine_topk_bruteforce(queries, emb, k=50).collect()
+    }
+    ivf = SIM.cosine_topk_ivf(queries, emb, centroids, k=5, nprobe=2).collect()
+    assert len(ivf) > 0
+    for r in ivf:
+        # every IVF hit is a genuine scored pair with the exact same cosine
+        assert brute[(r["query_id"], r["neighbor_id"])] == r["cos"]
+    # per-query ranks are 1..n contiguous
+    ranks = {}
+    for r in ivf:
+        ranks.setdefault(r["query_id"], []).append(r["rank"])
+    for q, rs in ranks.items():
+        assert sorted(rs) == list(range(1, len(rs) + 1))
