@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..sources.readers import fan_out
 from .text import fingerprint, word_shingles
 
 
@@ -54,7 +55,7 @@ def minhash_signatures(
     # reference the materialized column.  Inlining word_shingles() into each
     # minhash expression would re-tokenize and re-slice k times per row
     # (measured 8× slower at 5k docs).
-    with_shingles = df.select(
+    with_shingles = fan_out(df).select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("__shingles")
     )
 
@@ -144,7 +145,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     # md5 each token ONCE, then derive all bit votes from the materialized
     # hash array — the naive form (md5 inside every bit's aggregate) costs
     # bits× more hashing (measured ~8s → ~1s at 5k docs).
-    hashed = df.select(
+    hashed = fan_out(df).select(
         F.col(id_col),
         F.transform(tokenize(text_col), lambda t: F.md5(t)).alias("__tok_md5"),
     )
@@ -211,7 +212,7 @@ def ngram_jaccard_pairs(
     """
     # The exploded shingle relation feeds three consumers (both join sides +
     # the size aggregate); persist so shingling runs once.
-    sh = df.select(
+    sh = fan_out(df).select(
         F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("sh")
     ).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
@@ -258,6 +259,7 @@ def near_dup_embedding_pairs(
     """
     from .similarity import cosine
 
+    df = fan_out(df)
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     return (
@@ -283,7 +285,7 @@ def near_dup_embedding_lsh(
     probability under random hyperplanes)."""
     from .similarity import cosine, rhp_signature
 
-    sig = rhp_signature(df, id_col, vec_col, planes, dims)
+    sig = rhp_signature(fan_out(df), id_col, vec_col, planes, dims)
     a = sig.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "rhp_sig"
     )

@@ -19,6 +19,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..sources.readers import fan_out
+
 
 def dot_product(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double precision, left-to-right."""
@@ -54,7 +56,7 @@ def cosine_topk_bruteforce(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     scored = (
@@ -126,7 +128,7 @@ def cosine_topk_lsh(
         F.col(vec_col).alias("q_vec"),
         F.col("rhp_sig"),
     )
-    c = rhp_signature(corpus, id_col, vec_col, planes, dims).select(
+    c = rhp_signature(fan_out(corpus), id_col, vec_col, planes, dims).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         F.col("rhp_sig"),
@@ -200,7 +202,7 @@ def cosine_topk_ivf(
     centroid id then neighbor id.
     """
     c = assign_ivf_cells(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        fan_out(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
         centroids,
         "c_vec",
         "cell",

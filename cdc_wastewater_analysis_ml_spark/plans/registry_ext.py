@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup as D
 from ..operators import similarity as SIM
 from ..operators import text as T
-from ..sources import load_table
+from ..sources import fan_out, load_table
 from . import metrics as M
 from .registry import register
 
@@ -258,7 +258,7 @@ def _shingles_sql(n: int = 3) -> str:
 )
 def q_token_count(spark, sf_dir):
     """Whitespace token count per document."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     return d.select("doc_id", T.token_count("text").alias("n_tokens"))
 
 
@@ -285,7 +285,7 @@ def q_token_count(spark, sf_dir):
 )
 def q_quality_score(spark, sf_dir):
     """Length/punctuation/stopword quality heuristic."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     return d.select("doc_id", F.round(T.quality_score("text"), 6).alias("quality"))
 
 
@@ -315,7 +315,7 @@ def _lang_score_sql(words: tuple[str, ...]) -> str:
 )
 def q_lang_id(spark, sf_dir):
     """Marker-token language heuristic, ties → lexicographically first lang."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     return d.select("doc_id", T.lang_id("text").alias("lang_pred"))
 
 
@@ -325,7 +325,7 @@ def q_lang_id(spark, sf_dir):
 )
 def q_fingerprint(spark, sf_dir):
     """Content fingerprint (md5 of normalized text) — the exact-dedup key."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     return d.select("doc_id", T.fingerprint("text").alias("fp"))
 
 
@@ -345,7 +345,9 @@ WITH docs AS (
 
 
 def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # fan_out: the single-row-group local fixture otherwise pins every
+    # downstream shingle/hash expression to one task (see sources.fan_out).
+    d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     mutated = d.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" near dup tail")).alias("text"),

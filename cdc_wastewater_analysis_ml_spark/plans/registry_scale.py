@@ -17,7 +17,7 @@ from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import relational as R
 from ..operators import similarity as SIM
-from ..sources import load_table
+from ..sources import fan_out, load_table
 from .registry import register
 from .registry_ext import _cos_sql, _rhp_sig_sql
 
@@ -242,7 +242,7 @@ def q_sim_cosine_ivf(spark, sf_dir):
 def _media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic media table from documents: payload = UTF-8 bytes of text,
     modality round-robins by doc_id.  Deterministic, oracle-replicable."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.element_at(

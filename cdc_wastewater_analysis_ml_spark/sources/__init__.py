@@ -1,7 +1,8 @@
-from .readers import load_table, load_tables, scan_csv, scan_parquet
+from .readers import fan_out, load_table, load_tables, scan_csv, scan_parquet
 from .sinks import sink_csv, sink_parquet
 
 __all__ = [
+    "fan_out",
     "load_table",
     "load_tables",
     "scan_csv",
