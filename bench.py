@@ -40,6 +40,15 @@ HEADLINE = [
     "dedup_simhash",
     "sim_cosine_topk",
     "sim_cosine_lsh",
+    "sim_cosine_ivf",
+    "join_asof",
+    "join_range",
+    "agg_rollup",
+    "agg_distinct_count",
+    "dedup_embedding_cosine_lsh",
+    "pipeline_feature_engineering",
+    "multimodal_media_stats",
+    "multimodal_decode_features",
 ]
 
 

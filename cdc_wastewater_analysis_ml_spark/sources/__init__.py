@@ -1,5 +1,5 @@
 from .readers import fan_out, load_table, load_tables, scan_csv, scan_parquet
-from .sinks import sink_csv, sink_parquet
+from .sinks import sink_csv, sink_parquet, sink_parquet_bucketed
 
 __all__ = [
     "fan_out",
@@ -9,4 +9,5 @@ __all__ = [
     "scan_parquet",
     "sink_csv",
     "sink_parquet",
+    "sink_parquet_bucketed",
 ]

@@ -28,3 +28,27 @@ def sink_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def sink_parquet_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table — the co-located-join layout (SURVEY §4.2).
+
+    Writing both sides of a hot join bucketed by the join key lets Spark plan
+    a SortMergeJoin with ZERO exchanges (and zero sort when ``sort_cols``
+    matches): at 100 TB this turns the nightly fact-fact join from a full
+    shuffle into a per-bucket local merge.  Managed-table only (bucketing
+    metadata lives in the catalog).
+    """
+    writer = df.write.mode(mode).format("parquet").bucketBy(
+        num_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
