@@ -49,6 +49,8 @@ HEADLINE = [
     "pipeline_feature_engineering",
     "multimodal_media_stats",
     "multimodal_decode_features",
+    "tpch_pricing_summary",
+    "tpch_revenue_by_nation",
 ]
 
 
