@@ -788,3 +788,4 @@ def q_dedup_exact_text(spark, sf_dir):
 from . import registry_ext  # noqa: E402,F401  (intentional tail import)
 from . import registry_ml  # noqa: E402,F401  (intentional tail import)
 from . import registry_scale  # noqa: E402,F401  (intentional tail import)
+from . import registry_stream  # noqa: E402,F401  (intentional tail import)
