@@ -1,0 +1,83 @@
+"""Physical-plan shape assertions: the scale properties (pushdown, pruning,
+broadcast strategy, shuffle counts, no row-wise Python on hot paths) that
+make these plans survive a 100×/1000× scale-up.  Regressions here are perf
+bugs even when results stay correct."""
+
+import re
+
+import pytest
+
+from cdc_wastewater_analysis_ml_spark.plans.registry import QUERIES
+
+
+def _plan(spark, sf_small, name: str) -> str:
+    df = QUERIES[name](spark, sf_small)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_scan_prunes_and_pushes(spark, sf_small):
+    plan = _plan(spark, sf_small, "flagship_weekly_detection_rate")
+    # only the needed columns reach the parquet reader
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols <= {"ts", "value"}, cols
+    assert "PushedFilters: [IsNotNull(ts)]" in plan
+
+
+def test_tpch_q5_broadcasts_all_dims(spark, sf_small):
+    plan = _plan(spark, sf_small, "tpch_revenue_by_nation")
+    # the fact table streams through hash relations: 5 broadcast joins,
+    # and the only hash exchange is the final group-by
+    assert plan.count("BroadcastHashJoin") == 5
+    assert plan.count("Exchange hashpartitioning") <= 1
+    # date filter reaches the orders scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_join_semi_topk_is_broadcast_semi(spark, sf_small):
+    plan = _plan(spark, sf_small, "join_semi_topk")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_join_asof_single_window_pass(spark, sf_small):
+    plan = _plan(spark, sf_small, "join_asof")
+    # merge strategy: ONE window over the unioned relation, no join operator
+    assert plan.count("Window") == 1
+    for join_node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                      "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join_node not in plan
+
+
+def test_no_rowwise_python_on_relational_paths(spark, sf_small):
+    """Python must appear only as Arrow-batched eval (pandas UDF / mapInPandas)
+    — never row-pickled BatchEvalPython — and never on pure relational ops."""
+    for name in (
+        "flagship_weekly_detection_rate",
+        "agg_conditional_rate",
+        "window_lag",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "text_quality_score",
+        "tpch_pricing_summary",
+    ):
+        plan = _plan(spark, sf_small, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name  # these paths are pure JVM
+    for name in ("sim_cosine_topk", "sim_cosine_ivf"):
+        plan = _plan(spark, sf_small, name)
+        assert "BatchEvalPython" not in plan, name  # Arrow-batched only
+
+
+def test_broadcast_map_join_builds_broadcast_side(spark, sf_small):
+    plan = _plan(spark, sf_small, "join_broadcast_map")
+    assert "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_embedding_cosine_lsh"])
+def test_lsh_candidate_joins_are_equi(spark, sf_small, name):
+    """LSH banding must produce an equi join (shuffle/broadcast hash), never a
+    nested-loop cross product."""
+    plan = _plan(spark, sf_small, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
