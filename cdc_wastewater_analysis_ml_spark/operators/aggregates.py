@@ -219,3 +219,23 @@ def agg_approx_distinct_by_key(
     return df.groupBy(key).agg(
         F.approx_count_distinct(F.col(col), rsd=rsd).alias(out)
     )
+
+
+def agg_approx_quantiles_by_key(
+    df: DataFrame,
+    key: str,
+    col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Sketch-based per-group quantiles — the 100 TB path beside the exact
+    :func:`agg_quantiles_by_key`: single pass, mergeable partials, bounded
+    error 1/accuracy.  No SQL oracle (sketch is partition-order dependent);
+    gated by a tolerance test against the exact percentiles."""
+    aggs = [
+        F.approx_percentile(F.col(col), F.lit(p), F.lit(accuracy)).alias(
+            f"p{int(p * 100)}"
+        )
+        for p in probs
+    ]
+    return df.groupBy(key).agg(*aggs)

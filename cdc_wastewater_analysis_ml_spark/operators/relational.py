@@ -221,3 +221,30 @@ def intersect_rows(a: DataFrame, b: DataFrame) -> DataFrame:
 def except_rows(a: DataFrame, b: DataFrame, keep_duplicates: bool = True) -> DataFrame:
     """Bag/set difference (engine extension, SURVEY §2.7)."""
     return a.exceptAll(b) if keep_duplicates else a.subtract(b)
+
+
+def join_salted(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: left keys get a salt in [0, salt); the right
+    side replicates salt× and joins on (key, salt).
+
+    Result is identical to ``left.join(right, key, how)`` — the salt only
+    spreads a hot key across ``salt`` shuffle partitions.  AQE's skew-join
+    split covers most cases at runtime; explicit salting remains the tool
+    when a single key exceeds what one task can hold (SURVEY §4.2) or the
+    join sits where AQE cannot re-plan (e.g. inside streaming).  Cost: the
+    right side shuffles salt× its size — use only when right ≪ left and the
+    skew is real.
+    """
+    l_salted = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    )
+    r_replicated = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<bigint>"))
+    )
+    return l_salted.join(r_replicated, on=[key, "__salt"], how=how).drop("__salt")

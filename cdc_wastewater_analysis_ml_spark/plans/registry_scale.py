@@ -420,3 +420,31 @@ def q_scan_csv_roundtrip(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@register(
+    "join_salted",
+    """
+    WITH r AS (SELECT user_id, round(avg(value), 6) AS user_avg
+               FROM events GROUP BY user_id)
+    SELECT e.event_id, e.user_id, round(e.value, 6) AS value, r.user_avg
+    FROM events e JOIN r USING (user_id)
+    """,
+)
+def q_join_salted(spark, sf_dir):
+    """Skew-resistant salted equi-join — result identical to the plain join
+    (the oracle IS the plain join); the salt spreads any hot user_id across
+    8 shuffle partitions."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", F.round("value", 6).alias("value"))
+    right = ev.groupBy("user_id").agg(F.round(F.avg("value"), 6).alias("user_avg"))
+    return R.join_salted(left, right, "user_id", salt=8)
+
+
+@register("agg_approx_quantiles", None)
+def q_agg_approx_quantiles(spark, sf_dir):
+    """Sketch quantiles (single-pass mergeable KLL) — no SQL oracle (sketch
+    output depends on partition order); tolerance-tested against the exact
+    percentiles."""
+    ev = load_table(spark, sf_dir, "events")
+    return A.agg_approx_quantiles_by_key(ev, "event_type", "value")

@@ -135,3 +135,35 @@ def test_ivf_scores_match_bruteforce(spark, sf_small):
         ranks.setdefault(r["query_id"], []).append(r["rank"])
     for q, rs in ranks.items():
         assert sorted(rs) == list(range(1, len(rs) + 1))
+
+
+def test_join_salted_equals_plain_join(spark, sf_small):
+    ev = load_table(spark, sf_small, "events")
+    left = ev.select("event_id", "user_id", "value")
+    right = ev.groupBy("user_id").agg(F.avg("value").alias("user_avg"))
+    plain = {
+        (r["event_id"], r["user_avg"])
+        for r in left.join(right, "user_id").select("event_id", "user_avg").collect()
+    }
+    salted = {
+        (r["event_id"], r["user_avg"])
+        for r in R.join_salted(left, right, "user_id", salt=8)
+        .select("event_id", "user_avg")
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_approx_quantiles_close_to_exact(spark, sf_small):
+    ev = load_table(spark, sf_small, "events")
+    exact = {
+        r["event_type"]: (r["p25"], r["p50"], r["p75"])
+        for r in A.agg_quantiles_by_key(ev, "event_type", "value").collect()
+    }
+    approx = {
+        r["event_type"]: (r["p25"], r["p50"], r["p75"])
+        for r in A.agg_approx_quantiles_by_key(ev, "event_type", "value").collect()
+    }
+    for k, ex in exact.items():
+        for a, e in zip(approx[k], ex):
+            assert abs(a - e) <= max(2.0, 0.05 * abs(e)), (k, a, e)
