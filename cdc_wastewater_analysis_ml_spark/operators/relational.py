@@ -147,11 +147,13 @@ def join_asof(
     left_ts: str,
     right_ts: str,
     value_cols: Sequence[str],
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, the most recent right row with
-    ``right_ts <= left_ts`` within the same key group (SURVEY §2.3 extension —
-    the natural generalization of the reference's lag features,
-    codes.py:56-59, to irregular series).
+    """As-of join: for each left row, the most recent right row with
+    ``right_ts <= left_ts`` (``direction="backward"``, default) or the
+    earliest with ``right_ts >= left_ts`` (``"forward"``) within the same key
+    group (SURVEY §2.3 extension — the natural generalization of the
+    reference's lag features, codes.py:56-59, to irregular series).
 
     Spark-first merge strategy: tag both sides, union, ONE shuffle on the key,
     then ``last(value, ignorenulls=True)`` over an unbounded-preceding row
@@ -166,21 +168,31 @@ def join_asof(
     survivor among exact ties is otherwise unspecified (same caveat as
     DuckDB's ASOF JOIN).
     """
-    l_tagged = left.withColumn("__side", F.lit(1))
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    backward = direction == "backward"
+    # backward: right rows sort BEFORE left at equal ts and `last` looks back;
+    # forward: right rows sort AFTER left at equal ts and `first` looks ahead —
+    # either way an exactly-simultaneous right row matches (<= / >=).
+    l_tagged = left.withColumn("__side", F.lit(1 if backward else 0))
     r_tagged = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias(left_ts),
         *[F.col(c) for c in value_cols],
-    ).withColumn("__side", F.lit(0))
+    ).withColumn("__side", F.lit(0 if backward else 1))
     merged = r_tagged.unionByName(l_tagged, allowMissingColumns=True)
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col(left_ts).asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = Window.partitionBy(*keys).orderBy(
+        F.col(left_ts).asc(), F.col("__side").asc()
     )
+    if backward:
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
     for c in value_cols:
-        merged = merged.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return merged.filter(F.col("__side") == 1).drop("__side")
+        merged = merged.withColumn(c, pick(c))
+    return merged.filter(F.col("__side") == (1 if backward else 0)).drop("__side")
 
 
 def join_range(

@@ -96,3 +96,29 @@ def window_rolling_mean(
     smoothing counterpart of the reference's weekly resample)."""
     w = _ordered_window(part_keys, order_keys).rowsBetween(-(n - 1), Window.currentRow)
     return df.withColumn(out or f"{col}_rollmean{n}", F.avg(F.col(col)).over(w))
+
+
+def window_trailing_mean_time(
+    df: DataFrame,
+    part_keys: Sequence[str],
+    ts_col: str,
+    col: str,
+    trailing_seconds: int = 7 * 86400,
+    out: str = "trailing_mean",
+) -> DataFrame:
+    """Time-based trailing mean: avg of ``col`` over rows of the same key
+    whose event time falls in ``[ts - trailing_seconds + 1s, ts]`` (epoch-
+    second granularity) — the irregular-series counterpart of
+    :func:`window_rolling_mean` (row frames break when sampling is uneven;
+    SURVEY §2.5 generalization).
+
+    ``rangeBetween`` over the timestamp's epoch seconds: one shuffle on the
+    key, sorted range frame per partition — same cost shape as any keyed
+    window, independent of how many rows fall inside the time span.
+    """
+    w = (
+        Window.partitionBy(*part_keys)
+        .orderBy(F.col(ts_col).cast("long"))
+        .rangeBetween(-(trailing_seconds - 1), Window.currentRow)
+    )
+    return df.withColumn(out, F.avg(F.col(col)).over(w))

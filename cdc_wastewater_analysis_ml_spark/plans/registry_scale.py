@@ -448,3 +448,27 @@ def q_agg_approx_quantiles(spark, sf_dir):
     percentiles."""
     ev = load_table(spark, sf_dir, "events")
     return A.agg_approx_quantiles_by_key(ev, "event_type", "value")
+
+
+@register(
+    "window_trailing_mean_time",
+    """
+    SELECT event_id,
+           round(avg(value) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(epoch(ts) AS BIGINT)
+               RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW), 6)
+               AS trailing_mean
+    FROM events
+    """,
+)
+def q_window_trailing_mean_time(spark, sf_dir):
+    """24h time-range trailing mean per user (SURVEY §2.5 generalization —
+    row frames are wrong for irregular sampling; range frames aren't)."""
+    from ..operators import windows as W
+
+    ev = load_table(spark, sf_dir, "events")
+    out = W.window_trailing_mean_time(
+        ev, ["user_id"], "ts", "value", trailing_seconds=86400
+    )
+    return out.select("event_id", F.round("trailing_mean", 6).alias("trailing_mean"))

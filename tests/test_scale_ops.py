@@ -167,3 +167,28 @@ def test_approx_quantiles_close_to_exact(spark, sf_small):
     for k, ex in exact.items():
         for a, e in zip(approx[k], ex):
             assert abs(a - e) <= max(2.0, 0.05 * abs(e)), (k, a, e)
+
+
+def test_join_asof_forward(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-01T10:00:00")),  # next right = 12:00
+            (2, "u1", _ts("2024-01-01T12:00:00")),  # exact tie → 12:00
+            (3, "u1", _ts("2024-01-01T15:00:00")),  # nothing after
+        ],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01T12:00:00"), 10.0),
+            ("u1", _ts("2024-01-01T14:00:00"), 20.0),
+        ],
+        "k string, rts timestamp, v double",
+    )
+    out = {
+        r["id"]: r["v"]
+        for r in R.join_asof(
+            left, right, ["k"], "ts", "rts", ["v"], direction="forward"
+        ).collect()
+    }
+    assert out == {1: 10.0, 2: 10.0, 3: None}
