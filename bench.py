@@ -65,8 +65,10 @@ def main() -> None:
     spark = get_spark("bench")
 
     # Warm the JVM/code paths once on the smallest fixture so per-query times
-    # measure execution, not first-call initialization.
+    # measure execution, not first-call initialization: one pure-JVM query
+    # (codegen/JIT) and one Arrow query (Python worker pool spin-up).
     _force(QUERIES[HEADLINE[0]](spark, "/root/testdata/sf0.001"))
+    _force(QUERIES["sim_cosine_topk"](spark, "/root/testdata/sf0.001"))
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -211,3 +211,48 @@ def q_ml_pca(spark, sf_dir):
     return spark.createDataFrame(
         [(k, round(cum, 4))], "pca_k int, explained_variance double"
     )
+
+
+@register("ml_gbt_pca_metrics", None)
+def q_ml_gbt_pca(spark, sf_dir):
+    """GBT on 95%-variance PCA features ≙ codes.py:214-216,251 (scenario 3 of
+    the reference's 4-row results_df; rows-only)."""
+    df = _ml_frame(spark, sf_dir)
+    train, test = ml.split_train_test_stratified(df, "label", 0.2, seed=42)
+    feats = ["f1", "f2", "f3"]
+    from pyspark.ml.classification import GBTClassifier
+
+    scaler = ml.fit_scaler(ml.assemble(train, feats))
+    tr = scaler.transform(ml.assemble(train, feats))
+    te = scaler.transform(ml.assemble(test, feats))
+    pca, _k = ml.fit_variance_pca(tr, n_features=len(feats), threshold=0.95)
+    tr_p, te_p = pca.transform(tr), pca.transform(te)
+    model = GBTClassifier(
+        labelCol="label", featuresCol="features_pca", maxIter=10, maxDepth=3,
+        stepSize=0.1, seed=42,
+    ).fit(tr_p)
+    r = ml.evaluate_scored(ml.score_gbt(model, te_p, "label"), "gbt_pca")
+    return spark.createDataFrame(
+        [(r.model, round(r.accuracy, 4), round(r.roc_auc, 4), round(r.average_precision, 4))],
+        "model string, accuracy double, roc_auc double, average_precision double",
+    )
+
+
+@register("ml_linear_probability_pca_metrics", None)
+def q_ml_linreg_pca(spark, sf_dir):
+    """OLS-as-classifier on PCA features ≙ codes.py:214-216,258-261 (scenario
+    4 of the reference's results_df; rows-only)."""
+    df = _ml_frame(spark, sf_dir)
+    train, test = ml.split_train_test_stratified(df, "label", 0.2, seed=42)
+    feats = ["f1", "f2", "f3"]
+    scaler = ml.fit_scaler(ml.assemble(train, feats))
+    tr = scaler.transform(ml.assemble(train, feats))
+    te = scaler.transform(ml.assemble(test, feats))
+    pca, _k = ml.fit_variance_pca(tr, n_features=len(feats), threshold=0.95)
+    tr_p, te_p = pca.transform(tr), pca.transform(te)
+    model = ml.train_linear_probability(tr_p, "label", "features_pca")
+    r = ml.evaluate_scored(ml.score_linear(model, te_p, "label"), "linreg_pca")
+    return spark.createDataFrame(
+        [(r.model, round(r.accuracy, 4), round(r.roc_auc, 4), round(r.average_precision, 4))],
+        "model string, accuracy double, roc_auc double, average_precision double",
+    )
