@@ -132,3 +132,63 @@ def test_mode_smallest_value_tiebreak(spark, values):
     got = mode_scalar(df, "v")
     expected = pd.Series(values).mode()[0]  # pandas sorts modes asc (codes.py:83)
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# join_asof vs pandas.merge_asof (independent oracle for the merge strategy)
+# ---------------------------------------------------------------------------
+
+from cdc_wastewater_analysis_ml_spark.operators import relational as R  # noqa: E402
+
+_asof_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),      # key
+        st.integers(min_value=0, max_value=50),     # ts (seconds offset)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@_settings
+@given(_asof_events, _asof_events)
+def test_join_asof_matches_pandas_merge_asof(spark, left_rows, right_rows):
+    base = pd.Timestamp("2024-01-01")
+    lpdf = pd.DataFrame(
+        {
+            "k": [k for k, _ in left_rows],
+            "ts": [base + pd.Timedelta(seconds=t) for _, t in left_rows],
+        }
+    )
+    lpdf["lid"] = range(len(lpdf))
+    # right side must be unique per (k, ts): the tie survivor is unspecified
+    # in both engines (documented op contract), so dedupe like a caller would
+    rpdf = pd.DataFrame(
+        {
+            "k": [k for k, _ in right_rows],
+            "rts": [base + pd.Timedelta(seconds=t) for _, t in right_rows],
+        }
+    ).drop_duplicates(["k", "rts"])
+    rpdf["v"] = [float(i) for i in range(len(rpdf))]
+
+    left = spark.createDataFrame(lpdf, "k long, ts timestamp, lid long")
+    right = spark.createDataFrame(rpdf, "k long, rts timestamp, v double")
+    got = (
+        R.join_asof(left, right, ["k"], "ts", "rts", ["v"])
+        .select("lid", "v")
+        .toPandas()
+        .set_index("lid")["v"]
+        .to_dict()
+    )
+    expected_df = pd.merge_asof(
+        lpdf.sort_values("ts", kind="stable"),
+        rpdf.sort_values("rts", kind="stable"),
+        left_on="ts",
+        right_on="rts",
+        by="k",
+        direction="backward",
+    )
+    expected = expected_df.set_index("lid")["v"].to_dict()
+    for lid, v in expected.items():
+        g = got[lid]
+        assert (pd.isna(v) and pd.isna(g)) or v == g, (lid, v, g)
