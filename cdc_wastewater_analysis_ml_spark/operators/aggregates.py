@@ -239,3 +239,28 @@ def agg_approx_quantiles_by_key(
         for p in probs
     ]
     return df.groupBy(key).agg(*aggs)
+
+
+def agg_session_windows(
+    df: DataFrame, key: str, ts_col: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """Per-key session windows: events closer than ``gap`` merge; a session
+    ends ``gap`` after its last event (Spark ``session_window`` semantics —
+    a new session starts when the inter-event gap is ≥ ``gap``).
+
+    Single shuffle on the key; state is one open window per key — the same
+    shape Structured Streaming keeps, so the batch and streaming variants
+    share semantics exactly (SURVEY §2.11 generalization; sessionization is
+    the canonical event-analytics op the reference's monthly buckets
+    approximate).
+    """
+    return (
+        df.groupBy(F.col(key), F.session_window(F.col(ts_col), gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

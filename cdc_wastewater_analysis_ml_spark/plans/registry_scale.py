@@ -472,3 +472,30 @@ def q_window_trailing_mean_time(spark, sf_dir):
         ev, ["user_id"], "ts", "value", trailing_seconds=86400
     )
     return out.select("event_id", F.round("trailing_mean", 6).alias("trailing_mean"))
+
+
+@register(
+    "agg_session_windows",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      s AS (SELECT user_id, ts,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM g)
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sess_id
+    """,
+)
+def q_agg_session_windows(spark, sf_dir):
+    """Sessionization via session_window (30-min inactivity gap); the oracle
+    is the classic gaps-and-islands form — same windows, same boundaries."""
+    ev = load_table(spark, sf_dir, "events")
+    return A.agg_session_windows(ev, "user_id", "ts", "30 minutes")

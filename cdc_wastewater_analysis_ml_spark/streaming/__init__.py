@@ -2,6 +2,7 @@ from .ops import (
     read_events_stream,
     stream_conditional_rate,
     stream_lag_per_key,
+    stream_session_windows,
     stream_weekly_mean,
 )
 
@@ -9,5 +10,6 @@ __all__ = [
     "read_events_stream",
     "stream_conditional_rate",
     "stream_lag_per_key",
+    "stream_session_windows",
     "stream_weekly_mean",
 ]

@@ -138,3 +138,28 @@ def stream_lag_per_key(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming sessionization ≙ aggregates.agg_session_windows: merging
+    session windows with an inactivity ``gap``; append mode emits a session
+    once the watermark passes its end.
+
+    On a finite stream the trailing sessions (end > final watermark) are
+    correctly withheld — the batch/streaming parity contract is therefore
+    prefix equality: every emitted session equals the batch session exactly
+    (tested in test_streaming_parity.py); only watermark-open sessions are
+    absent."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"), F.session_window(F.col("ts"), gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

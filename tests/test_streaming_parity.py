@@ -99,3 +99,26 @@ def test_stream_lag_matches_batch(spark, sf_small, stream_dir):
     assert len(got) == len(expected)
     assert (abs(got["value_lag1"] - expected["value_lag1"]) < 1e-9).all()
     assert (abs(got["value_lag2"] - expected["value_lag2"]) < 1e-9).all()
+
+
+def test_stream_session_windows_prefix_of_batch(spark, sf_small, stream_dir):
+    from cdc_wastewater_analysis_ml_spark.streaming import stream_session_windows
+
+    sdf = stream_session_windows(read_events_stream(spark, stream_dir))
+    got = _run_to_memory(spark, sdf, "session_sink", "append").toPandas()
+    batch = A.agg_session_windows(
+        load_table(spark, sf_small, "events"), "user_id", "ts", "30 minutes"
+    ).toPandas()
+    key = ["user_id", "session_start", "session_end", "n_events"]
+    got_set = {tuple(r) for r in got[key].itertuples(index=False)}
+    batch_set = {tuple(r) for r in batch[key].itertuples(index=False)}
+    # append emits only watermark-closed sessions: exact subset, no phantoms
+    assert got_set <= batch_set
+    assert len(got_set) > 0  # the 1h watermark closes almost every session
+    missing = batch_set - got_set
+    # only trailing sessions (near the max event time) may be withheld
+    max_end = max(e for _, _, e, _ in batch_set)
+    import pandas as pd
+
+    for _, _, end, _ in missing:
+        assert end >= max_end - pd.Timedelta(hours=2), (end, max_end)
