@@ -51,6 +51,8 @@ HEADLINE = [
     "multimodal_decode_features",
     "tpch_pricing_summary",
     "tpch_revenue_by_nation",
+    "agg_session_windows",
+    "window_trailing_mean_time",
 ]
 
 

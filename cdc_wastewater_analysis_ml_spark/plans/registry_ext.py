@@ -28,8 +28,9 @@ _SCORED_CTE = """
 WITH scored AS (
   SELECT event_id,
          CASE WHEN event_id % 13 < 5 THEN 1 ELSE 0 END AS label,
-         round((value / 500.0 +
-                CASE WHEN event_id % 13 < 5 THEN 0.3 ELSE 0.0 END) / 1.3, 2)
+         floor((value / 500.0 +
+                CASE WHEN event_id % 13 < 5 THEN 0.3 ELSE 0.0 END) / 1.3
+               * 100 + 0.5) / 100
              AS score
   FROM events)
 """
@@ -37,12 +38,17 @@ WITH scored AS (
 
 def _scored_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic pseudo-model output: label from event_id hash, score =
-    bounded mix of value and label (so ROC/PR curves are non-degenerate)."""
+    bounded mix of value and label (so ROC/PR curves are non-degenerate).
+
+    Portable 2-decimal rounding — floor(x*100 + 0.5)/100, the same IEEE op
+    sequence in Spark and DuckDB.  round(x, 2) diverges between the engines
+    for inputs landing exactly on .xx5 boundaries (several do at sf≥0.1),
+    which would shift rows across score buckets and corrupt every cumulative
+    metric downstream."""
     ev = load_table(spark, sf_dir, "events")
     label = F.when(F.col("event_id") % 13 < 5, 1).otherwise(0)
-    score = F.round(
-        (F.col("value") / 500.0 + F.when(label == 1, 0.3).otherwise(0.0)) / 1.3, 2
-    )
+    raw = (F.col("value") / 500.0 + F.when(label == 1, 0.3).otherwise(0.0)) / 1.3
+    score = F.floor(raw * 100 + 0.5) / 100
     return ev.select("event_id", label.alias("label"), score.alias("score"))
 
 
@@ -272,21 +278,25 @@ def q_token_count(spark, sf_dir):
                  AS punct
       FROM documents)
     SELECT doc_id,
-           round(least(1.0, total / 500.0)
+           floor(least(1.0, total / 500.0)
                  * (1.0 - CASE WHEN total > 0
                                THEN punct * 1.0 / total ELSE 0.0 END)
                  * (1.0 - (CASE WHEN len(toks) > 0
                                 THEN len(list_filter(toks, x ->
                                      list_contains(['the','a','and','of','to'], x)))
                                      * 1.0 / len(toks)
-                                ELSE 0.0 END) / 2.0), 6) AS quality
+                                ELSE 0.0 END) / 2.0)
+                 * 1000000 + 0.5) / 1000000 AS quality
     FROM t
     """,
 )
 def q_quality_score(spark, sf_dir):
     """Length/punctuation/stopword quality heuristic."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
-    return d.select("doc_id", F.round(T.quality_score("text"), 6).alias("quality"))
+    # floor-portable rounding: quality products land on .5e-6 boundaries at
+    # sf>=0.1 where Spark HALF_UP and DuckDB round() disagree on the double
+    q = F.floor(T.quality_score("text") * 1000000 + 0.5) / 1000000
+    return d.select("doc_id", q.alias("quality"))
 
 
 def _lang_score_sql(words: tuple[str, ...]) -> str:

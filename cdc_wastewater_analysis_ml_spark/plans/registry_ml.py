@@ -118,14 +118,17 @@ def q_pipeline_fe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "threshold_binarize",
     """
     SELECT event_id,
-           CASE WHEN round(value / 500.0, 2) > 0.5 THEN 1 ELSE 0 END AS pred
+           CASE WHEN floor(value / 500.0 * 100 + 0.5) / 100 > 0.5
+                THEN 1 ELSE 0 END AS pred
     FROM events
     """,
 )
 def q_threshold_binarize(spark, sf_dir):
     """(pred > 0.5).astype(int) ≙ codes.py:260."""
     ev = load_table(spark, sf_dir, "events")
-    score = F.round(F.col("value") / 500.0, 2)
+    # portable rounding: round(x, 2) can flip across the 0.5 cut on .xx5
+    # boundary doubles (engine-dependent); floor(x*100+0.5)/100 cannot
+    score = F.floor(F.col("value") / 500.0 * 100 + 0.5) / 100
     return ev.select(
         "event_id", F.when(score > 0.5, 1).otherwise(0).alias("pred")
     )

@@ -456,7 +456,7 @@ def q_agg_approx_quantiles(spark, sf_dir):
     SELECT event_id,
            round(avg(value) OVER (
                PARTITION BY user_id
-               ORDER BY CAST(epoch(ts) AS BIGINT)
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW), 6)
                AS trailing_mean
     FROM events
