@@ -132,3 +132,44 @@ def fingerprint(c: Column | str) -> Column:
     The exact-dedup key (scale path: group/bucket by fingerprint instead of
     shuffling full document bodies)."""
     return F.md5(normalize_text(c))
+
+
+#: GPT-2-style pre-tokenizer shape, restricted to constructs whose semantics
+#: are identical in Java regex (Spark) and RE2 (DuckDB): letter runs, digit
+#: runs, punctuation runs, each with an optional leading space.
+BPE_TOKEN_REGEX = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def token_count_bpe(c: Column | str) -> Column:
+    """Sub-word-ish token count via the BPE pre-tokenizer regex — the better
+    "token budget" estimator for LLM-pipeline accounting (whitespace count
+    undercounts punctuation-heavy text).  Pure regexp_extract_all: JVM-side,
+    codegen-eligible, no vocabulary needed."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_REGEX), 0))
+
+
+def winnow_fingerprints(
+    c: Column | str, k: int = 5, window: int = 4
+) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003): hash
+    every character k-gram of the normalized text, then keep the minimum
+    hash of each sliding window of ``window`` consecutive k-grams.
+
+    Guarantees any shared substring of length ≥ k + window − 1 contributes a
+    shared fingerprint — the local-similarity dedup primitive (plagiarism /
+    near-dup detection) that a single whole-document hash cannot provide.
+    Pure array expressions; the fingerprint set is ~|text|/window hashes, so
+    the shuffle carries a bounded digest instead of document bodies."""
+    norm = normalize_text(c)
+    n_grams = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.substring(F.md5(F.substring(norm, i, k)), 1, 16),
+    )
+    n_windows = F.greatest(F.size(hashes) - F.lit(window - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.array_min(F.slice(hashes, i, window)),
+    )
+    return F.array_distinct(mins)

@@ -499,3 +499,56 @@ def q_agg_session_windows(spark, sf_dir):
     is the classic gaps-and-islands form — same windows, same boundaries."""
     ev = load_table(spark, sf_dir, "events")
     return A.agg_session_windows(ev, "user_id", "ts", "30 minutes")
+
+
+@register(
+    "text_token_count_bpe",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))
+                AS INTEGER) AS n_tokens
+    FROM documents
+    """,
+)
+def q_text_token_count_bpe(spark, sf_dir):
+    """BPE-pre-tokenizer token count (LLM token-budget estimator) — regex
+    alternation restricted to constructs with identical Java/RE2 semantics."""
+    from ..operators import text as T
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id", T.token_count_bpe("text").cast("int").alias("n_tokens")
+    )
+
+
+@register(
+    "text_winnow_fingerprint",
+    r"""
+    WITH t AS (SELECT doc_id,
+                      regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+               FROM documents),
+      h AS (SELECT doc_id,
+                   list_transform(
+                     range(1, greatest(length(norm) - 4, 1) + 1),
+                     i -> substr(md5(substr(norm, CAST(i AS INTEGER), 5)), 1, 16))
+                   AS hashes
+            FROM t),
+      m AS (SELECT doc_id,
+                   list_distinct(list_transform(
+                     range(1, greatest(len(hashes) - 3, 1) + 1),
+                     i -> list_min(hashes[CAST(i AS INTEGER):CAST(i + 3 AS INTEGER)])))
+                   AS fps
+            FROM h)
+    SELECT doc_id, unnest(fps) AS fp FROM m
+    """,
+)
+def q_text_winnow_fingerprint(spark, sf_dir):
+    """Winnowing fingerprints (k=5 char-grams, window=4): the rolling-hash
+    local-similarity digest — shared substrings ≥ 8 chars share a
+    fingerprint."""
+    from ..operators import text as T
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id", F.explode(T.winnow_fingerprints("text", 5, 4)).alias("fp")
+    )
