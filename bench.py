@@ -52,6 +52,7 @@ HEADLINE = [
     "tpch_pricing_summary",
     "tpch_revenue_by_nation",
     "agg_session_windows",
+    "dedup_lsh_verified",
     "window_trailing_mean_time",
 ]
 

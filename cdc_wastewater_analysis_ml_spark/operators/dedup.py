@@ -299,3 +299,39 @@ def near_dup_embedding_lsh(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def jaccard_verify_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact Jaccard restricted to a candidate-pair relation ``(id_a, id_b)``
+    — the LSH verification stage.
+
+    This is THE scale path for near-dup: :func:`ngram_jaccard_pairs` alone is
+    quadratic in docs sharing a hot shingle (measured 15× superlinear on a
+    10× corpus with duplicated docs), while candidates→verify does |pairs|
+    array intersections.  Shingle arrays join to the pair relation by id, so
+    the shuffle carries each doc's digest once per candidate edge, never a
+    shingle-keyed cross product.
+    """
+    sh = fan_out(df).select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(text_col, shingle_n)).alias("__shs"),
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__shs").alias("shs_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__shs").alias("shs_b"))
+    joined = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("shs_a", "shs_b")))
+    )
+    jac = F.col("inter") / (F.size("shs_a") + F.size("shs_b") - F.col("inter"))
+    return (
+        joined.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

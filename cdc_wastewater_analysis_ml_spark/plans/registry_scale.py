@@ -552,3 +552,49 @@ def q_text_winnow_fingerprint(spark, sf_dir):
     return docs.select(
         "doc_id", F.explode(T.winnow_fingerprints("text", 5, 4)).alias("fp")
     )
+
+
+def _lsh_verified_sql() -> str:
+    from .registry_ext import _AUG_CTE, _minhash_sql, _shingles_sql_d
+
+    return (
+        _AUG_CTE
+        + ", sig AS (SELECT d.doc_id, "
+        + ", ".join(_minhash_sql(i) for i in range(8))
+        + " FROM docs d), banded AS ("
+        + " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_id, "
+            f"concat(minhash_{2 * b}, '|', minhash_{2 * b + 1}) AS band_key FROM sig"
+            for b in range(4)
+        )
+        + f""")
+        , cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM banded a JOIN banded b
+                     ON a.band_id = b.band_id AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id),
+          shs AS (SELECT d.doc_id, list_distinct({_shingles_sql_d()}) AS shs
+                  FROM docs d),
+          scored AS (
+            SELECT id_a, id_b,
+                   round(len(list_intersect(sa.shs, sb.shs)) * 1.0
+                         / (len(sa.shs) + len(sb.shs)
+                            - len(list_intersect(sa.shs, sb.shs))), 6) AS jaccard
+            FROM cand
+            JOIN shs sa ON sa.doc_id = id_a
+            JOIN shs sb ON sb.doc_id = id_b)
+        SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.3
+        """
+    )
+
+
+@register("dedup_lsh_verified", _lsh_verified_sql())
+def q_dedup_lsh_verified(spark, sf_dir):
+    """Candidates→verify near-dup pipeline: banded MinHash-LSH candidate
+    pairs, then exact Jaccard only on those pairs (≥ 0.3).  The production
+    dedup shape — linear-ish in corpus size where standalone pairwise
+    Jaccard is quadratic in hot shingles."""
+    from .registry_ext import _augmented_docs
+
+    docs = _augmented_docs(spark, sf_dir)
+    pairs = D.minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=8, bands=4)
+    return D.jaccard_verify_pairs(docs, pairs, "text", "doc_id", threshold=0.3)
