@@ -598,3 +598,26 @@ def q_dedup_lsh_verified(spark, sf_dir):
     docs = _augmented_docs(spark, sf_dir)
     pairs = D.minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=8, bands=4)
     return D.jaccard_verify_pairs(docs, pairs, "text", "doc_id", threshold=0.3)
+
+
+@register(
+    "json_extract_agg",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+               AS sum_k,
+           CAST(count(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+               AS n_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_extract_agg(spark, sf_dir):
+    """Semi-structured extraction: pull props.$.k (JSON string column) and
+    aggregate — JVM-side get_json_object, no Python."""
+    from ..functions import scalars as S
+
+    ev = load_table(spark, sf_dir, "events")
+    k = S.json_get_int("props", "k")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(k).alias("n_k")
+    )
