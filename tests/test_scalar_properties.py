@@ -5,7 +5,6 @@ Each hypothesis example generates a batch of values and runs one Spark plan
 over the batch (not one plan per value) to keep the suite fast.
 """
 
-import math
 
 import numpy as np
 import pandas as pd

@@ -2,7 +2,6 @@
 over the events fixture must agree with the batch operators once all data is
 processed."""
 
-import shutil
 
 import pytest
 from pyspark.sql import functions as F

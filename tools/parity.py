@@ -9,7 +9,6 @@ values (exact for non-floats, tolerant for floats).  Usage:
 
 from __future__ import annotations
 
-import math
 import sys
 
 import duckdb
