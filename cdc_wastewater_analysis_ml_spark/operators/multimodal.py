@@ -159,3 +159,62 @@ def media_stats(df: DataFrame) -> DataFrame:
         F.avg(F.length("payload")).alias("avg_bytes"),
         F.sum(F.col("payload").isNull().cast("int")).alias("null_payloads"),
     )
+
+
+def resize_images(
+    df: DataFrame,
+    target: tuple[int, int] = (32, 32),
+    resizer: Callable[[bytes, tuple[int, int]], bytes] | None | str = None,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """payload → resized payload via Arrow-batched ``mapInPandas``.
+
+    ``resizer=None`` → deterministic fake (truncate/pad the byte stream to
+    ``target[0]*target[1]`` bytes — CLEARLY A STUB: a real implementation
+    plugs Pillow's ``Image.resize`` in as ``resizer``); ``"strict"`` raises
+    NotImplementedError.  The Spark-side plumbing — schema, batching, binary
+    round-trip — is the real, tested part.
+    """
+    if resizer == "strict":
+
+        def _strict(_p: bytes, _t: tuple[int, int]) -> bytes:
+            raise NotImplementedError(
+                "image resizing requires Pillow — not installed; pass "
+                "resizer=<callable> or use the deterministic fake"
+            )
+
+        fn_resize = _strict
+    elif resizer is None:
+
+        def _local_fake(p: bytes, t: tuple[int, int]) -> bytes:
+            size = t[0] * t[1]
+            p = p or b""
+            return (p[:size] if len(p) >= size else p + b"\x00" * (size - len(p)))
+
+        fn_resize = _local_fake
+    else:
+        fn_resize = resizer
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("payload_resized", BinaryType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+    w, h = target
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "payload_resized": [fn_resize(p, (w, h)) for p in pdf[payload_col]],
+                    "width": w,
+                    "height": h,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, out_schema)

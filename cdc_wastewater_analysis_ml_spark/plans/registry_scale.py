@@ -621,3 +621,52 @@ def q_json_extract_agg(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         F.sum(k).alias("sum_k"), F.count(k).alias("n_k")
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH m AS (SELECT doc_id AS media_id, 'video' AS modality,
+                      1.0 + CAST(doc_id % 7 AS DOUBLE) AS meta_duration_s
+               FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 2)
+    SELECT media_id, CAST(unnest(range(0, greatest(CAST(meta_duration_s AS INTEGER), 1)))
+                          AS INTEGER) AS frame_idx
+    FROM m
+    """,
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Frame-sampling plan (1 fps): pure Catalyst explode over metadata —
+    one row per frame timestamp, no decode touched."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    media = docs.filter((F.col("doc_id") % 3).cast("int") == 2).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("modality"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        (1.0 + (F.col("doc_id") % 7).cast("double")).alias("meta_duration_s"),
+    )
+    frames = M.sample_video_frames(media, every_s=1.0)
+    return frames.select("media_id", F.col("frame_idx").cast("int").alias("frame_idx"))
+
+
+@register(
+    "multimodal_resize",
+    """
+    SELECT doc_id AS media_id,
+           CAST(1024 AS INTEGER) AS resized_bytes,
+           32 AS width, 32 AS height
+    FROM documents
+    """,
+)
+def q_multimodal_resize(spark, sf_dir):
+    """Resize plumbing (stub codec): Arrow mapInPandas binary→binary round
+    trip.  The stub truncates/pads every payload to exactly 32×32 = 1024
+    bytes, so the oracle's constant asserts the UDF emitted a correct-length
+    binary for EVERY row (DuckDB cannot slice blobs to recompute content)."""
+    media = _media_frame(spark, sf_dir)
+    out = M.resize_images(media, target=(32, 32))
+    return out.select(
+        "media_id",
+        F.length("payload_resized").cast("int").alias("resized_bytes"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+    )
