@@ -260,3 +260,35 @@ def join_salted(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<bigint>"))
     )
     return l_salted.join(r_replicated, on=[key, "__salt"], how=how).drop("__salt")
+
+
+def pivot_wide(
+    df: DataFrame,
+    key: str,
+    pivot_col: str,
+    pivot_values: Sequence,
+    agg_col: str,
+) -> DataFrame:
+    """Long → wide: one column per pinned ``pivot_values`` entry, cells =
+    sum(agg_col).  Values are pinned explicitly — at scale the
+    discover-distinct-values pass ``pivot()`` otherwise runs is a full extra
+    scan, and an unpinned schema breaks downstream contracts.
+    ≙ the 2×2 ``confusion_matrix`` layout (codes.py:296, SURVEY §2.10)."""
+    return (
+        df.groupBy(key)
+        .pivot(pivot_col, list(pivot_values))
+        .sum(agg_col)
+        .na.fill(0)
+    )
+
+
+def unpivot_long(
+    df: DataFrame,
+    ids: Sequence[str],
+    value_cols: Sequence[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> DataFrame:
+    """Wide → long (melt): one row per (id, value column).  Spark-native
+    ``unpivot`` — a zero-shuffle projection+explode."""
+    return df.unpivot(list(ids), list(value_cols), var_name, value_name)

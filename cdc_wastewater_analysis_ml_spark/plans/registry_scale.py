@@ -670,3 +670,61 @@ def q_multimodal_resize(spark, sf_dir):
         F.col("width").cast("int").alias("width"),
         F.col("height").cast("int").alias("height"),
     )
+
+
+@register(
+    "reshape_pivot",
+    """
+    SELECT user_id % 10 AS user_bucket,
+           round(CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN value END), 0)
+                      AS DOUBLE), 2) AS click,
+           round(CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN value END), 0)
+                      AS DOUBLE), 2) AS view,
+           round(CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0)
+                      AS DOUBLE), 2) AS purchase
+    FROM events GROUP BY 1
+    """,
+)
+def q_reshape_pivot(spark, sf_dir):
+    """Long → wide with pinned pivot values (no distinct-discovery scan);
+    rounded sums per (user bucket × event type)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 10).alias("user_bucket"), "event_type", "value"
+    )
+    wide = R.pivot_wide(ev, "user_bucket", "event_type", ["click", "view", "purchase"], "value")
+    return wide.select(
+        "user_bucket",
+        F.round("click", 2).alias("click"),
+        F.round("view", 2).alias("view"),
+        F.round("purchase", 2).alias("purchase"),
+    )
+
+
+@register(
+    "reshape_unpivot",
+    """
+    WITH wide AS (
+      SELECT user_id % 10 AS user_bucket,
+             round(CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN value END),
+                        0) AS DOUBLE), 2) AS click,
+             round(CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN value END),
+                        0) AS DOUBLE), 2) AS view
+      FROM events GROUP BY 1)
+    SELECT user_bucket, 'click' AS variable, click AS value FROM wide
+    UNION ALL
+    SELECT user_bucket, 'view' AS variable, view AS value FROM wide
+    """,
+)
+def q_reshape_unpivot(spark, sf_dir):
+    """Wide → long (melt, Spark-native unpivot): zero-shuffle
+    projection+explode over the pivoted relation."""
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 10).alias("user_bucket"), "event_type", "value"
+    )
+    wide = R.pivot_wide(ev, "user_bucket", "event_type", ["click", "view"], "value")
+    wide = wide.select(
+        "user_bucket",
+        F.round("click", 2).alias("click"),
+        F.round("view", 2).alias("view"),
+    )
+    return R.unpivot_long(wide, ["user_bucket"], ["click", "view"])
