@@ -140,13 +140,10 @@ def ordinal_encode(c: Column | str, order: Sequence[str], missing: int = -1) -> 
     return expr.otherwise(F.lit(missing)).cast("int")
 
 
-def json_get_int(c, field: str):
+def json_get_int(c: Column | str, field: str) -> Column:
     """Extract an integer field from a JSON string column (semi-structured
     path: SURVEY §1.3 notes map/struct are unexercised by the reference but
     free in Spark; ``get_json_object`` keeps extraction JVM-side and
     Catalyst-prunable — at scale prefer parsing ONCE via ``from_json`` with
     an explicit schema when several fields are read)."""
-    from pyspark.sql import functions as F
-
-    col = F.col(c) if isinstance(c, str) else c
-    return F.get_json_object(col, f"$.{field}").cast("int")
+    return F.get_json_object(_col(c), f"$.{field}").cast("int")
