@@ -264,3 +264,15 @@ def agg_session_windows(
             "n_events",
         )
     )
+
+
+def topk_approx_freqitems(
+    df: DataFrame, col: str, support: float = 0.01
+) -> DataFrame:
+    """Approximate heavy hitters via Spark's ``freqItems`` (Karp-Papadimitriou-
+    Shenker single-pass counters) — the sketch companion to the exact
+    :func:`..operators.relational.topk_categories`: one pass, no shuffle of
+    per-key counts, mergeable partials; may contain false positives (verify
+    with an exact count over the candidate set when precision matters)."""
+    items = df.stat.freqItems([col], support)
+    return items.select(F.explode(F.col(f"{col}_freqItems")).alias(col))

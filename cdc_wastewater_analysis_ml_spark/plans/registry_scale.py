@@ -728,3 +728,12 @@ def q_reshape_unpivot(spark, sf_dir):
         F.round("view", 2).alias("view"),
     )
     return R.unpivot_long(wide, ["user_bucket"], ["click", "view"])
+
+
+@register("topk_approx_freqitems", None)
+def q_topk_approx_freqitems(spark, sf_dir):
+    """Single-pass heavy-hitters sketch (rows-only: candidate set may hold
+    false positives by design; the tolerance test asserts it covers the true
+    top categories)."""
+    ev = load_table(spark, sf_dir, "events")
+    return A.topk_approx_freqitems(ev, "event_type", support=0.1)

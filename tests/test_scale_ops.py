@@ -192,3 +192,17 @@ def test_join_asof_forward(spark):
         ).collect()
     }
     assert out == {1: 10.0, 2: 10.0, 3: None}
+
+
+def test_freqitems_covers_true_heavy_hitters(spark, sf_small):
+    ev = load_table(spark, sf_small, "events")
+    exact_top = {
+        r["event_type"]
+        for r in R.topk_categories(ev, "event_type", 3).collect()
+    }
+    approx = {
+        r["event_type"]
+        for r in A.topk_approx_freqitems(ev, "event_type", support=0.1).collect()
+    }
+    # KPS guarantee: every item above the support threshold is in the sketch
+    assert exact_top <= approx
