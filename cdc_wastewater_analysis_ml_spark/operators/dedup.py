@@ -335,3 +335,22 @@ def jaccard_verify_pairs(
         joined.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def dedup_incremental_exact(
+    new_df: DataFrame,
+    store_df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Incremental exact dedup: rows of ``new_df`` whose content fingerprint
+    does not already exist in ``store_df`` — the daily-batch ingestion shape
+    (dedupe the delta against the corpus, never re-scan corpus×corpus).
+
+    Anti-join on the 32-char digest: the shuffle carries (fp, id), never
+    document bodies; at 100 TB the store side is a bucketed fingerprint table
+    so the anti-join is exchange-free on the store side.
+    """
+    new_fp = fan_out(new_df).withColumn("__fp", fingerprint(text_col))
+    store_fp = fan_out(store_df).select(fingerprint(text_col).alias("__fp")).distinct()
+    return new_fp.join(store_fp, "__fp", "left_anti").drop("__fp")

@@ -334,3 +334,29 @@ def cosine_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def fit_ivf_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    nlist: int = 8,
+    seed: int = 42,
+) -> list[tuple[int, list[float]]]:
+    """Fit the IVF coarse quantizer with MLlib KMeans (seeded, deterministic
+    init) and return driver-side ``(cid, center)`` pairs for
+    :func:`cosine_topk_ivf`.
+
+    Real-centroid cells are far better balanced than fixed-vector centroids
+    (the oracle-gated demo uses the latter for SQL replicability); the fit is
+    one MLlib job over the corpus and the centers are tiny driver state — at
+    scale, persist them next to the cell-partitioned corpus and refit only on
+    drift.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = df.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=nlist, seed=seed, initMode="k-means||").fit(vecs)
+    return [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]

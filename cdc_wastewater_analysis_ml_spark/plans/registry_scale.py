@@ -737,3 +737,48 @@ def q_topk_approx_freqitems(spark, sf_dir):
     top categories)."""
     ev = load_table(spark, sf_dir, "events")
     return A.topk_approx_freqitems(ev, "event_type", support=0.1)
+
+
+@register(
+    "dedup_incremental",
+    r"""
+    WITH norm AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g')
+                         AS n FROM documents),
+      store AS (SELECT DISTINCT md5(n) AS fp FROM norm),
+      newb AS (
+        SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS n
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id,
+               regexp_replace(trim(lower(concat(text, ' fresh tail'))), '\s+', ' ', 'g')
+               AS n
+        FROM documents WHERE doc_id % 2 = 1)
+    SELECT doc_id FROM newb WHERE md5(n) NOT IN (SELECT fp FROM store)
+    """,
+)
+def q_dedup_incremental(spark, sf_dir):
+    """Daily-batch dedup: the new batch (half exact re-crawls, half genuinely
+    new docs) anti-joins the corpus fingerprint store — only the new halves
+    survive."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    recrawl = docs.filter(F.col("doc_id") % 2 == 0)
+    fresh = docs.filter(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" fresh tail")).alias("text"),
+    )
+    batch = recrawl.unionByName(fresh)
+    out = D.dedup_incremental_exact(batch, docs, "text", "doc_id")
+    return out.select("doc_id")
+
+
+@register("sim_cosine_ivf_kmeans", None)
+def q_sim_cosine_ivf_kmeans(spark, sf_dir):
+    """IVF with REAL k-means centroids (seeded MLlib fit) — the production
+    quantizer; rows-only (cluster centers are not SQL-replicable), recall
+    vs brute force asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = SIM.fit_ivf_centroids(emb, "embedding", nlist=8, seed=42)
+    return SIM.cosine_topk_ivf(
+        emb.filter(F.col("vec_id") < 10), emb, centroids, "vec_id", "embedding",
+        k=5, nprobe=2,
+    )

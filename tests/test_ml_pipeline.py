@@ -73,3 +73,23 @@ def test_four_scenarios_metric_ranges(model_df):
     # with jurisdiction_target_mean + lag features → better than chance
     gbt = results[0]
     assert gbt.roc_auc > 0.55, f"GBT failed to learn: {gbt}"
+
+
+def test_scaler_pca_model_roundtrip(spark, model_df, tmp_path):
+    """Fitted models must survive save/load (the cluster deployment path:
+    fit once, persist next to the data, score from any session)."""
+    from pyspark.ml import PipelineModel
+    from pyspark.ml.pipeline import Pipeline
+
+    assembled = ml.assemble(model_df, MODEL_FEATURES)
+    scaler = ml.fit_scaler(assembled)
+    pca, k = ml.fit_variance_pca(
+        scaler.transform(assembled), n_features=len(MODEL_FEATURES)
+    )
+    pipe = PipelineModel(stages=[scaler, pca])
+    path = str(tmp_path / "scaler_pca_model")
+    pipe.write().overwrite().save(path)
+    loaded = PipelineModel.load(path)
+    a = pipe.transform(assembled).select("features_pca").limit(50).collect()
+    b = loaded.transform(assembled).select("features_pca").limit(50).collect()
+    assert [r["features_pca"] for r in a] == [r["features_pca"] for r in b]

@@ -206,3 +206,19 @@ def test_freqitems_covers_true_heavy_hitters(spark, sf_small):
     }
     # KPS guarantee: every item above the support threshold is in the sketch
     assert exact_top <= approx
+
+
+def test_ivf_kmeans_recall(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings")
+    centroids = SIM.fit_ivf_centroids(emb, "embedding", nlist=8, seed=42)
+    queries = emb.filter(F.col("vec_id") < 20)
+    brute = {}
+    for r in SIM.cosine_topk_bruteforce(queries, emb, k=5).collect():
+        brute.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ivf = {}
+    for r in SIM.cosine_topk_ivf(queries, emb, centroids, k=5, nprobe=2).collect():
+        ivf.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(ivf.get(q, set()) & n) / len(n) for q, n in brute.items()]
+    avg_recall = sum(recalls) / len(recalls)
+    # nprobe=2 of nlist=8 on label-clustered embeddings: well above chance
+    assert avg_recall >= 0.5, avg_recall
