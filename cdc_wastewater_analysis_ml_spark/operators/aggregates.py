@@ -276,3 +276,15 @@ def topk_approx_freqitems(
     with an exact count over the candidate set when precision matters)."""
     items = df.stat.freqItems([col], support)
     return items.select(F.explode(F.col(f"{col}_freqItems")).alias(col))
+
+
+def agg_mode_by_key(
+    df: DataFrame, key: str, col: str, out: str = "mode"
+) -> DataFrame:
+    """Per-group mode with the same deterministic tie-break as
+    :func:`agg_mode_global` (highest count, then smallest value): two grouped
+    aggregations — (key, value) counts, then ``min_by`` on (−count, value).
+    Both phases map-side combine; no window, no sort."""
+    counts = df.groupBy(key, col).agg(F.count(F.lit(1)).alias("__n"))
+    pick = F.min_by(F.col(col), F.struct((-F.col("__n")).alias("neg"), F.col(col)))
+    return counts.groupBy(key).agg(pick.alias(out))

@@ -782,3 +782,24 @@ def q_sim_cosine_ivf_kmeans(spark, sf_dir):
         emb.filter(F.col("vec_id") < 10), emb, centroids, "vec_id", "embedding",
         k=5, nprobe=2,
     )
+
+
+@register(
+    "agg_mode_by_key",
+    """
+    WITH c AS (SELECT event_type, CAST(month(ts) AS INTEGER) AS m, count(*) AS n
+               FROM events GROUP BY 1, 2),
+      r AS (SELECT event_type, m,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY n DESC, m ASC) AS rn
+            FROM c)
+    SELECT event_type, m AS mode_month FROM r WHERE rn = 1
+    """,
+)
+def q_agg_mode_by_key(spark, sf_dir):
+    """Per-type modal month, deterministic tie-break (SURVEY §2.4 keyed
+    generalization of agg_mode_global, codes.py:83)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.month("ts").alias("m")
+    )
+    return A.agg_mode_by_key(ev, "event_type", "m", out="mode_month")
