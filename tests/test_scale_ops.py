@@ -222,3 +222,30 @@ def test_ivf_kmeans_recall(spark, sf_small):
     avg_recall = sum(recalls) / len(recalls)
     # nprobe=2 of nlist=8 on label-clustered embeddings: well above chance
     assert avg_recall >= 0.5, avg_recall
+
+
+def test_pivot_missing_combo_fills_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (1, "a", 3.0), (2, "b", 4.0)], "k long, c string, v double"
+    )
+    wide = {r["k"]: (r["a"], r["b"]) for r in R.pivot_wide(df, "k", "c", ["a", "b"], "v").collect()}
+    assert wide == {1: (5.0, 0.0), 2: (0.0, 4.0)}
+
+
+def test_unpivot_roundtrip(spark):
+    df = spark.createDataFrame([(1, 2.0, 3.0)], "k long, a double, b double")
+    long = R.unpivot_long(df, ["k"], ["a", "b"]).collect()
+    assert sorted((r["variable"], r["value"]) for r in long) == [("a", 2.0), ("b", 3.0)]
+
+
+def test_incremental_dedup_edges(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    # whole corpus re-crawled → nothing new
+    assert D.dedup_incremental_exact(docs, docs, "text", "doc_id").count() == 0
+    # empty batch → empty result
+    empty = docs.filter(F.lit(False))
+    assert D.dedup_incremental_exact(empty, docs, "text", "doc_id").count() == 0
+    # whitespace/case-only changes are NOT new (fingerprint normalizes)
+    recase = docs.select("doc_id", F.upper(F.col("text")).alias("text")).limit(20)
+    n_new = D.dedup_incremental_exact(recase, docs, "text", "doc_id").count()
+    assert n_new == 0
