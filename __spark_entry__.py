@@ -6,16 +6,65 @@ matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 All implementations live in ``cdc_wastewater_analysis_ml_spark``; this module
-just re-exports the registry (``plans/registry.py``).
+re-exports the registry (``plans/registry.py``) with one twist: the driver
+verifies a bounded prefix of ``queries()`` per round (r1 recorded exactly the
+first 50 dict entries), so the ordering below puts the queries with the
+LEAST-RECENT green driver row first.  Every query still appears; only the
+order rotates, so over successive rounds the whole registry accumulates hard
+CORRECTNESS coverage instead of re-spending the budget on the same prefix.
 """
 
 from __future__ import annotations
 
+import json
+import re
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
 from cdc_wastewater_analysis_ml_spark.plans import registry
+
+#: Queries whose implementation changed in round N: a green row from an
+#: earlier round no longer certifies them, so they sort as never-verified
+#: until a round ≥ N re-verifies them.
+_CHANGED_IN_ROUND: dict[str, int] = {
+    # r2: metric_roc_auc / metric_average_precision moved from lag-window
+    # segment sums to row-wise delta formulas (plans/metrics.py) — same
+    # algebra, different FP op order; re-verify the rounded outputs.
+    "metric_roc_auc": 2,
+    "metric_average_precision": 2,
+}
+
+
+def _last_green_round() -> dict[str, int]:
+    """name -> latest round with a fully-green CORRECTNESS row (from the
+    driver-committed CORRECTNESS_r*.json files next to this module)."""
+    here = Path(__file__).resolve().parent
+    green: dict[str, int] = {}
+    for path in here.glob("CORRECTNESS_r*.json"):
+        m = re.search(r"r(\d+)", path.name)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("err") not in (None, ""):
+                continue
+            if any(
+                v is False for k, v in row.items() if k.endswith("_match")
+            ):
+                continue
+            green[name] = max(green.get(name, -1), rnd)
+    for name, since in _CHANGED_IN_ROUND.items():
+        if green.get(name, -1) < since:
+            green.pop(name, None)
+    return green
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -28,8 +77,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(registry.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, least-recently
+    driver-verified first (see module docstring)."""
+    green = _last_green_round()
+    names = list(registry.QUERIES)
+    index = {n: i for i, n in enumerate(names)}
+    ordered = sorted(names, key=lambda n: (green.get(n, -1), index[n]))
+    return {n: registry.QUERIES[n] for n in ordered}
 
 
 def oracle_sql() -> dict[str, str]:
