@@ -6,11 +6,15 @@ expresses each as a pure DataFrame aggregation so they are (a) distributed,
 not just MLlib output.
 
 Scale shape: everything first collapses to one row per *distinct score*
-(grouped agg, map-side combinable), then runs an ordered window over that
-post-aggregation relation.  The window is a single partition, but its
-cardinality is #distinct thresholds — bounded and small relative to the input
-(for 100 TB of rows with, say, ≤1e6 distinct scores, the window input is ≤1e6
-rows).  For truly continuous scores, quantize first (``F.round(score, k)``).
+(grouped agg, map-side combinable).  The cumulative TP/FP pass over that
+per-threshold relation is a TWO-PHASE prefix sum — range-repartition by
+descending threshold, cumsum within each partition, then add broadcast
+per-partition offsets — so no single task ever materializes the whole
+threshold relation, even for raw continuous scores (#thresholds ≈ #rows).
+The only residual global window runs over ≤ #shuffle-partitions offset rows.
+AUC / AP need no window at all: the per-threshold deltas (pos, n − pos) are
+already in the grouped relation, so the trapezoid / step terms are row-wise
+expressions followed by a plain sum.
 """
 
 from __future__ import annotations
@@ -73,26 +77,72 @@ def metric_classification_report(df: DataFrame, label: str, pred: str) -> DataFr
     )
 
 
-def binary_curve(df: DataFrame, label: str, score: str) -> DataFrame:
+def binary_curve(
+    df: DataFrame, label: str, score: str, num_partitions: int | None = None
+) -> DataFrame:
     """Cumulative confusion stats at every distinct score threshold.
 
     The shared building block of ROC / PR / AUC / AP (codes.py:270,288):
     group rows by score (ONE shuffle over the raw data, partial-agg
-    combinable), then cumulative TP/FP by descending score over the
-    per-threshold relation.  Columns: threshold, tp, fp, tpr, fpr,
-    precision, recall.
+    combinable), then cumulative TP/FP by descending score as a distributed
+    two-phase prefix sum:
+
+    1. range-repartition the per-threshold relation on ``threshold DESC`` and
+       freeze the partition assignment (lazy ``localCheckpoint`` — both
+       consumers below must see the SAME partitioning, and a re-executed
+       range exchange re-samples its boundaries);
+    2. cumulative sums *within* each partition (Window partitioned by the
+       range-partition id — parallel, bounded state);
+    3. per-partition totals → prefix offsets via a window over ≤
+       ``num_partitions`` rows (the only global window, bounded by cluster
+       config, never by data), broadcast-joined back.
+
+    Integer tp/fp are exact regardless of where range boundaries land, so the
+    result is identical to the single-window form while scaling to raw
+    continuous scores (#thresholds ≈ #rows).  Columns: threshold, n, pos,
+    tp, fp, tpr, fpr, precision, recall.
     """
     per_score = df.groupBy(F.col(score).alias("threshold")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col(label).cast("long")).alias("pos"),
     )
-    w = Window.orderBy(F.desc("threshold")).rowsBetween(
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    part = (
+        per_score.repartitionByRange(num_partitions, F.desc("threshold"))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w_in = Window.partitionBy("__pid").orderBy(F.desc("threshold")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = per_score.select(
+    cum_in = part.select(
         "threshold",
-        F.sum("pos").over(w).alias("tp"),
-        F.sum(F.col("n") - F.col("pos")).over(w).alias("fp"),
+        "n",
+        "pos",
+        "__pid",
+        F.sum("pos").over(w_in).alias("__tp_in"),
+        F.sum(F.col("n") - F.col("pos")).over(w_in).alias("__fp_in"),
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    offsets = part.groupBy("__pid").agg(
+        F.sum("pos").alias("__pid_pos"),
+        F.sum(F.col("n") - F.col("pos")).alias("__pid_neg"),
+    ).select(
+        "__pid",
+        F.coalesce(F.sum("__pid_pos").over(w_off), F.lit(0)).alias("__tp_off"),
+        F.coalesce(F.sum("__pid_neg").over(w_off), F.lit(0)).alias("__fp_off"),
+    )
+    cum = cum_in.join(F.broadcast(offsets), "__pid").select(
+        "threshold",
+        "n",
+        "pos",
+        (F.col("__tp_in") + F.col("__tp_off")).alias("tp"),
+        (F.col("__fp_in") + F.col("__fp_off")).alias("fp"),
     )
     totals = df.select(
         F.sum(F.col(label).cast("long")).alias("P"),
@@ -100,6 +150,8 @@ def binary_curve(df: DataFrame, label: str, score: str) -> DataFrame:
     )
     return cum.crossJoin(F.broadcast(totals)).select(
         "threshold",
+        "n",
+        "pos",
         "tp",
         "fp",
         (F.col("tp") / F.col("P")).alias("tpr"),
