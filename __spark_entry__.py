@@ -28,12 +28,38 @@ from cdc_wastewater_analysis_ml_spark.plans import registry
 #: Queries whose implementation changed in round N: a green row from an
 #: earlier round no longer certifies them, so they sort as never-verified
 #: until a round ≥ N re-verifies them.
+#: Keyed by MODULE, not query: any query that routes through a changed
+#: module is stale, including transitive consumers (the r2 lesson — the
+#: binary_curve change also broke metric_roc_curve/metric_pr_curve, which
+#: the old per-query list missed).
+_MODULE_CHANGED_IN_ROUND: dict[str, int] = {
+    # r3: binary_curve totals renamed (__pos_total/__neg_total) + AUC/AP
+    # moved to the window-free row-wise delta forms (plans/metrics.py).
+    "plans/metrics.py": 3,
+}
+
+#: Every registry query that transitively routes through a module above.
+_MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
+    "plans/metrics.py": (
+        "metric_accuracy",
+        "metric_confusion_matrix",
+        "metric_classification_report",
+        "metric_roc_curve",
+        "metric_pr_curve",
+        "metric_roc_auc",
+        "metric_average_precision",
+        # plans/ml.py evaluate_scored calls metric_roc_auc:
+        "ml_gbt_metrics",
+        "ml_linear_probability_metrics",
+        "ml_gbt_pca_metrics",
+        "ml_linear_probability_pca_metrics",
+    ),
+}
+
 _CHANGED_IN_ROUND: dict[str, int] = {
-    # r2: metric_roc_auc / metric_average_precision moved from lag-window
-    # segment sums to row-wise delta formulas (plans/metrics.py) — same
-    # algebra, different FP op order; re-verify the rounded outputs.
-    "metric_roc_auc": 2,
-    "metric_average_precision": 2,
+    name: rnd
+    for module, rnd in _MODULE_CHANGED_IN_ROUND.items()
+    for name in _MODULE_CONSUMERS.get(module, ())
 }
 
 
@@ -54,11 +80,23 @@ def _last_green_round() -> dict[str, int]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            if row.get("err") not in (None, ""):
-                continue
-            if any(
-                v is False for k, v in row.items() if k.endswith("_match")
-            ):
+            err = row.get("err")
+            if err in (None, ""):
+                # Hard green: at least one positive *_match signal required
+                # (a partially-written row with no match fields must NOT
+                # count as verified), and no negative one.
+                matches = [v for k, v in row.items() if k.endswith("_match")]
+                if not any(v is True for v in matches):
+                    continue
+                if any(v is False for v in matches):
+                    continue
+            elif err == "no_oracle":
+                # Rows-only query: the driver ran it and got a row count —
+                # that IS its strongest available signal; count it so these
+                # rotate like the rest instead of pinning the queue head.
+                if row.get("spark_rows") is None:
+                    continue
+            else:
                 continue
             green[name] = max(green.get(name, -1), rnd)
     for name, since in _CHANGED_IN_ROUND.items():

@@ -78,7 +78,11 @@ def metric_classification_report(df: DataFrame, label: str, pred: str) -> DataFr
 
 
 def binary_curve(
-    df: DataFrame, label: str, score: str, num_partitions: int | None = None
+    df: DataFrame,
+    label: str,
+    score: str,
+    num_partitions: int | None = None,
+    with_totals: bool = False,
 ) -> DataFrame:
     """Cumulative confusion stats at every distinct score threshold.
 
@@ -100,7 +104,16 @@ def binary_curve(
     Integer tp/fp are exact regardless of where range boundaries land, so the
     result is identical to the single-window form while scaling to raw
     continuous scores (#thresholds ≈ #rows).  Columns: threshold, n, pos,
-    tp, fp, tpr, fpr, precision, recall.
+    tp, fp, tpr, fpr, precision, recall (+ ``__pos_total``/``__neg_total``
+    when ``with_totals=True``, so AUC/AP can stay window-free).
+
+    Fault-tolerance note: ``localCheckpoint`` blocks are NOT replicated — on
+    a real cluster, losing an executor mid-job fails the job (it is re-run,
+    never silently corrupted).  The checkpoint exists only to freeze the
+    range-partition assignment so both downstream consumers see identical
+    ``spark_partition_id`` values; a re-executed range exchange re-samples
+    its boundaries.  Accepted tradeoff: a deterministic bucket key would
+    need an extra percentile pass over the same relation every run.
     """
     per_score = df.groupBy(F.col(score).alias("threshold")).agg(
         F.count(F.lit(1)).alias("n"),
@@ -144,39 +157,49 @@ def binary_curve(
         (F.col("__tp_in") + F.col("__tp_off")).alias("tp"),
         (F.col("__fp_in") + F.col("__fp_off")).alias("fp"),
     )
+    # Collision-proof aliases: bare "P"/"N" collide case-insensitively with
+    # the per-threshold "n" under Spark's default spark.sql.caseSensitive=false.
     totals = df.select(
-        F.sum(F.col(label).cast("long")).alias("P"),
-        F.sum(F.lit(1) - F.col(label).cast("long")).alias("N"),
+        F.sum(F.col(label).cast("long")).alias("__pos_total"),
+        F.sum(F.lit(1) - F.col(label).cast("long")).alias("__neg_total"),
     )
-    return cum.crossJoin(F.broadcast(totals)).select(
-        "threshold",
-        "n",
-        "pos",
-        "tp",
-        "fp",
-        (F.col("tp") / F.col("P")).alias("tpr"),
-        (F.col("fp") / F.col("N")).alias("fpr"),
+    cols = [
+        F.col("threshold"),
+        F.col("n"),
+        F.col("pos"),
+        F.col("tp"),
+        F.col("fp"),
+        (F.col("tp") / F.col("__pos_total")).alias("tpr"),
+        (F.col("fp") / F.col("__neg_total")).alias("fpr"),
         (F.col("tp") / (F.col("tp") + F.col("fp"))).alias("precision"),
-        (F.col("tp") / F.col("P")).alias("recall"),
-    )
+        (F.col("tp") / F.col("__pos_total")).alias("recall"),
+    ]
+    if with_totals:
+        cols += [F.col("__pos_total"), F.col("__neg_total")]
+    return cum.crossJoin(F.broadcast(totals)).select(*cols)
 
 
 def metric_roc_auc(df: DataFrame, label: str, score: str, out: str = "roc_auc") -> DataFrame:
     """Trapezoidal AUC over the ROC curve ≙ ``auc(fpr, tpr)`` (codes.py:271).
 
-    Implicit (0,0) start point via lag-default-0 — matches sklearn's
-    prepended threshold=inf point.
+    Window-free: because tp/fp are cumulative by descending threshold, each
+    curve row already knows its predecessor point — ``prev_tp = tp − pos``,
+    ``prev_fp = fp − (n − pos)`` — so the trapezoid over [prev, cur] is a
+    plain row-wise expression and AUC is one ``sum``.  The first (highest)
+    threshold has prev = (0, 0), which IS sklearn's prepended threshold=inf
+    point.  No global window, no single-task pass over the per-threshold
+    relation (#thresholds ≈ #rows for continuous scores).
     """
-    curve = binary_curve(df, label, score)
-    w = Window.orderBy(F.asc("fpr"), F.asc("tpr"))
-    seg = curve.select(
-        (
-            (F.col("fpr") - F.lag("fpr", 1, 0.0).over(w))
-            * (F.col("tpr") + F.lag("tpr", 1, 0.0).over(w))
-            / 2.0
-        ).alias("area")
+    curve = binary_curve(df, label, score, with_totals=True)
+    prev_tp = F.col("tp") - F.col("pos")
+    prev_fp = F.col("fp") - (F.col("n") - F.col("pos"))
+    area = (
+        (F.col("fp") - prev_fp)
+        / F.col("__neg_total")
+        * (F.col("tp") + prev_tp)
+        / (2.0 * F.col("__pos_total"))
     )
-    return seg.select(F.sum("area").alias(out))
+    return curve.select(area.alias("area")).select(F.sum("area").alias(out))
 
 
 def metric_average_precision(
@@ -185,12 +208,11 @@ def metric_average_precision(
     """Step-interpolated AP = Σ (Rₙ−Rₙ₋₁)·Pₙ ≙ ``average_precision_score``
     (codes.py:269).  NOT the trapezoidal ``areaUnderPR`` — SURVEY §2.10 pins
     the sklearn step form; MLlib's evaluator is only an approximation of it.
+
+    Window-free: Rₙ−Rₙ₋₁ = pos / P_total per threshold row (recall's delta
+    is exactly this row's positive count), so AP is a row-wise product with
+    ``precision`` followed by one ``sum`` — no lag window.
     """
-    curve = binary_curve(df, label, score)
-    w = Window.orderBy(F.desc("threshold"))
-    seg = curve.select(
-        (
-            (F.col("recall") - F.lag("recall", 1, 0.0).over(w)) * F.col("precision")
-        ).alias("contrib")
-    )
-    return seg.select(F.sum("contrib").alias(out))
+    curve = binary_curve(df, label, score, with_totals=True)
+    contrib = F.col("pos") / F.col("__pos_total") * F.col("precision")
+    return curve.select(contrib.alias("contrib")).select(F.sum("contrib").alias(out))
