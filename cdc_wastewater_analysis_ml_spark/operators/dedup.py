@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..sources.readers import fan_out
+from .caching import scoped_persist
 from .text import fingerprint, word_shingles
 
 
@@ -111,10 +112,11 @@ def minhash_lsh_candidates(
     # pipeline (no exchange reuse under BroadcastExchange) — persist the
     # banded relation so the md5 work runs once.  At full scale this is the
     # "write signatures to a staging table first" step of a dedup pipeline.
+    # scoped_persist releases the cache once the caller drops the result.
     banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    out = (
         a.join(
             b,
             on=[
@@ -128,6 +130,7 @@ def minhash_lsh_candidates(
         )
         .distinct()
     )
+    return scoped_persist(out, banded)
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
@@ -169,6 +172,8 @@ def simhash_band_candidates(
 ) -> DataFrame:
     """Candidate pairs whose SimHash agrees on ≥1 of ``bands`` bit-bands
     (Hamming-distance screening: distance < bands ⇒ some band matches)."""
+    if bits % bands:
+        raise ValueError("bits must be divisible by bands")
     r = bits // bands
     sh = simhash(df, text_col, id_col, bits)
     band_structs = [
@@ -182,7 +187,7 @@ def simhash_band_candidates(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
     ).select(id_col, "band.band_id", "band.band_key").persist()
     a, b = banded.alias("a"), banded.alias("b")
-    return (
+    out = (
         a.join(
             b,
             on=[
@@ -194,6 +199,7 @@ def simhash_band_candidates(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
+    return scoped_persist(out, banded)
 
 
 def ngram_jaccard_pairs(
@@ -232,7 +238,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
+    out = (
         inter.join(F.broadcast(sa), "id_a")
         .join(F.broadcast(sb), "id_b")
         .withColumn(
@@ -242,6 +248,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return scoped_persist(out, sh)
 
 
 def near_dup_embedding_pairs(

@@ -245,7 +245,11 @@ def join_salted(
     """Skew-resistant equi-join: left keys get a salt in [0, salt); the right
     side replicates salt× and joins on (key, salt).
 
-    Result is identical to ``left.join(right, key, how)`` — the salt only
+    Result is identical to ``left.join(right, key, how)`` for the SUPPORTED
+    join types — inner / left / left_semi / left_anti, where every output row
+    is driven by a left row carrying exactly one salt value.  Right/full
+    outer are rejected: an unmatched right row would surface once per salt
+    replica (salt× duplicates); salt the other side instead.  The salt only
     spreads a hot key across ``salt`` shuffle partitions.  AQE's skew-join
     split covers most cases at runtime; explicit salting remains the tool
     when a single key exceeds what one task can hold (SURVEY §4.2) or the
@@ -253,6 +257,14 @@ def join_salted(
     right side shuffles salt× its size — use only when right ≪ left and the
     skew is real.
     """
+    supported = {"inner", "left", "leftouter", "left_outer", "left_semi",
+                 "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in supported:
+        raise ValueError(
+            f"join_salted supports {sorted(supported)} joins, not {how!r}: "
+            "unmatched right rows would be replicated salt times under "
+            "right/full outer"
+        )
     l_salted = left.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
     )

@@ -99,10 +99,14 @@ def stream_lag_per_key(events: DataFrame) -> DataFrame:
     window_lag (codes.py:55-59).
 
     Rows within each micro-batch are ordered by (ts, event_id); state carries
-    the last two values across batches.  Correctness contract: events must
-    arrive batch-monotonically per key (file/kafka sources with event-time
-    ordered partitions); out-of-order *within* a batch is handled, across
-    batches is not — the documented divergence from the batch op.
+    the last two values across batches.  A key's rows can span multiple Arrow
+    chunks (``spark.sql.execution.arrow.maxRecordsPerBatch``), so the chunks
+    are concatenated and sorted ONCE per (key, micro-batch) before emitting —
+    sorting each chunk independently would mis-lag out-of-order rows that
+    straddle a chunk boundary.  Correctness contract: events must arrive
+    batch-monotonically per key (file/kafka sources with event-time ordered
+    partitions); out-of-order *within* a batch is handled, across batches is
+    not — the documented divergence from the batch op.
 
     The state function is a closure (NOT a module-level function) so
     cloudpickle ships it BY VALUE — Python UDF workers need no access to this
@@ -113,23 +117,25 @@ def stream_lag_per_key(events: DataFrame) -> DataFrame:
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         lag1, lag2 = state.get if state.exists else (0.0, 0.0)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            out_l1, out_l2 = [], []
-            for v in pdf["value"]:
-                out_l1.append(lag1)
-                out_l2.append(lag2)
-                lag2, lag1 = lag1, float(v)
-            yield pd.DataFrame(
-                {
-                    "user_id": pdf["user_id"].to_numpy(),
-                    "event_id": pdf["event_id"].to_numpy(),
-                    "value": pdf["value"].to_numpy(),
-                    "value_lag1": out_l1,
-                    "value_lag2": out_l2,
-                }
-            )
+        chunks = list(pdfs)
+        pdf = (chunks[0] if len(chunks) == 1 else pd.concat(chunks)).sort_values(
+            ["ts", "event_id"]
+        )
+        out_l1, out_l2 = [], []
+        for v in pdf["value"]:
+            out_l1.append(lag1)
+            out_l2.append(lag2)
+            lag2, lag1 = lag1, float(v)
         state.update((lag1, lag2))
+        yield pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(),
+                "event_id": pdf["event_id"].to_numpy(),
+                "value": pdf["value"].to_numpy(),
+                "value_lag1": out_l1,
+                "value_lag2": out_l2,
+            }
+        )
 
     return events.groupBy("user_id").applyInPandasWithState(
         lag_fn,

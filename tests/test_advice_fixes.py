@@ -1,0 +1,135 @@
+"""Regression tests for the round-1/round-2 advice items: Arrow-chunk
+boundaries in stateful streaming lag, join_salted's supported join types,
+operator-internal cache scoping, SimHash band validation, and parity-CLI
+unknown-name handling."""
+
+from __future__ import annotations
+
+import gc
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_wastewater_analysis_ml_spark.operators import dedup as D
+from cdc_wastewater_analysis_ml_spark.operators import relational as R
+from cdc_wastewater_analysis_ml_spark.operators import windows as W
+from cdc_wastewater_analysis_ml_spark.sources import load_table
+from cdc_wastewater_analysis_ml_spark.streaming import stream_lag_per_key
+
+
+def test_stream_lag_group_spanning_many_arrow_chunks(spark, tmp_path):
+    """A key's micro-batch rows arrive as MULTIPLE Arrow chunks when they
+    exceed arrow.maxRecordsPerBatch; rows are deliberately shuffled so every
+    chunk holds a mix of early/late timestamps.  Sorting chunks independently
+    (the old bug) mis-lags rows at every chunk boundary; concat-then-sort
+    must reproduce the batch window_lag exactly."""
+    n = 400
+    src = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("event_id"),
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 60).alias("ts"),
+            (F.col("id") % 2).alias("user_id"),
+            F.lit("a").alias("event_type"),
+            (F.col("id") * 1.5).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        # deterministic shuffle: any chunk of 32 rows mixes timestamps
+        .orderBy(F.md5(F.col("event_id").cast("string")))
+        .coalesce(1)
+    )
+    d = str(tmp_path / "shuffled_events")
+    src.write.parquet(d)
+
+    from cdc_wastewater_analysis_ml_spark.streaming import read_events_stream
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "32")
+    try:
+        q = (
+            stream_lag_per_key(read_events_stream(spark, d))
+            .writeStream.format("memory")
+            .queryName("chunked_lag_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM chunked_lag_sink").toPandas()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    expected = (
+        W.window_lag(
+            spark.read.parquet(d),
+            ["user_id"],
+            ["ts", "event_id"],
+            "value",
+            offsets=(1, 2),
+            default=0.0,
+        )
+        .select("event_id", "value_lag1", "value_lag2")
+        .toPandas()
+    )
+    got = got.sort_values("event_id").reset_index(drop=True)
+    expected = expected.sort_values("event_id").reset_index(drop=True)
+    assert len(got) == n
+    assert (abs(got["value_lag1"] - expected["value_lag1"]) < 1e-9).all()
+    assert (abs(got["value_lag2"] - expected["value_lag2"]) < 1e-9).all()
+
+
+def test_join_salted_rejects_right_and_full_outer(spark, sf_small):
+    ev = load_table(spark, sf_small, "events")
+    cust = load_table(spark, sf_small, "customer")
+    for how in ("right", "full", "outer", "full_outer", "cross"):
+        with pytest.raises(ValueError, match="join_salted supports"):
+            R.join_salted(ev, cust, "user_id", how=how)
+
+
+def test_join_salted_left_variants_match_plain_join(spark, sf_small):
+    ev = load_table(spark, sf_small, "events").select("event_id", "user_id")
+    # right side missing some keys → exercises unmatched-left behavior
+    right = (
+        load_table(spark, sf_small, "events")
+        .select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % 3 == 0)
+        .withColumn("tag", F.lit("x"))
+    )
+    for how in ("left", "left_semi", "left_anti"):
+        got = R.join_salted(ev, right, "user_id", salt=4, how=how)
+        want = ev.join(right, "user_id", how)
+        sel = sorted(got.columns)
+        got_rows = sorted(map(tuple, got.select(*sel).collect()))
+        want_rows = sorted(map(tuple, want.select(*sel).collect()))
+        assert got_rows == want_rows, how
+
+
+def test_simhash_band_candidates_rejects_indivisible_bands(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    with pytest.raises(ValueError, match="divisible"):
+        D.simhash_band_candidates(docs, "text", "doc_id", bits=32, bands=5)
+
+
+def test_candidate_generator_caches_are_scoped(spark, sf_small):
+    """Operator-internal persist() must not outlive the result handle — a
+    long-lived session would otherwise accumulate dead cached blocks."""
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    cache_mgr.clearCache()
+    docs = load_table(spark, sf_small, "documents").limit(200)
+    out = D.minhash_lsh_candidates(docs, "text", "doc_id")
+    out.count()
+    assert not cache_mgr.isEmpty()  # cache is live while the result is held
+    del out
+    gc.collect()
+    assert cache_mgr.isEmpty()  # finalizer released it
+
+
+def test_parity_cli_reports_unknown_query_names(capsys):
+    from tools.parity import run_parity
+
+    failures = run_parity(names=["metric_roc_auk", "not_a_query_at_all"])
+    assert failures == 2
+    msg = capsys.readouterr().out
+    assert "unknown query name" in msg
+    assert "metric_roc_auc" in msg  # close-match suggestion

@@ -74,6 +74,31 @@ def test_broadcast_map_join_builds_broadcast_side(spark, sf_small):
     assert "BroadcastHashJoin" in plan
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "metric_roc_auc",
+        "metric_average_precision",
+        "metric_roc_curve",
+        "metric_pr_curve",
+    ],
+)
+def test_metric_curves_have_no_unpartitioned_data_window(spark, sf_small, name):
+    """The ROC/PR family must never run a window over the per-threshold
+    relation in a single task (#thresholds ≈ #rows for continuous scores).
+    Allowed windows are exactly binary_curve's two prefix-sum passes, both
+    keyed on the range-partition id ``__pid`` (the in-partition cumsum is
+    partitioned by it; the offsets window orders by it over ≤
+    shuffle-partitions rows).  AUC/AP additionally must be lag-free — they
+    are row-wise delta expressions + one sum."""
+    plan = _plan(spark, sf_small, name)
+    assert "lag(" not in plan, name
+    window_lines = [ln for ln in plan.splitlines() if re.search(r"[+:]- Window ", ln)]
+    assert window_lines, name  # binary_curve's prefix sums must be present
+    for ln in window_lines:
+        assert "__pid" in ln, f"{name}: unpartitioned data window:\n{ln}"
+
+
 @pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_embedding_cosine_lsh"])
 def test_lsh_candidate_joins_are_equi(spark, sf_small, name):
     """LSH banding must produce an equi join (shuffle/broadcast hash), never a

@@ -82,6 +82,16 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
 
 
 def run_parity(sf_dir: str = DEFAULT_SF_DIR, names: list[str] | None = None) -> int:
+    unknown = [n for n in names or [] if n not in QUERIES]
+    if unknown:
+        import difflib
+
+        for n in unknown:
+            hint = difflib.get_close_matches(n, QUERIES, n=3)
+            suffix = f" (did you mean: {', '.join(hint)}?)" if hint else ""
+            print(f"FAIL  {n}: unknown query name{suffix}")
+        print(f"\nValid names: {', '.join(sorted(QUERIES))}")
+        return len(unknown)
     spark = get_spark("parity-check")
     con = duck_connection(sf_dir)
     selected = names or list(QUERIES)
