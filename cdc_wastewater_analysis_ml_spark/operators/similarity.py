@@ -336,6 +336,42 @@ def cosine_topk_ivf(
     )
 
 
+def recall_at_k(truth: DataFrame, approx: dict[str, DataFrame]) -> DataFrame:
+    """Recall@k of approximate top-k result sets against exact ground truth.
+
+    ``truth`` and each ``approx`` value carry (query_id, neighbor_id) rows
+    (the output shape of every top-k operator here).  Per method:
+    recall = |approx ∩ truth| / |truth|, computed with a semi-join on the
+    pair key — both sides are top-k relations (|Q|·k rows), so this is
+    driver-cheap regardless of corpus size.  One output row per method,
+    sorted by method name: (method, hits, truth_n, recall).
+
+    This is the measurement the ANN paths owe the operator contract: an
+    approximate index without a recorded recall is just a slower wrong
+    answer (SURVEY §7 phase 4).
+    """
+    t = truth.select("query_id", "neighbor_id")
+    out = None
+    for method in sorted(approx):
+        hits = (
+            approx[method]
+            .select("query_id", "neighbor_id")
+            .join(t, ["query_id", "neighbor_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("hits"))
+        )
+        row = (
+            hits.crossJoin(t.agg(F.count(F.lit(1)).alias("truth_n")))
+            .select(
+                F.lit(method).alias("method"),
+                F.col("hits"),
+                F.col("truth_n"),
+                F.round(F.col("hits") / F.col("truth_n"), 6).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def fit_ivf_centroids(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -234,6 +234,88 @@ def q_sim_cosine_ivf(spark, sf_dir):
     )
 
 
+_RECALL_SQL = f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+      ex_scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round({_cos_sql('q', 'c')}, 6) AS cos
+        FROM q, embeddings c WHERE q.vec_id <> c.vec_id),
+      exact AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id ASC) AS rn
+          FROM ex_scored) WHERE rn <= 5),
+      sig AS (SELECT e.vec_id, e.embedding, {_rhp_sig_sql('e')} AS rhp_sig
+              FROM embeddings e),
+      lsh_scored AS (
+        SELECT s.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round({_cos_sql('s', 'c')}, 6) AS cos
+        FROM sig s JOIN sig c ON s.rhp_sig = c.rhp_sig AND s.vec_id <> c.vec_id
+        WHERE s.vec_id < 10),
+      lsh AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id ASC) AS rn
+          FROM lsh_scored) WHERE rn <= 5),
+      cent AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 8),
+      assign AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos_sql('e', 'c')} DESC, c.cid ASC) AS rn
+        FROM embeddings e, cent c),
+      cells AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+      qp AS (
+        SELECT q.vec_id AS query_id, q.embedding, c.cid,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_cos_sql('q', 'c')} DESC, c.cid ASC) AS rn
+        FROM q, cent c),
+      probes AS (SELECT query_id, embedding, cid FROM qp WHERE rn <= 2),
+      ivf_scored AS (
+        SELECT p.query_id, s.vec_id AS neighbor_id,
+               round({_cos_sql('p', 's')}, 6) AS cos
+        FROM probes p JOIN cells s USING (cid) WHERE p.query_id <> s.vec_id),
+      ivf AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id ASC) AS rn
+          FROM ivf_scored) WHERE rn <= 5),
+      tn AS (SELECT count(*) AS n FROM exact)
+    SELECT 'ivf' AS method,
+           CAST((SELECT count(*) FROM ivf JOIN exact USING (query_id, neighbor_id))
+                AS BIGINT) AS hits,
+           CAST((SELECT n FROM tn) AS BIGINT) AS truth_n,
+           round((SELECT count(*) FROM ivf JOIN exact USING (query_id, neighbor_id))
+                 * 1.0 / (SELECT n FROM tn), 6) AS recall
+    UNION ALL
+    SELECT 'lsh',
+           CAST((SELECT count(*) FROM lsh JOIN exact USING (query_id, neighbor_id))
+                AS BIGINT),
+           CAST((SELECT n FROM tn) AS BIGINT),
+           round((SELECT count(*) FROM lsh JOIN exact USING (query_id, neighbor_id))
+                 * 1.0 / (SELECT n FROM tn), 6)
+"""
+
+
+@register("sim_recall_at_k", _RECALL_SQL)
+def q_sim_recall_at_k(spark, sf_dir):
+    """Recall@5 of both ANN paths (8-plane RHP-LSH, IVF nprobe=2) against
+    brute-force ground truth over the same queries (vec_id < 10) — the
+    quality measurement that justifies (or indicts) each approximate index.
+    All three top-k relations are |Q|·k rows, so the recall join is free."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = SIM.cosine_topk_bruteforce(q, emb, "vec_id", "embedding", k=5)
+    lsh = SIM.cosine_topk_lsh(q, emb, "vec_id", "embedding", k=5, planes=8)
+    centroids = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    ]
+    ivf = SIM.cosine_topk_ivf(
+        q, emb, centroids, "vec_id", "embedding", k=5, nprobe=2
+    )
+    return SIM.recall_at_k(exact, {"lsh": lsh, "ivf": ivf})
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (brief: opaque binary + typed metadata; decode stubbed)
 # ---------------------------------------------------------------------------
