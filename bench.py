@@ -69,9 +69,18 @@ def main() -> None:
 
     # Warm the JVM/code paths once on the smallest fixture so per-query times
     # measure execution, not first-call initialization: one pure-JVM query
-    # (codegen/JIT) and one Arrow query (Python worker pool spin-up).
+    # (codegen/JIT), one scalar-pandas-UDF query, one mapInPandas query, and
+    # one CHAINED mapInPandas→scalar-UDF query (sim_cosine_ivf's shape).  The
+    # chained profile needs two Python workers per task — its first execution
+    # forks and imports numpy/pandas into a whole second worker pool (~8 s
+    # even at sf0.001, measured), which is pool spin-up, not query work: it
+    # accounted for sim_cosine_ivf's 7.9 s in BENCH_r03 vs ~1.5 s steady
+    # state.  fan_out() repartitions even the tiny fixture to full
+    # parallelism, so the small-SF warm-up spins the full pool.
     _force(QUERIES[HEADLINE[0]](spark, "/root/testdata/sf0.001"))
     _force(QUERIES["sim_cosine_topk"](spark, "/root/testdata/sf0.001"))
+    _force(QUERIES["multimodal_media_stats"](spark, "/root/testdata/sf0.001"))
+    _force(QUERIES["sim_cosine_ivf"](spark, "/root/testdata/sf0.001"))
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..sources.readers import fan_out
-from .caching import scoped_persist
+from .caching import scoped_persist, transfer_cache_scope
 from .text import fingerprint, word_shingles
 
 
@@ -325,6 +325,13 @@ def jaccard_verify_pairs(
     array intersections.  Shingle arrays join to the pair relation by id, so
     the shuffle carries each doc's digest once per candidate edge, never a
     shingle-keyed cross product.
+
+    If ``pairs`` came from a candidate generator that scoped-persisted its
+    banded relation (:func:`minhash_lsh_candidates`), cache ownership is
+    transferred onto the returned verify plan — both sides of the candidate
+    self-join reuse the cached signatures when THIS result executes, even
+    though the caller typically drops the intermediate ``pairs`` handle
+    (the round-3 ``dedup_lsh_verified`` regression).
     """
     sh = fan_out(df).select(
         F.col(id_col),
@@ -338,10 +345,11 @@ def jaccard_verify_pairs(
         .withColumn("inter", F.size(F.array_intersect("shs_a", "shs_b")))
     )
     jac = F.col("inter") / (F.size("shs_a") + F.size("shs_b") - F.col("inter"))
-    return (
+    out = (
         joined.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+    return transfer_cache_scope(pairs, out)
 
 
 def dedup_incremental_exact(

@@ -133,3 +133,43 @@ def test_parity_cli_reports_unknown_query_names(capsys):
     msg = capsys.readouterr().out
     assert "unknown query name" in msg
     assert "metric_roc_auc" in msg  # close-match suggestion
+
+
+def test_verify_pipeline_inherits_candidate_cache_scope(spark, sf_small):
+    """Round-3 regression (VERDICT r3 #1): q_dedup_lsh_verified drops its
+    candidate-pairs handle as soon as it derives the verify plan, and the
+    scoped_persist finalizer used to unpersist the banded signatures BEFORE
+    the verify job ever ran — both self-join sides recomputed the md5
+    pipeline (2.25x slower).  jaccard_verify_pairs must now adopt the pins:
+    the banded relation stays cached (InMemoryRelation in the optimized
+    plan) after the intermediate handle is garbage-collected, and is
+    released only when the final result handle dies."""
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    cache_mgr.clearCache()
+    docs = load_table(spark, sf_small, "documents").limit(200)
+    pairs = D.minhash_lsh_candidates(docs, "text", "doc_id")
+    out = D.jaccard_verify_pairs(docs, pairs, "text", "doc_id", threshold=0.3)
+    del pairs
+    gc.collect()
+    # The banded signature cache must still be live for the verify job ...
+    assert not cache_mgr.isEmpty()
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in plan
+    out.count()
+    # ... and released once the final consumed handle is dropped.
+    del out
+    gc.collect()
+    assert cache_mgr.isEmpty()
+
+
+def test_scoped_persist_transfer_is_noop_without_scope(spark, sf_small):
+    """transfer_cache_scope on an unscoped source must leave dst untouched."""
+    from cdc_wastewater_analysis_ml_spark.operators.caching import (
+        _SCOPE_ATTR,
+        transfer_cache_scope,
+    )
+
+    docs = load_table(spark, sf_small, "documents").limit(10)
+    derived = docs.select("doc_id")
+    assert transfer_cache_scope(docs, derived) is derived
+    assert not hasattr(derived, _SCOPE_ATTR)
