@@ -40,11 +40,27 @@ def metric_confusion_matrix(df: DataFrame, label: str, pred: str) -> DataFrame:
     return df.groupBy(label, pred).agg(F.count(F.lit(1)).alias("cnt"))
 
 
-def metric_classification_report(df: DataFrame, label: str, pred: str) -> DataFrame:
-    """Per-class precision/recall/F1/support ≙ ``classification_report``
-    (codes.py:294), derived from confusion counts in one pass."""
-    cells = metric_confusion_matrix(df, label, pred)
-    per_class = (
+def metric_classification_report(
+    df: DataFrame, label: str, pred: str, include_averages: bool = True
+) -> DataFrame:
+    """Per-class precision/recall/F1/support plus sklearn's ``macro avg`` /
+    ``weighted avg`` rows ≙ ``classification_report`` (codes.py:294), derived
+    from confusion counts.
+
+    ``klass`` is a string column so the average rows share the schema with
+    the per-class rows (sklearn's dict output does the same).  The average
+    rows fold the per-class relation (≤ #classes rows) with a melt +
+    grouped weighted mean — macro weight 1, weighted weight = support.
+
+    One data pass: the confusion relation (≤ #classes² rows) is frozen with
+    a lazy ``localCheckpoint`` before fan-out.  Without it Catalyst pushes a
+    different projection/filter into each of the 6+ consuming branches
+    (support / predicted / tp / the average copies), the exchange subtrees
+    diverge, and the full input is re-scanned per branch — the exact
+    re-scan-per-consumer trap ``binary_curve`` solves the same way.
+    """
+    cells = metric_confusion_matrix(df, label, pred).localCheckpoint(eager=False)
+    base = (
         cells.groupBy(F.col(label).alias("klass"))
         .agg(F.sum("cnt").alias("support"))
         .join(
@@ -68,13 +84,34 @@ def metric_classification_report(df: DataFrame, label: str, pred: str) -> DataFr
     f1 = F.when(
         (precision + recall) > 0, 2 * precision * recall / (precision + recall)
     ).otherwise(0.0)
-    return per_class.select(
-        "klass",
+    per_class = base.select(
+        F.col("klass").cast("string").alias("klass"),
         precision.alias("precision"),
         recall.alias("recall"),
         f1.alias("f1"),
         "support",
     )
+    if not include_averages:
+        return per_class
+    # Melt each class row into a macro copy (weight 1) and a weighted copy
+    # (weight = support), then one grouped weighted mean per average kind.
+    tagged = base.select(
+        F.explode(F.array(F.lit("macro avg"), F.lit("weighted avg"))).alias("klass"),
+        precision.alias("precision"),
+        recall.alias("recall"),
+        f1.alias("f1"),
+        "support",
+    )
+    w = F.when(F.col("klass") == "macro avg", F.lit(1.0)).otherwise(
+        F.col("support").cast("double")
+    )
+    averages = tagged.groupBy("klass").agg(
+        (F.sum(F.col("precision") * w) / F.sum(w)).alias("precision"),
+        (F.sum(F.col("recall") * w) / F.sum(w)).alias("recall"),
+        (F.sum(F.col("f1") * w) / F.sum(w)).alias("f1"),
+        F.sum("support").alias("support"),
+    )
+    return per_class.unionByName(averages)
 
 
 def binary_curve(

@@ -33,25 +33,71 @@ from . import metrics as M
 
 
 def split_train_test_stratified(
-    df: DataFrame, label: str, test_size: float = 0.2, seed: int = 42
+    df: DataFrame,
+    label: str,
+    test_size: float = 0.2,
+    seed: int = 42,
+    num_partitions: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Exact-count stratified split ≙ train_test_split(stratify=y, seed)
     (codes.py:203-205).
 
     Rows are ordered per class by a seeded hash (deterministic, uniform) and
-    the first ⌊n_c·test_size⌋ of each class become the test partition.  One
-    narrow pass + per-class window; no driver materialization.
+    the first ⌊n_c·test_size⌋ of each class become the test partition.
+
+    Scale shape (same two-phase partition-offset prefix ranking as
+    ``binary_curve``): a window partitioned ONLY by the label would sort an
+    entire class in one task — with a binary label, two tasks sort the whole
+    dataset.  Instead:
+
+    1. range-repartition on ``(label, __h)`` and freeze the assignment (lazy
+       ``localCheckpoint`` — the rank pass and the count pass must see the
+       SAME partitioning; a re-executed range exchange re-samples its
+       boundaries);
+    2. rank within each ``(partition, label)`` group — parallel, bounded by
+       partition size;
+    3. per-(partition, label) counts → broadcast prefix offsets (a window
+       over ≤ #partitions·#classes rows, never over data) and per-class
+       totals; global per-class rank = in-partition rank + offset.
+
+    Global ranks are exact wherever the sampled range boundaries land,
+    because (label, __h) ordering is total (xxhash64 collisions aside, and
+    identical duplicate rows are interchangeable), so membership is
+    deterministic per seed.  Checkpoint tradeoff as in ``binary_curve``:
+    blocks are not replicated — executor loss fails (re-runs) the job.
     """
     salted = df.withColumn(
         "__h", F.xxhash64(F.concat_ws("§", *[F.col(c).cast("string") for c in df.columns]), F.lit(seed))
     )
-    w = Window.partitionBy(label).orderBy("__h")
-    counted = salted.withColumn("__rn", F.row_number().over(w)).withColumn(
-        "__n", F.count(F.lit(1)).over(Window.partitionBy(label))
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    part = (
+        salted.repartitionByRange(num_partitions, F.col(label), F.col("__h"))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
-    is_test = F.col("__rn") <= F.floor(F.col("__n") * F.lit(test_size))
-    test = counted.filter(is_test).drop("__h", "__rn", "__n")
-    train = counted.filter(~is_test).drop("__h", "__rn", "__n")
+    w_in = Window.partitionBy("__pid", label).orderBy("__h")
+    ranked = part.withColumn("__rn_in", F.row_number().over(w_in))
+    counts = part.groupBy("__pid", label).agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = Window.partitionBy(label).orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    offsets = counts.select(
+        "__pid",
+        label,
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+    )
+    totals = counts.groupBy(label).agg(F.sum("__cnt").alias("__n"))
+    full = ranked.join(F.broadcast(offsets), ["__pid", label]).join(
+        F.broadcast(totals), [label]
+    )
+    is_test = (F.col("__rn_in") + F.col("__off")) <= F.floor(
+        F.col("__n") * F.lit(test_size)
+    )
+    test = full.filter(is_test).select(*df.columns)
+    train = full.filter(~is_test).select(*df.columns)
     return train, test
 
 

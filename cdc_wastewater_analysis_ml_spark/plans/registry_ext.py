@@ -106,32 +106,50 @@ def q_metric_confusion(spark, sf_dir):
       base AS (SELECT coalesce(s.klass, p.klass) AS klass,
                       coalesce(s.support, 0) AS support,
                       coalesce(p.predicted, 0) AS predicted
-               FROM sup s FULL JOIN prd p ON s.klass = p.klass)
-    SELECT b.klass,
-           round(CASE WHEN b.predicted > 0
-                      THEN coalesce(t.tp, 0) * 1.0 / b.predicted
-                      ELSE 0.0 END, 6) AS precision,
-           round(CASE WHEN b.support > 0
-                      THEN coalesce(t.tp, 0) * 1.0 / b.support
-                      ELSE 0.0 END, 6) AS recall,
-           round(CASE WHEN (CASE WHEN b.predicted > 0
-                                 THEN coalesce(t.tp, 0) * 1.0 / b.predicted
-                                 ELSE 0.0 END
-                          + CASE WHEN b.support > 0
-                                 THEN coalesce(t.tp, 0) * 1.0 / b.support
-                                 ELSE 0.0 END) > 0
-                      THEN 2 * (coalesce(t.tp, 0) * 1.0 / b.predicted)
-                             * (coalesce(t.tp, 0) * 1.0 / b.support)
-                           / ((coalesce(t.tp, 0) * 1.0 / b.predicted)
-                            + (coalesce(t.tp, 0) * 1.0 / b.support))
-                      ELSE 0.0 END, 6) AS f1,
-           b.support
-    FROM base b LEFT JOIN tp t ON b.klass = t.klass
+               FROM sup s FULL JOIN prd p ON s.klass = p.klass),
+      pc AS (SELECT b.klass,
+                    CASE WHEN b.predicted > 0
+                         THEN coalesce(t.tp, 0) * 1.0 / b.predicted
+                         ELSE 0.0 END AS precision,
+                    CASE WHEN b.support > 0
+                         THEN coalesce(t.tp, 0) * 1.0 / b.support
+                         ELSE 0.0 END AS recall,
+                    b.support
+             FROM base b LEFT JOIN tp t ON b.klass = t.klass),
+      pcf AS (SELECT klass, precision, recall,
+                     CASE WHEN precision + recall > 0
+                          THEN 2 * precision * recall / (precision + recall)
+                          ELSE 0.0 END AS f1,
+                     support
+              FROM pc)
+    SELECT CAST(klass AS VARCHAR) AS klass,
+           round(precision, 6) AS precision,
+           round(recall, 6) AS recall,
+           round(f1, 6) AS f1,
+           CAST(support AS BIGINT) AS support
+    FROM pcf
+    UNION ALL
+    SELECT 'macro avg' AS klass,
+           round(sum(precision * 1.0) / sum(1.0), 6),
+           round(sum(recall * 1.0) / sum(1.0), 6),
+           round(sum(f1 * 1.0) / sum(1.0), 6),
+           CAST(sum(support) AS BIGINT)
+    FROM pcf
+    UNION ALL
+    SELECT 'weighted avg' AS klass,
+           round(sum(precision * CAST(support AS DOUBLE))
+                 / sum(CAST(support AS DOUBLE)), 6),
+           round(sum(recall * CAST(support AS DOUBLE))
+                 / sum(CAST(support AS DOUBLE)), 6),
+           round(sum(f1 * CAST(support AS DOUBLE))
+                 / sum(CAST(support AS DOUBLE)), 6),
+           CAST(sum(support) AS BIGINT)
+    FROM pcf
     """,
 )
 def q_metric_report(spark, sf_dir):
-    """Per-class precision/recall/F1/support ≙ classification_report
-    (codes.py:294)."""
+    """Per-class precision/recall/F1/support plus sklearn's macro/weighted
+    average rows ≙ classification_report (codes.py:294)."""
     out = M.metric_classification_report(
         _with_pred(_scored_events(spark, sf_dir)), "label", "pred"
     )

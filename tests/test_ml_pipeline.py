@@ -93,3 +93,57 @@ def test_scaler_pca_model_roundtrip(spark, model_df, tmp_path):
     a = pipe.transform(assembled).select("features_pca").limit(50).collect()
     b = loaded.transform(assembled).select("features_pca").limit(50).collect()
     assert [r["features_pca"] for r in a] == [r["features_pca"] for r in b]
+
+
+def test_classification_report_macro_weighted_rows(spark):
+    """Pin the macro/weighted-average arithmetic against hand-computed
+    sklearn values (codes.py:294 prints both rows).  Fixture: labels/preds
+    with asymmetric per-class support so macro != weighted.
+
+      label=0: support 3, tp 2, predicted 0s = 3 -> P=2/3, R=2/3, F1=2/3
+      label=1: support 1, tp 0, predicted 1s = 1 -> P=0,   R=0,   F1=0
+      macro    = mean(2/3, 0)            = 1/3       (support 4)
+      weighted = (2/3 * 3 + 0 * 1) / 4   = 1/2       (support 4)
+    """
+    from cdc_wastewater_analysis_ml_spark.plans import metrics as M
+
+    df = spark.createDataFrame(
+        [(0, 0), (0, 0), (0, 1), (1, 0)], "label int, pred int"
+    )
+    rows = {
+        r["klass"]: r
+        for r in M.metric_classification_report(df, "label", "pred").collect()
+    }
+    assert set(rows) == {"0", "1", "macro avg", "weighted avg"}
+    assert rows["0"]["precision"] == pytest.approx(2 / 3)
+    assert rows["0"]["recall"] == pytest.approx(2 / 3)
+    assert rows["1"]["f1"] == 0.0
+    assert rows["macro avg"]["precision"] == pytest.approx(1 / 3)
+    assert rows["macro avg"]["recall"] == pytest.approx(1 / 3)
+    assert rows["macro avg"]["f1"] == pytest.approx(1 / 3)
+    assert rows["macro avg"]["support"] == 4
+    assert rows["weighted avg"]["precision"] == pytest.approx(0.5)
+    assert rows["weighted avg"]["recall"] == pytest.approx(0.5)
+    assert rows["weighted avg"]["f1"] == pytest.approx(0.5)
+    assert rows["weighted avg"]["support"] == 4
+
+
+def test_classification_report_scans_data_once(spark):
+    """The average rows must not trigger extra passes over the input: the
+    confusion relation is frozen (lazy localCheckpoint), so the 6+ consuming
+    branches all scan the checkpointed #classes²-row relation — the source
+    scan appears ZERO times in the report plan (it lives once, inside the
+    checkpoint's own materialization).  Without the freeze, Catalyst pushes
+    branch-specific filters into each subtree and re-scans the source per
+    branch."""
+    from cdc_wastewater_analysis_ml_spark.plans import metrics as M
+
+    df = spark.range(1000).select(
+        (F.col("id") % 2).cast("int").alias("label"),
+        (F.col("id") % 3 == 0).cast("int").alias("pred"),
+    )
+    out = M.metric_classification_report(df, "label", "pred")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Range (0, 1000" not in plan  # source never re-scanned
+    assert "ExistingRDD" in plan  # branches read the frozen confusion relation
+    assert out.count() == 4

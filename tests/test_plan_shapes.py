@@ -6,6 +6,7 @@ bugs even when results stay correct."""
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from cdc_wastewater_analysis_ml_spark.plans.registry import QUERIES
 
@@ -106,3 +107,29 @@ def test_lsh_candidate_joins_are_equi(spark, sf_small, name):
     plan = _plan(spark, sf_small, name)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stratified_split_has_no_per_class_data_window(spark, sf_small):
+    """The stratified split must never rank a whole class in one task (a
+    window partitioned solely by the label puts each class in ONE partition
+    — with a binary label, two tasks sort the entire dataset).  Allowed
+    windows: the in-partition row_number keyed by the range-partition id
+    ``__pid`` (data pass, parallel) and the prefix-offset sum over the
+    per-(partition, class) COUNT relation (≤ #partitions·#classes rows)."""
+    from cdc_wastewater_analysis_ml_spark.plans import ml
+    from cdc_wastewater_analysis_ml_spark.sources import load_table
+
+    ev = load_table(spark, sf_small, "events").withColumn(
+        "y", (F.col("value") > 50).cast("int")
+    )
+    train, test = ml.split_train_test_stratified(ev, "y", 0.2, seed=42)
+    plan = train._jdf.queryExecution().executedPlan().toString()
+    window_lines = [ln for ln in plan.splitlines() if re.search(r"[+:]- Window ", ln)]
+    assert window_lines  # the two-phase passes must be present
+    for ln in window_lines:
+        if "row_number" in ln:
+            # the data-pass rank must be co-keyed by the range-partition id
+            assert "__pid" in ln, f"per-class data window:\n{ln}"
+        else:
+            # only the bounded prefix-offset sum over __cnt may remain
+            assert "__cnt" in ln, f"unexpected data window:\n{ln}"
