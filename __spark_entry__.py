@@ -33,9 +33,14 @@ from cdc_wastewater_analysis_ml_spark.plans import registry
 #: binary_curve change also broke metric_roc_curve/metric_pr_curve, which
 #: the old per-query list missed).
 _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
-    # r3: binary_curve totals renamed (__pos_total/__neg_total) + AUC/AP
-    # moved to the window-free row-wise delta forms (plans/metrics.py).
-    "plans/metrics.py": 3,
+    # r4: classification_report gained macro/weighted rows + the confusion
+    # localCheckpoint freeze (plans/metrics.py).
+    "plans/metrics.py": 4,
+    # r4: two-phase partition-offset stratified split (plans/ml.py).
+    "plans/ml.py": 4,
+    # r4: scoped_persist ownership transfer (operators/caching.py routes
+    # through every dedup candidate generator in operators/dedup.py).
+    "operators/dedup.py": 4,
 }
 
 #: Every registry query that transitively routes through a module above.
@@ -54,13 +59,38 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "ml_gbt_pca_metrics",
         "ml_linear_probability_pca_metrics",
     ),
+    "plans/ml.py": (
+        "ml_split_stratified_counts",
+        "ml_gbt_metrics",
+        "ml_linear_probability_metrics",
+        "ml_scaler_pca_k",
+        "ml_gbt_pca_metrics",
+        "ml_linear_probability_pca_metrics",
+    ),
+    "operators/dedup.py": (
+        "dedup_exact_text",
+        "dedup_minhash_signatures",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "dedup_embedding_cosine",
+        "dedup_embedding_cosine_lsh",
+        "dedup_lsh_verified",
+        "dedup_incremental",
+    ),
 }
 
-_CHANGED_IN_ROUND: dict[str, int] = {
-    name: rnd
-    for module, rnd in _MODULE_CHANGED_IN_ROUND.items()
-    for name in _MODULE_CONSUMERS.get(module, ())
-}
+# Strict indexing (not .get): a key typo between the two hand-maintained
+# dicts must fail loudly at import, not silently invalidate nothing — the
+# exact failure mode this mechanism exists to prevent (r3 ADVICE).
+assert set(_MODULE_CHANGED_IN_ROUND) <= set(_MODULE_CONSUMERS), (
+    set(_MODULE_CHANGED_IN_ROUND) - set(_MODULE_CONSUMERS)
+)
+_CHANGED_IN_ROUND: dict[str, int] = {}
+for _module, _rnd in _MODULE_CHANGED_IN_ROUND.items():
+    for _name in _MODULE_CONSUMERS[_module]:
+        # max: a query may route through several changed modules
+        _CHANGED_IN_ROUND[_name] = max(_CHANGED_IN_ROUND.get(_name, -1), _rnd)
 
 
 def _last_green_round() -> dict[str, int]:

@@ -259,3 +259,157 @@ def q_ml_linreg_pca(spark, sf_dir):
         [(r.model, round(r.accuracy, 4), round(r.roc_auc, 4), round(r.average_precision, 4))],
         "model string, accuracy double, roc_auc double, average_precision double",
     )
+
+
+# ---------------------------------------------------------------------------
+# EP1 on the ACTUAL wastewater schema, under the hard oracle gate: the
+# committed synthetic fixture (tools/wastewater_fixture.py, FIXTURES.md §B)
+# stands in for the reference's missing CSV, and the DuckDB oracle re-derives
+# codes.py:28-109 step-for-step — including the constant-0
+# ``flowpop_lin_missing`` quirk (fill-before-indicator, codes.py:39-40) and
+# the full-table target-encoding leakage (codes.py:67-69).
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+_WW_FIXTURE = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "fixtures",
+    "wastewater_samples.parquet",
+)
+
+_WW_EP1_SQL = f"""
+    WITH raw AS (SELECT * FROM read_parquet('{_WW_FIXTURE}')),
+      med AS (SELECT median(flow_rate) AS flow_med,
+                     median(pcr_target_flowpop_lin) AS flowpop_med,
+                     median(lod_sewage) AS lod_med
+              FROM raw),
+      mp AS (SELECT pasteurized AS m FROM (
+               SELECT pasteurized, count(*) AS c FROM raw
+               WHERE pasteurized IS NOT NULL
+               GROUP BY 1 ORDER BY c DESC, pasteurized ASC LIMIT 1)),
+      mc AS (SELECT counties_served AS m FROM (
+               SELECT counties_served, count(*) AS c FROM raw
+               WHERE counties_served IS NOT NULL
+               GROUP BY 1 ORDER BY c DESC, counties_served ASC LIMIT 1)),
+      mg AS (SELECT pcr_gene_target_agg AS m FROM (
+               SELECT pcr_gene_target_agg, count(*) AS c FROM raw
+               WHERE pcr_gene_target_agg IS NOT NULL
+               GROUP BY 1 ORDER BY c DESC, pcr_gene_target_agg ASC LIMIT 1)),
+      t2 AS (SELECT *,
+               TRY_CAST(sample_collect_date AS TIMESTAMP) AS ts,
+               CAST(flow_rate IS NULL AS INTEGER) AS flow_rate_missing,
+               coalesce(flow_rate, (SELECT flow_med FROM med)) AS flow_rate_f,
+               coalesce(pcr_target_flowpop_lin,
+                        (SELECT flowpop_med FROM med)) AS flowpop_f
+             FROM raw),
+      t3 AS (SELECT *,
+               CAST(month(ts) AS INTEGER) AS collection_month,
+               CAST(coalesce(weekofyear(ts), -1) AS INTEGER) AS collection_week,
+               CAST(isodow(ts) - 1 AS INTEGER) AS collection_dayofweek,
+               CAST(flowpop_f IS NULL AS INTEGER) AS flowpop_lin_missing,
+               ln(1 + population_served) AS log_population_served,
+               ln(1 + flow_rate_f) AS log_flow_rate,
+               CASE WHEN pcr_target_avg_conc > 0 THEN 1 ELSE 0 END
+                   AS influenza_a_detected,
+               ln(1 + pcr_target_avg_conc) AS log_pcr_target_conc
+             FROM t2),
+      t4 AS (SELECT *,
+               lag(log_pcr_target_conc, 1, 0.0) OVER w AS log_conc_lag1,
+               lag(log_pcr_target_conc, 2, 0.0) OVER w AS log_conc_lag2,
+               CASE WHEN population_served >= 0 AND population_served < 20000
+                         THEN 'Small'
+                    WHEN population_served >= 20000 AND population_served < 50000
+                         THEN 'Medium'
+                    WHEN population_served >= 50000 AND population_served < 200000
+                         THEN 'Large'
+                    WHEN population_served >= 200000 THEN 'Very Large'
+                    ELSE NULL END AS population_group
+             FROM t3
+             WINDOW w AS (PARTITION BY wwtp_jurisdiction
+                          ORDER BY ts ASC NULLS LAST, sample_id ASC)),
+      enc AS (SELECT wwtp_jurisdiction, avg(influenza_a_detected) AS jtm
+              FROM t4 GROUP BY 1),
+      t6 AS (SELECT t4.sewershed_id, t4.wwtp_jurisdiction, t4.county_fips,
+                    coalesce(t4.counties_served, (SELECT m FROM mc))
+                        AS counties_served,
+                    t4.population_served, t4.ts, t4.sample_type,
+                    t4.sample_matrix, t4.sample_location,
+                    t4.flow_rate_f AS flow_rate, t4.pcr_target_avg_conc,
+                    t4.flowpop_f AS pcr_target_flowpop_lin,
+                    coalesce(t4.pcr_gene_target_agg, (SELECT m FROM mg))
+                        AS pcr_gene_target_agg,
+                    coalesce(t4.lod_sewage, (SELECT lod_med FROM med))
+                        AS lod_sewage,
+                    coalesce(t4.pasteurized, (SELECT m FROM mp)) AS pasteurized,
+                    CASE WHEN t4.rec_eff_percent IS NOT NULL
+                         THEN least(t4.rec_eff_percent, 100.0) END
+                        AS rec_eff_percent,
+                    t4.collection_month, t4.collection_week,
+                    t4.collection_dayofweek, t4.flow_rate_missing,
+                    t4.flowpop_lin_missing, t4.log_population_served,
+                    t4.log_flow_rate, t4.influenza_a_detected,
+                    t4.log_pcr_target_conc, t4.log_conc_lag1, t4.log_conc_lag2,
+                    t4.population_group,
+                    coalesce(e.jtm, 0.5) AS jurisdiction_target_mean
+             FROM t4 LEFT JOIN enc e USING (wwtp_jurisdiction)),
+      t7 AS (SELECT DISTINCT * FROM t6)
+    SELECT sewershed_id, wwtp_jurisdiction, county_fips, counties_served,
+           population_served, sample_type, sample_matrix, sample_location,
+           round(flow_rate, 6) AS flow_rate,
+           round(pcr_target_flowpop_lin, 6) AS pcr_target_flowpop_lin,
+           pcr_gene_target_agg,
+           round(lod_sewage, 6) AS lod_sewage,
+           pasteurized,
+           round(rec_eff_percent, 6) AS rec_eff_percent,
+           collection_month, collection_week, collection_dayofweek,
+           flow_rate_missing, flowpop_lin_missing,
+           round(log_population_served, 6) AS log_population_served,
+           round(log_flow_rate, 6) AS log_flow_rate,
+           influenza_a_detected,
+           round(log_pcr_target_conc, 6) AS log_pcr_target_conc,
+           round(log_conc_lag1, 6) AS log_conc_lag1,
+           round(log_conc_lag2, 6) AS log_conc_lag2,
+           population_group,
+           round(jurisdiction_target_mean, 6) AS jurisdiction_target_mean,
+           CASE population_group WHEN 'Small' THEN 0 WHEN 'Medium' THEN 1
+                WHEN 'Large' THEN 2 WHEN 'Very Large' THEN 3
+                ELSE -1 END AS population_group_encoded,
+           floor(log_population_served * log_flow_rate * 1000000 + 0.5)
+               / 1000000 AS pop_x_flow,
+           floor(log_population_served * rec_eff_percent * 1000000 + 0.5)
+               / 1000000 AS pop_x_rec_eff
+    FROM t7
+"""
+
+
+@register("pipeline_wastewater_ep1", _WW_EP1_SQL)
+def q_pipeline_wastewater_ep1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's EP1 feature engineering (codes.py:28-109) on the
+    actual wastewater schema, end-to-end under the hash gate: parse →
+    indicators → median/mode fills → logs/label → per-jurisdiction lags →
+    bucketize → target-encode → drop → clip → dedup → ordinal encode →
+    interactions.  Input is the committed fixture (sf_dir-independent: the
+    wastewater table has one scale), quirks reproduced per SURVEY §7.7."""
+    from .features import engineer_features
+
+    df = engineer_features(spark.read.parquet(_WW_FIXTURE))
+    r6 = lambda c: F.round(F.col(c), 6).alias(c)  # noqa: E731
+    flr = lambda expr, name: (F.floor(expr * 1e6 + 0.5) / 1e6).alias(name)  # noqa: E731
+    return df.select(
+        "sewershed_id", "wwtp_jurisdiction", "county_fips", "counties_served",
+        "population_served", "sample_type", "sample_matrix", "sample_location",
+        r6("flow_rate"), r6("pcr_target_flowpop_lin"), "pcr_gene_target_agg",
+        r6("lod_sewage"), "pasteurized", r6("rec_eff_percent"),
+        "collection_month", "collection_week", "collection_dayofweek",
+        "flow_rate_missing", "flowpop_lin_missing",
+        r6("log_population_served"), r6("log_flow_rate"),
+        "influenza_a_detected", r6("log_pcr_target_conc"),
+        r6("log_conc_lag1"), r6("log_conc_lag2"), "population_group",
+        r6("jurisdiction_target_mean"), "population_group_encoded",
+        flr(F.col("log_population_served") * F.col("log_flow_rate"), "pop_x_flow"),
+        flr(
+            F.col("log_population_served") * F.col("rec_eff_percent"),
+            "pop_x_rec_eff",
+        ),
+    )
