@@ -413,3 +413,33 @@ def q_pipeline_wastewater_ep1(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pop_x_rec_eff",
         ),
     )
+
+
+@register("ml_reference_scenarios_full", None)
+def q_ml_reference_scenarios_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REFERENCE-FIDELITY 4-scenario comparison: {GBT, LinearRegression} ×
+    {scaled, 95%-variance PCA} at the reference's n_estimators=100
+    (codes.py:226) over the wastewater fixture — the results_df golden-table
+    shape of BASELINE.md rows 5-12 (codes.py:309).  Rows-only (model fits
+    have no SQL oracle); the registry's other ml_* queries trade boosting
+    rounds for runtime (maxIter=10), this one records the full-fidelity run
+    under the driver gate (~70 s at fixture scale)."""
+    from .features import engineer_features, model_ready
+    from ..schema import LABEL_COLUMN, MODEL_FEATURES
+
+    df = model_ready(engineer_features(spark.read.parquet(_WW_FIXTURE)))
+    df = df.cache()
+    try:
+        results = ml.run_reference_scenarios(
+            df, MODEL_FEATURES, LABEL_COLUMN, seed=42, max_iter=100
+        )
+    finally:
+        df.unpersist()
+    return spark.createDataFrame(
+        [
+            (r.model, round(r.accuracy, 4), round(r.roc_auc, 4),
+             round(r.average_precision, 4))
+            for r in results
+        ],
+        "model string, accuracy double, roc_auc double, average_precision double",
+    )

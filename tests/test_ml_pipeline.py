@@ -147,3 +147,27 @@ def test_classification_report_scans_data_once(spark):
     assert "Range (0, 1000" not in plan  # source never re-scanned
     assert "ExistingRDD" in plan  # branches read the frozen confusion relation
     assert out.count() == 4
+
+
+def test_reference_fidelity_scenarios_full(spark):
+    """The driver-gated full-fidelity run (maxIter=100, codes.py:226) must
+    produce the reference's 4-row results table with learnable-signal
+    metrics: every scenario beats chance on the synthetic seasonal signal
+    and the un-reduced GBT is the strongest model (the reference's own
+    headline ordering, *.ipynb results_df)."""
+    from cdc_wastewater_analysis_ml_spark.plans.registry import QUERIES
+
+    rows = {
+        r["model"]: r
+        for r in QUERIES["ml_reference_scenarios_full"](spark, "ignored").collect()
+    }
+    assert set(rows) == {
+        "GradientBoosting (Original)", "LinearRegression (Original)",
+        "GradientBoosting (PCA)", "LinearRegression (PCA)",
+    }
+    for r in rows.values():
+        assert 0.5 < r["accuracy"] < 1.0
+        assert 0.55 < r["roc_auc"] < 1.0
+        assert 0.0 < r["average_precision"] <= 1.0
+    best = max(rows.values(), key=lambda r: r["roc_auc"])
+    assert best["model"] == "GradientBoosting (Original)"
