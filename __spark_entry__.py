@@ -41,6 +41,24 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # r4: scoped_persist ownership transfer (operators/caching.py routes
     # through every dedup candidate generator in operators/dedup.py).
     "operators/dedup.py": 4,
+    # r4: global_row_number added (operators/windows.py) and wired into
+    # sort_rows_ranked; the pre-existing window ops are textually unchanged
+    # but module-granularity staleness is the rule (r2 lesson).
+    "operators/windows.py": 4,
+    # r4 result-neutral touches, recorded for honesty with their reasoning:
+    # relational.py (join_salted guard-set relaxed — accepts more args,
+    # existing results unchanged), similarity.py (recall_at_k empty-input
+    # guard), text.py (dead expression removed), sources/readers.py (fan_out
+    # partition-count heuristic: inputFiles() instead of rdd.getNumPartitions;
+    # round-robin repartition target identical on the single-file fixtures,
+    # and every fan_out caller is order-insensitive), streaming/ops.py
+    # (docstring + unreachable empty-iterator guard).  Consumer sets are
+    # empty where no query's result multiset can change.
+    "operators/relational.py": 4,
+    "operators/similarity.py": 4,
+    "operators/text.py": 4,
+    "sources/readers.py": 4,
+    "streaming/ops.py": 4,
 }
 
 #: Every registry query that transitively routes through a module above.
@@ -78,6 +96,21 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "dedup_lsh_verified",
         "dedup_incremental",
     ),
+    "operators/windows.py": (
+        "window_lag",
+        "window_lead",
+        "window_running_sum",
+        "window_rolling_mean",
+        "window_trailing_mean_time",
+        "sort_rows_ranked",
+        "pipeline_feature_engineering",
+        "pipeline_wastewater_ep1",
+    ),
+    "operators/relational.py": (),
+    "operators/similarity.py": ("sim_recall_at_k",),
+    "operators/text.py": (),
+    "sources/readers.py": (),
+    "streaming/ops.py": (),
 }
 
 # Strict indexing (not .get): a key typo between the two hand-maintained

@@ -246,8 +246,9 @@ def join_salted(
     side replicates salt× and joins on (key, salt).
 
     Result is identical to ``left.join(right, key, how)`` for the SUPPORTED
-    join types — inner / left / left_semi / left_anti, where every output row
-    is driven by a left row carrying exactly one salt value.  Right/full
+    join types — inner / left / left_semi / left_anti (and Spark's bare
+    ``semi`` / ``anti`` aliases, which are left-driven too), where every
+    output row is driven by a left row carrying exactly one salt value.  Right/full
     outer are rejected: an unmatched right row would surface once per salt
     replica (salt× duplicates); salt the other side instead.  The salt only
     spreads a hot key across ``salt`` shuffle partitions.  AQE's skew-join
@@ -258,7 +259,7 @@ def join_salted(
     skew is real.
     """
     supported = {"inner", "left", "leftouter", "left_outer", "left_semi",
-                 "leftsemi", "left_anti", "leftanti"}
+                 "leftsemi", "left_anti", "leftanti", "semi", "anti"}
     if how.lower() not in supported:
         raise ValueError(
             f"join_salted supports {sorted(supported)} joins, not {how!r}: "

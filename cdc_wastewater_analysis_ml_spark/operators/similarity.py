@@ -350,6 +350,8 @@ def recall_at_k(truth: DataFrame, approx: dict[str, DataFrame]) -> DataFrame:
     approximate index without a recorded recall is just a slower wrong
     answer (SURVEY §7 phase 4).
     """
+    if not approx:
+        raise ValueError("approx must be non-empty")
     t = truth.select("query_id", "neighbor_id")
     out = None
     for method in sorted(approx):

@@ -68,7 +68,6 @@ def stopword_ratio(c: Column | str, stopwords: Sequence[str] = ("the", "a", "and
     """Fraction of tokens that are stopwords (0 for empty docs)."""
     toks = tokenize(c)
     sw = F.array(*[F.lit(s) for s in stopwords])
-    hits = F.size(F.array_intersect(toks, sw))  # distinct-match variant
     n_hits = F.aggregate(
         toks,
         F.lit(0),

@@ -122,3 +122,51 @@ def window_trailing_mean_time(
         .rangeBetween(-(trailing_seconds - 1), Window.currentRow)
     )
     return df.withColumn(out, F.avg(F.col(col)).over(w))
+
+
+def global_row_number(
+    df: DataFrame,
+    order_keys: Sequence[str],
+    out: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed global row number over a total order — the scale-safe
+    replacement for ``row_number().over(Window.orderBy(...))``, whose empty
+    ``partitionBy`` funnels the entire relation through ONE task.
+
+    Two-phase partition-offset ranking (the ``binary_curve`` pattern):
+    range-repartition on the order keys and freeze the assignment (lazy
+    ``localCheckpoint`` — the rank pass and the count pass must see the same
+    boundaries), rank within each partition, then add broadcast prefix
+    offsets computed from per-partition counts (a window over ≤ #partitions
+    rows, never over data).  Exact wherever the sampled range boundaries
+    land, provided ``order_keys`` is a total order (include a unique
+    tiebreak column).
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    order = [F.asc(k) for k in order_keys]
+    part = (
+        df.repartitionByRange(num_partitions, *order)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w_in = Window.partitionBy("__pid").orderBy(*order)
+    ranked = part.withColumn("__rn_in", F.row_number().over(w_in))
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    offsets = (
+        part.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+        )
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "__pid")
+        .withColumn(out, F.col("__rn_in") + F.col("__off"))
+        .drop("__pid", "__rn_in", "__off")
+    )

@@ -523,16 +523,14 @@ def q_sort_ranked(spark, sf_dir):
     """Global multi-key sort made observable via a global row number
     ≙ sort_values (codes.py:55).
 
-    Scale note: a global row_number needs a total order (single-partition
-    window) — fine for rank-style outputs of bounded size; at 100 TB use
-    per-key :func:`windows.window_row_number` or zipWithIndex-style
-    partition-offset ranking instead.
+    Scale shape: NOT a single-partition window — ranks come from
+    :func:`windows.global_row_number` (range-partition + in-partition rank +
+    broadcast prefix offsets, the binary_curve pattern), so no task ever
+    sorts more than one range partition.
     """
     ev = load_table(spark, sf_dir, "events")
-    from pyspark.sql.window import Window
-
-    w = Window.orderBy(F.asc("user_id"), F.asc("ts"), F.asc("event_id"))
-    return ev.select("event_id", F.row_number().over(w).alias("rn"))
+    out = W.global_row_number(ev, ["user_id", "ts", "event_id"], out="rn")
+    return out.select("event_id", "rn")
 
 
 @register(

@@ -108,6 +108,13 @@ def stream_lag_per_key(events: DataFrame) -> DataFrame:
     partitions); out-of-order *within* a batch is handled, across batches is
     not — the documented divergence from the batch op.
 
+    Memory bound: concat-then-sort materializes a key's ENTIRE micro-batch
+    in the Python worker (required for cross-chunk ordering) — chunked
+    iteration's bounded-memory property does not hold here.  Size
+    micro-batches (``maxFilesPerTrigger`` / ``maxOffsetsPerTrigger``) so the
+    hottest key's batch slice fits in worker memory; a hot key in a huge
+    ``availableNow`` batch can otherwise OOM the worker.
+
     The state function is a closure (NOT a module-level function) so
     cloudpickle ships it BY VALUE — Python UDF workers need no access to this
     package on their import path.
@@ -118,6 +125,8 @@ def stream_lag_per_key(events: DataFrame) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         lag1, lag2 = state.get if state.exists else (0.0, 0.0)
         chunks = list(pdfs)
+        if not chunks:  # unreachable under NoTimeout; defensive for timeouts
+            return
         pdf = (chunks[0] if len(chunks) == 1 else pd.concat(chunks)).sort_values(
             ["ts", "event_id"]
         )

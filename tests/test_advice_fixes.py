@@ -173,3 +173,22 @@ def test_scoped_persist_transfer_is_noop_without_scope(spark, sf_small):
     derived = docs.select("doc_id")
     assert transfer_cache_scope(docs, derived) is derived
     assert not hasattr(derived, _SCOPE_ATTR)
+
+
+@pytest.mark.parametrize("how", ["semi", "anti"])
+def test_join_salted_accepts_bare_semi_anti_aliases(spark, sf_small, how):
+    """Spark's bare 'semi'/'anti' aliases are left-driven and salt-safe —
+    rejecting them broke correct callers (r3 ADVICE)."""
+    ev = load_table(spark, sf_small, "events").limit(500)
+    right = ev.select("user_id").distinct().limit(20)
+    got = R.join_salted(ev, right, "user_id", salt=4, how=how)
+    want = ev.join(right, "user_id", how)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_recall_at_k_rejects_empty_approx(spark):
+    from cdc_wastewater_analysis_ml_spark.operators import similarity as SIM
+
+    t = spark.createDataFrame([(1, 2)], "query_id long, neighbor_id long")
+    with pytest.raises(ValueError, match="non-empty"):
+        SIM.recall_at_k(t, {})

@@ -133,3 +133,18 @@ def test_stratified_split_has_no_per_class_data_window(spark, sf_small):
         else:
             # only the bounded prefix-offset sum over __cnt may remain
             assert "__cnt" in ln, f"unexpected data window:\n{ln}"
+
+
+def test_sort_rows_ranked_has_no_single_task_window(spark, sf_small):
+    """Global ranking must never run row_number over an empty partitionBy
+    (one task sorts everything).  The two-phase form keys the data window by
+    the range-partition id; the only other window is the prefix-offset sum
+    over per-partition counts."""
+    plan = _plan(spark, sf_small, "sort_rows_ranked")
+    window_lines = [ln for ln in plan.splitlines() if re.search(r"[+:]- Window ", ln)]
+    assert window_lines
+    for ln in window_lines:
+        if "row_number" in ln:
+            assert "__pid" in ln, f"single-task global window:\n{ln}"
+        else:
+            assert "__cnt" in ln, f"unexpected data window:\n{ln}"
