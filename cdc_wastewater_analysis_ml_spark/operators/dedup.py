@@ -76,7 +76,73 @@ def minhash_signatures(
     return with_shingles.select(*cols)
 
 
-def minhash_lsh_candidates(
+def _bucket_guard(
+    banded: DataFrame,
+    id_col: str,
+    max_bucket_size: int | None,
+    hot_bucket_action: str,
+    op_name: str,
+) -> DataFrame:
+    """Hot-bucket telemetry/cap for banded LSH self-joins (DEVNOTES item 5).
+
+    A bucket of n docs contributes n·(n−1)/2 candidate pairs: an adversarial
+    corpus (mass-duplicated boilerplate) concentrates into a few buckets and
+    the "linear-ish" join silently goes quadratic.  With a cap set, bucket
+    sizes are measured on the (persisted) banded relation — one cheap agg —
+    and oversized buckets either ``error`` loudly with the offending stats or
+    are ``skip``-ped (the production choice: a bucket that hot is boilerplate
+    the exact-dedup pass already collapses; near-dup recall on it is
+    worthless).
+    """
+    if max_bucket_size is None:
+        return banded
+    if hot_bucket_action not in ("error", "skip"):
+        raise ValueError("hot_bucket_action must be 'error' or 'skip'")
+    sizes = banded.groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).alias("__bucket_n")
+    )
+    hot = sizes.filter(F.col("__bucket_n") > max_bucket_size)
+    if hot_bucket_action == "error":
+        stats = hot.agg(
+            F.count(F.lit(1)).alias("hot_buckets"),
+            F.max("__bucket_n").alias("max_bucket"),
+            F.sum(
+                F.col("__bucket_n") * (F.col("__bucket_n") - 1) / 2
+            ).cast("long").alias("hot_pairs"),
+        ).first()
+        if stats["hot_buckets"]:
+            raise ValueError(
+                f"{op_name}: {stats['hot_buckets']} bucket(s) exceed "
+                f"max_bucket_size={max_bucket_size} (largest holds "
+                f"{stats['max_bucket']} docs -> {stats['hot_pairs']} candidate "
+                "pairs from hot buckets alone). Exact-dedup the corpus first, "
+                "raise the cap, or use hot_bucket_action='skip'."
+            )
+        return banded
+    # skip: anti-join the oversized buckets out before the self-join — the
+    # filter is keyed exactly like the join, no extra shuffle pattern.
+    return banded.join(
+        hot.select("band_id", "band_key"), ["band_id", "band_key"], "left_anti"
+    )
+
+
+def lsh_bucket_stats(banded: DataFrame) -> DataFrame:
+    """Per-band bucket telemetry for a (id, band_id, band_key) relation:
+    ``(band_id, n_buckets, max_bucket, candidate_pairs)`` where
+    candidate_pairs = Σ n·(n−1)/2 over the band's buckets — the exact
+    self-join output volume.  Record this next to every production LSH run:
+    a pair count far above #docs means hot buckets, not near-dups."""
+    per_bucket = banded.groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_bucket.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("n").alias("max_bucket"),
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("candidate_pairs"),
+    )
+
+
+def banded_minhash(
     df: DataFrame,
     text_col: str,
     id_col: str,
@@ -84,14 +150,9 @@ def minhash_lsh_candidates(
     bands: int = 4,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Near-duplicate candidate pairs via banded MinHash-LSH.
-
-    ``num_hashes`` minhashes split into ``bands`` bands of r = k/b rows; docs
-    agreeing on ALL minhashes of any band become a candidate pair (classic
-    banding: P[candidate] = 1-(1-s^r)^b for Jaccard s).  The self-join runs on
-    (band_id, band_key) — a high-cardinality composite key, so the shuffle is
-    well distributed; pairs are emitted once with id_a < id_b.
-    """
+    """(id, band_id, band_key) banding relation for MinHash-LSH — exposed so
+    telemetry (:func:`lsh_bucket_stats`) and candidate generation share one
+    definition."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
@@ -105,17 +166,45 @@ def minhash_lsh_candidates(
         )
         for b in range(bands)
     ]
-    banded = sig.select(
+    return sig.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
     ).select(id_col, F.col("band.band_id").alias("band_id"), F.col("band.band_key").alias("band_key"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = None,
+    hot_bucket_action: str = "error",
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH.
+
+    ``num_hashes`` minhashes split into ``bands`` bands of r = k/b rows; docs
+    agreeing on ALL minhashes of any band become a candidate pair (classic
+    banding: P[candidate] = 1-(1-s^r)^b for Jaccard s).  The self-join runs on
+    (band_id, band_key) — a high-cardinality composite key, so the shuffle is
+    well distributed; pairs are emitted once with id_a < id_b.
+
+    ``max_bucket_size`` guards the adversarial case (mass-duplicated docs →
+    one bucket → quadratic pairs): see :func:`_bucket_guard`.  Default off —
+    enable it on any corpus that has not been exact-deduped first.
+    """
+    banded = banded_minhash(df, text_col, id_col, num_hashes, bands, shingle_n)
     # Self-join against a broadcast side re-executes the whole signature
     # pipeline (no exchange reuse under BroadcastExchange) — persist the
     # banded relation so the md5 work runs once.  At full scale this is the
     # "write signatures to a staging table first" step of a dedup pipeline.
     # scoped_persist releases the cache once the caller drops the result.
     banded = banded.persist()
-    a = banded.alias("a")
-    b = banded.alias("b")
+    guarded = _bucket_guard(
+        banded, id_col, max_bucket_size, hot_bucket_action, "minhash_lsh_candidates"
+    )
+    a = guarded.alias("a")
+    b = guarded.alias("b")
     out = (
         a.join(
             b,
@@ -168,10 +257,17 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
 
 
 def simhash_band_candidates(
-    df: DataFrame, text_col: str, id_col: str, bits: int = 32, bands: int = 4
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 32,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+    hot_bucket_action: str = "error",
 ) -> DataFrame:
     """Candidate pairs whose SimHash agrees on ≥1 of ``bands`` bit-bands
-    (Hamming-distance screening: distance < bands ⇒ some band matches)."""
+    (Hamming-distance screening: distance < bands ⇒ some band matches).
+    ``max_bucket_size`` hot-bucket guard as in :func:`minhash_lsh_candidates`."""
     if bits % bands:
         raise ValueError("bits must be divisible by bands")
     r = bits // bands
@@ -186,7 +282,10 @@ def simhash_band_candidates(
     banded = sh.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
     ).select(id_col, "band.band_id", "band.band_key").persist()
-    a, b = banded.alias("a"), banded.alias("b")
+    guarded = _bucket_guard(
+        banded, id_col, max_bucket_size, hot_bucket_action, "simhash_band_candidates"
+    )
+    a, b = guarded.alias("a"), guarded.alias("b")
     out = (
         a.join(
             b,

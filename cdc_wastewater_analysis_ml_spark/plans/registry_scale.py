@@ -885,3 +885,42 @@ def q_agg_mode_by_key(spark, sf_dir):
         "event_type", F.month("ts").alias("m")
     )
     return A.agg_mode_by_key(ev, "event_type", "m", out="mode_month")
+
+
+def _lsh_bucket_stats_sql() -> str:
+    from .registry_ext import _AUG_CTE, _minhash_sql
+
+    return (
+        _AUG_CTE
+        + ", sig AS (SELECT d.doc_id, "
+        + ", ".join(_minhash_sql(i) for i in range(8))
+        + " FROM docs d), banded AS ("
+        + " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_id, "
+            f"concat(minhash_{2 * b}, '|', minhash_{2 * b + 1}) AS band_key FROM sig"
+            for b in range(4)
+        )
+        + """)
+        SELECT band_id,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(max(n) AS BIGINT) AS max_bucket,
+               CAST(sum(n * (n - 1) / 2) AS BIGINT) AS candidate_pairs
+        FROM (SELECT band_id, band_key, count(*) AS n
+              FROM banded GROUP BY 1, 2)
+        GROUP BY band_id
+        """
+    )
+
+
+@register("dedup_lsh_bucket_stats", _lsh_bucket_stats_sql())
+def q_dedup_lsh_bucket_stats(spark, sf_dir):
+    """Hot-bucket telemetry for the banded MinHash self-join (DEVNOTES 5):
+    per band, bucket count / max bucket size / exact candidate-pair volume
+    Σ n·(n−1)/2.  The number a production dedup run records BEFORE the join:
+    pairs ≫ #docs means boilerplate concentration, not near-dups — cap it
+    with max_bucket_size instead of melting the shuffle."""
+    from .registry_ext import _augmented_docs
+
+    docs = _augmented_docs(spark, sf_dir)
+    banded = D.banded_minhash(docs, "text", "doc_id", num_hashes=8, bands=4)
+    return D.lsh_bucket_stats(banded)

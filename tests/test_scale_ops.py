@@ -4,6 +4,7 @@ oracle hash alone doesn't isolate."""
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from cdc_wastewater_analysis_ml_spark.operators import aggregates as A
@@ -249,3 +250,49 @@ def test_incremental_dedup_edges(spark, sf_small):
     recase = docs.select("doc_id", F.upper(F.col("text")).alias("text")).limit(20)
     n_new = D.dedup_incremental_exact(recase, docs, "text", "doc_id").count()
     assert n_new == 0
+
+
+def test_lsh_hot_bucket_guard_adversarial_corpus(spark):
+    """An all-duplicates corpus concentrates every doc into ONE bucket per
+    band — the quadratic blow-up case the cap exists for (DEVNOTES 5)."""
+    from cdc_wastewater_analysis_ml_spark.operators import dedup as D
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated across the corpus every time").alias("text"),
+    )
+    # error: fails loudly with the offending stats
+    with pytest.raises(ValueError, match="exceed max_bucket_size=50"):
+        D.minhash_lsh_candidates(
+            docs, "text", "doc_id", max_bucket_size=50, hot_bucket_action="error"
+        ).count()
+    # skip: oversized buckets drop out -> zero candidate pairs, job completes
+    skipped = D.minhash_lsh_candidates(
+        docs, "text", "doc_id", max_bucket_size=50, hot_bucket_action="skip"
+    )
+    assert skipped.count() == 0
+    # telemetry: one bucket per band holding all 200 docs = 19900 pairs each
+    stats = {
+        r["band_id"]: r
+        for r in D.lsh_bucket_stats(
+            D.banded_minhash(docs, "text", "doc_id")
+        ).collect()
+    }
+    assert len(stats) == 4
+    for r in stats.values():
+        assert r["n_buckets"] == 1
+        assert r["max_bucket"] == 200
+        assert r["candidate_pairs"] == 200 * 199 // 2
+
+
+def test_lsh_hot_bucket_guard_off_by_default(spark, sf_small):
+    """Without a cap the candidate set is unchanged (guard is opt-in)."""
+    from cdc_wastewater_analysis_ml_spark.operators import dedup as D
+    from cdc_wastewater_analysis_ml_spark.sources import load_table
+
+    docs = load_table(spark, sf_small, "documents").limit(300)
+    base = D.minhash_lsh_candidates(docs, "text", "doc_id")
+    capped = D.minhash_lsh_candidates(
+        docs, "text", "doc_id", max_bucket_size=10**9, hot_bucket_action="skip"
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, capped.collect()))
