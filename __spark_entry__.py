@@ -110,7 +110,12 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
     "operators/similarity.py": ("sim_recall_at_k",),
     "operators/text.py": (),
     "sources/readers.py": (),
-    "streaming/ops.py": (),
+    # r4 additive: stream_lag_per_key_reordered (+ the TWS variant) are new
+    # functions consumed only by the NEW query below (never verified before,
+    # so it sorts to the head of the rotation anyway); pre-existing streaming
+    # ops are textually unchanged except read_events_stream gaining **options
+    # (a no-op for existing zero-option callers).
+    "streaming/ops.py": ("stream_lag_reordered",),
 }
 
 # Strict indexing (not .get): a key typo between the two hand-maintained

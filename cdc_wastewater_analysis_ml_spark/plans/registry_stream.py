@@ -24,6 +24,7 @@ from ..streaming import (
     read_events_stream,
     stream_conditional_rate,
     stream_lag_per_key,
+    stream_lag_per_key_reordered,
     stream_weekly_mean,
 )
 from .registry import register
@@ -110,6 +111,99 @@ def q_stream_lag_per_key(spark, sf_dir):
     window — which is exactly what the SQL oracle checks."""
     src = read_events_stream(spark, _silver_events_dir(spark, sf_dir))
     out = _run_to_completion(spark, stream_lag_per_key(src), "append")
+    return out.select(
+        "user_id",
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.round("value_lag1", 6).alias("value_lag1"),
+        F.round("value_lag2", 6).alias("value_lag2"),
+    )
+
+
+#: Watermark delay for the cross-batch-disorder query.  Must exceed 2× the
+#: swapped-block time extent (≈1 day at every SF: 2·(n/60) rows over a 30-day
+#: span) so no row is ever beyond-horizon → the emitted set is exactly the
+#: deterministic watermark prefix the oracle computes.
+_REORDER_DELAY_MS = 3 * 24 * 3600 * 1000
+
+
+def _disordered_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize events as THREE parquet files with deterministic
+    cross-file disorder: rows sorted by (ts, event_id), blocks of n//60 rows
+    SWAPPED across each file boundary (so a row's newer-timestamped siblings
+    arrive one micro-batch earlier), plus a seeded in-file shuffle.  File
+    mtimes are forced increasing — the file source processes oldest-first.
+
+    Driver-side pandas is fixture PREP (bounded: the driver-gate SF), not the
+    operator; at production scale the disorder comes from the source itself.
+    """
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/spark_graft_reorder_{tag}"
+    if path in _SILVERED:
+        return path
+    import os
+
+    pdf = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    # TIMESTAMP(MICROS) on disk — the streaming file source rejects NANOS
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    n = len(pdf)
+    b = max(1, n // 60)
+    n1, n2 = n // 3, 2 * n // 3
+    rng = list(range(n))
+    files = [
+        rng[: n1 - b] + rng[n1 : n1 + b],
+        rng[n1 - b : n1] + rng[n1 + b : n2 - b] + rng[n2 : n2 + b],
+        rng[n2 - b : n2] + rng[n2 + b :],
+    ]
+    os.makedirs(path, exist_ok=True)
+    for k, idx in enumerate(files):
+        part = pdf.iloc[idx].sample(frac=1.0, random_state=k)
+        f = f"{path}/f{k}.parquet"
+        part.to_parquet(f, index=False)
+        os.utime(f, (1_700_000_000 + 1000 * k,) * 2)
+    _SILVERED.add(path)
+    return path
+
+
+@register(
+    "stream_lag_reordered",
+    f"""
+    SELECT user_id, event_id, round(value, 6) AS value,
+           round(value_lag1, 6) AS value_lag1,
+           round(value_lag2, 6) AS value_lag2
+    FROM (
+        SELECT user_id, event_id, value,
+               lag(value, 1, 0.0) OVER w AS value_lag1,
+               lag(value, 2, 0.0) OVER w AS value_lag2,
+               epoch_ms(ts) AS __ms
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    WHERE __ms <= (SELECT max(epoch_ms(ts)) - {_REORDER_DELAY_MS} FROM events)
+    """,
+)
+def q_stream_lag_reordered(spark, sf_dir):
+    """Cross-batch-disorder keyed lag (streaming/ops.py
+    stream_lag_per_key_reordered; DEVNOTES item 4): a 3-file source with
+    blocks swapped across file boundaries, ``maxFilesPerTrigger=1`` so each
+    file IS a micro-batch.  Rows buffer in per-key state and emit in
+    event-time order once the watermark passes them, so the emitted set is
+    exactly the rows with epoch_ms(ts) ≤ final watermark (max ms − delay —
+    both engines truncate µs→ms) and every lag equals the batch window_lag
+    (codes.py:55-59).  The plain stream_lag_per_key documents this arrival
+    pattern as unhandled; this query is the closure, under the hard gate."""
+    src = read_events_stream(
+        spark, _disordered_events_dir(spark, sf_dir), maxFilesPerTrigger=1
+    )
+    out = _run_to_completion(
+        spark, stream_lag_per_key_reordered(src, "3 days"), "append"
+    )
     return out.select(
         "user_id",
         "event_id",

@@ -41,10 +41,18 @@ EVENTS_SCHEMA = StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, dir_path: str) -> DataFrame:
+def read_events_stream(spark: SparkSession, dir_path: str, **options) -> DataFrame:
     """File-source stream of events parquet (schema must be provided —
-    streaming sources cannot infer)."""
-    return spark.readStream.schema(EVENTS_SCHEMA).parquet(dir_path)
+    streaming sources cannot infer).
+
+    ``options`` are SOURCE options (``maxFilesPerTrigger``, ``latestFirst``,
+    …) and must be set here on the reader — setting them on ``writeStream``
+    silently does nothing for a file source.
+    """
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.parquet(dir_path)
 
 
 def stream_weekly_mean(
@@ -176,5 +184,213 @@ def stream_session_windows(
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
             "n_events",
+        )
+    )
+
+
+def stream_lag_per_key_reordered(
+    events: DataFrame, delay: str = "30 minutes"
+) -> DataFrame:
+    """Cross-batch-disorder-tolerant keyed lag (DEVNOTES item 4) on the
+    ``applyInPandasWithState`` API — closes the documented gap in
+    :func:`stream_lag_per_key`, which requires batch-monotonic arrival.
+
+    Semantics: rows buffer in per-key state and are emitted in EVENT-TIME
+    order (ts, event_id) once the watermark passes them — a row arriving in a
+    later micro-batch than a newer-timestamped sibling still lags correctly
+    while the disorder stays within ``delay`` (the watermark contract; rows
+    later than that are dropped like in every watermarked op).  An
+    event-time timeout set at the oldest still-buffered row flushes the
+    remainder as the watermark advances without new data for the key
+    (including availableNow's trailing no-data batch).  State per key is
+    O(rows within the watermark horizon) — the price of reordering.
+    """
+
+    def lag_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        wm = state.getCurrentWatermarkMs()
+        if state.exists:
+            lag1, lag2, emitted_ts, bts, beid, bval = state.get
+            buf = list(zip(bts or [], beid or [], bval or []))
+        else:
+            lag1, lag2, emitted_ts, buf = 0.0, 0.0, -(2**62), []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                ts_ms = pdf["ts"].to_numpy().astype("datetime64[ms]").astype("int64")
+                buf.extend(
+                    zip(ts_ms.tolist(), pdf["event_id"].tolist(), pdf["value"].tolist())
+                )
+        else:
+            list(pdfs)  # drain the (empty) iterator of a timed-out call
+        ready = sorted((r for r in buf if r[0] <= wm), key=lambda r: (r[0], r[1]))
+        keep = [r for r in buf if r[0] > wm]
+        out = {"user_id": [], "event_id": [], "value": [],
+               "value_lag1": [], "value_lag2": []}
+        for ts_ms, eid, v in ready:
+            if ts_ms < emitted_ts:
+                continue  # beyond-horizon late row: dropped (contract)
+            out["user_id"].append(key[0])
+            out["event_id"].append(eid)
+            out["value"].append(float(v))
+            out["value_lag1"].append(lag1)
+            out["value_lag2"].append(lag2)
+            lag2, lag1 = lag1, float(v)
+            emitted_ts = ts_ms
+        state.update(
+            (lag1, lag2, emitted_ts,
+             [r[0] for r in keep], [r[1] for r in keep], [r[2] for r in keep])
+        )
+        if keep:
+            # fire as soon as the watermark can release the OLDEST kept row
+            # (must be strictly above the current watermark)
+            state.setTimeoutTimestamp(max(wm + 1, min(r[0] for r in keep) + 1))
+        if out["event_id"]:
+            yield pd.DataFrame(out)
+
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            lag_fn,
+            outputStructType=_LAG_OUT_SCHEMA,
+            stateStructType=(
+                "lag1 double, lag2 double, emitted_ts long, "
+                "buf_ts array<bigint>, buf_eid array<bigint>, buf_val array<double>"
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def stream_lag_per_key_event_time(events: DataFrame, delay: str = "30 minutes") -> DataFrame:
+    """Cross-batch-disorder-tolerant keyed lag via the Spark 4
+    ``transformWithStateInPandas`` state API (DEVNOTES item 4) — same
+    buffer-until-watermark semantics as :func:`stream_lag_per_key_reordered`
+    on the newer typed-state API (list state for the buffer, value state for
+    the lag chain, explicit event-time timers).
+
+    GATED CAPABILITY: the transformWithState Python runner speaks a
+    protobuf-based state protocol; in environments without the
+    ``protobuf`` package the query's driver worker cannot start, so this
+    raises ``ImportError`` up front with the actionable message instead of a
+    mid-query crash.  :func:`stream_lag_per_key_reordered` is the
+    dependency-free equivalent.
+
+    Semantics: rows buffer in per-key list state and are emitted in EVENT-TIME
+    order (ts, event_id) once the watermark passes them — so a row that
+    arrives in a later micro-batch than a newer-timestamped sibling still
+    lags correctly, as long as the disorder is within ``delay`` (the
+    watermark contract; rows later than that are dropped, exactly like every
+    watermarked op).  lag1/lag2 carry in value state across emissions.
+
+    Mechanics: ``handleInputRows`` appends the batch's rows to the buffer and
+    flushes the ≤-watermark prefix; an event-time timer at the newest
+    buffered timestamp flushes the remainder as the watermark advances
+    (including availableNow's final no-data batch).  State per key is
+    O(rows within the watermark horizon) — the price of reordering; the
+    horizon bounds it.
+
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``).
+    """
+    try:
+        import google.protobuf  # noqa: F401 — the TWS state protocol needs it
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas requires the 'protobuf' package for "
+            "its state-server protocol; install protobuf or use "
+            "stream_lag_per_key_reordered (same semantics, no dependency)"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    out_schema = (
+        "user_id long, event_id long, value double, "
+        "value_lag1 double, value_lag2 double"
+    )
+
+    class _LagProcessor(StatefulProcessor):
+        def init(self, handle):
+            self._handle = handle
+            self._buf = handle.getListState(
+                "buffer", "ts_ms long, event_id long, value double"
+            )
+            self._st = handle.getValueState(
+                "lags", "lag1 double, lag2 double, emitted_ts long"
+            )
+
+        def _flush(self, key, wm):
+            import pandas as pd
+
+            rows = [tuple(r) for r in self._buf.get()]
+            if not rows:
+                return None
+            lag1, lag2, emitted_ts = (
+                self._st.get() if self._st.exists() else (0.0, 0.0, -(2**62))
+            )
+            ready = sorted(
+                (r for r in rows if r[0] <= wm), key=lambda r: (r[0], r[1])
+            )
+            keep = [r for r in rows if r[0] > wm]
+            if not ready:
+                return None
+            out = {"user_id": [], "event_id": [], "value": [],
+                   "value_lag1": [], "value_lag2": []}
+            uid = key[0]
+            for ts_ms, eid, v in ready:
+                if ts_ms < emitted_ts:
+                    continue  # beyond-horizon late row: dropped (contract)
+                out["user_id"].append(uid)
+                out["event_id"].append(eid)
+                out["value"].append(float(v))
+                out["value_lag1"].append(lag1)
+                out["value_lag2"].append(lag2)
+                lag2, lag1 = lag1, float(v)
+                emitted_ts = ts_ms
+            self._st.update((lag1, lag2, emitted_ts))
+            self._buf.clear()
+            if keep:
+                self._buf.put(keep)
+                # flush the remainder when the watermark reaches it
+                self._handle.registerTimer(max(r[0] for r in keep))
+            return pd.DataFrame(out) if out["event_id"] else None
+
+        def handleInputRows(self, key, rows, timerValues):
+            new = []
+            for pdf in rows:
+                if len(pdf) == 0:
+                    continue
+                ts_ms = (
+                    pdf["ts"].to_numpy().astype("datetime64[ms]").astype("int64")
+                )
+                new.extend(
+                    zip(ts_ms.tolist(), pdf["event_id"].tolist(),
+                        pdf["value"].tolist())
+                )
+            if new:
+                self._buf.appendList(new)
+            pdf_out = self._flush(key, timerValues.getCurrentWatermarkInMs())
+            if pdf_out is not None:
+                yield pdf_out
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            pdf_out = self._flush(key, timerValues.getCurrentWatermarkInMs())
+            if pdf_out is not None:
+                yield pdf_out
+
+        def close(self):
+            pass
+
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_LagProcessor(),
+            outputStructType=out_schema,
+            outputMode="append",
+            timeMode="eventTime",
         )
     )

@@ -121,3 +121,90 @@ def test_stream_session_windows_prefix_of_batch(spark, sf_small, stream_dir):
 
     for _, _, end, _ in missing:
         assert end >= max_end - pd.Timedelta(hours=2), (end, max_end)
+
+
+def test_stream_lag_reordered_multifile_cross_batch_disorder(spark, tmp_path):
+    """DEVNOTES item 4 closure: a 3-file source where 10-row blocks are
+    SWAPPED across file boundaries (a row's newer siblings arrive one
+    micro-batch earlier), maxFilesPerTrigger=1 and Arrow chunks of 32.
+    stream_lag_per_key_reordered must (a) emit every row the final watermark
+    released, exactly once, as a contiguous event-time prefix per key, and
+    (b) reproduce the batch window_lag values exactly — the cross-batch
+    disorder the plain stream_lag_per_key documents as unhandled."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from cdc_wastewater_analysis_ml_spark.streaming import (
+        stream_lag_per_key_reordered,
+    )
+
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "32")
+    n = 400
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": (base + pd.to_timedelta(np.arange(n), unit="m")).astype("datetime64[us]"),
+        "user_id": (np.arange(n) % 2).astype(np.int64),
+        "event_type": "a",
+        "value": (np.arange(n) * 1.5).astype(np.float64),
+        "props": "{}",
+    })
+    fidx = np.repeat([0, 1, 2], [134, 133, 133])
+    fidx[124:134], fidx[134:144] = 1, 0   # early rows arrive a batch LATE
+    fidx[257:267], fidx[267:277] = 2, 1
+    d = str(tmp_path / "src")
+    os.makedirs(d, exist_ok=True)
+    for k in range(3):
+        part = df[fidx == k].sample(frac=1.0, random_state=k)  # in-batch shuffle
+        f = f"{d}/f{k}.parquet"
+        part.to_parquet(f, index=False)
+        os.utime(f, (1_700_000_000 + 1000 * k,) * 2)  # deterministic file order
+
+    src = read_events_stream(spark, d, maxFilesPerTrigger=1)  # SOURCE option
+    sdf = stream_lag_per_key_reordered(src, "30 minutes")
+    q = (
+        sdf.writeStream.format("memory").queryName("reord_sink")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    # the disorder must actually straddle micro-batches: 3 files → ≥3 batches
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 3
+    got = spark.sql("SELECT * FROM reord_sink").toPandas()
+
+    # final watermark = max ts - 30 min -> exactly the first 370 rows emitted
+    assert len(got) == 370 and got["event_id"].is_unique
+    for u in (0, 1):
+        eids = sorted(got[got.user_id == u]["event_id"])
+        assert eids == list(range(u, 370, 2))  # contiguous event-time prefix
+
+    exp = W.window_lag(
+        spark.createDataFrame(df), ["user_id"], ["ts", "event_id"], "value",
+        offsets=(1, 2), default=0.0, out_prefix="value_lag",
+    ).toPandas()
+    m = got.merge(exp[["event_id", "value_lag1", "value_lag2"]],
+                  on="event_id", suffixes=("_g", "_e"))
+    assert (m["value_lag1_g"] == m["value_lag1_e"]).all()
+    assert (m["value_lag2_g"] == m["value_lag2_e"]).all()
+
+
+def test_stream_lag_event_time_tws_gate(spark):
+    """The transformWithStateInPandas variant needs protobuf for its state
+    protocol: without it the op must fail FAST with an actionable ImportError
+    (not a mid-query driver-worker crash); with it, the op builds a plan."""
+    from cdc_wastewater_analysis_ml_spark.streaming import (
+        stream_lag_per_key_event_time,
+    )
+
+    events = spark.readStream.format("rate").load().selectExpr(
+        "value AS event_id", "timestamp AS ts", "value % 2 AS user_id",
+        "'a' AS event_type", "CAST(value AS DOUBLE) AS value", "'{}' AS props"
+    )
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="protobuf"):
+            stream_lag_per_key_event_time(events)
+    else:
+        assert stream_lag_per_key_event_time(events).isStreaming
