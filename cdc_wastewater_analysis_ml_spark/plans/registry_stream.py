@@ -25,6 +25,7 @@ from ..streaming import (
     stream_conditional_rate,
     stream_lag_per_key,
     stream_lag_per_key_reordered,
+    stream_session_windows,
     stream_weekly_mean,
 )
 from .registry import register
@@ -211,3 +212,46 @@ def q_stream_lag_reordered(spark, sf_dir):
         F.round("value_lag1", 6).alias("value_lag1"),
         F.round("value_lag2", 6).alias("value_lag2"),
     )
+
+
+@register(
+    "stream_session_windows",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      s AS (SELECT user_id, ts,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM g),
+      sess AS (SELECT user_id, min(ts) AS session_start,
+                      max(ts) + INTERVAL 30 MINUTE AS session_end,
+                      count(*) AS n_events
+               FROM s GROUP BY user_id, sess_id)
+    SELECT user_id, session_start, session_end, n_events
+    FROM sess
+    WHERE epoch_us(session_end)
+          <= (SELECT (max(epoch_ms(ts)) - 3600 * 1000) * 1000 FROM events)
+    """,
+)
+def q_stream_session_windows(spark, sf_dir):
+    """Streaming sessionization (streaming/ops.py stream_session_windows ≙
+    agg_session_windows, SURVEY §2.11) under the HARD gate: append mode
+    emits a session exactly when the final watermark (ms-truncated max event
+    time − 1 h — Spark keeps event-time stats in ms) passes its end, so the
+    emitted set is the deterministic gaps-and-islands result filtered to
+    epoch_us(session_end) ≤ watermark·1000.  Sessions still open at end of
+    input are withheld — which is the point: the oracle pins the watermark
+    semantics, not just batch parity (the pytest prefix test only bounds the
+    withheld tail).  Boundary note: a session ending INSIDE the watermark's
+    truncated millisecond could differ between ≤ and < — no fixture session
+    does (probed at sf0.001/sf0.01), and the fixture is static."""
+    src = read_events_stream(spark, _silver_events_dir(spark, sf_dir))
+    out = _run_to_completion(
+        spark, stream_session_windows(src, "30 minutes", "1 hour"), "append"
+    )
+    return out.select("user_id", "session_start", "session_end", "n_events")
