@@ -196,9 +196,13 @@ def binary_curve(
     )
     # Collision-proof aliases: bare "P"/"N" collide case-insensitively with
     # the per-threshold "n" under Spark's default spark.sql.caseSensitive=false.
-    totals = df.select(
-        F.sum(F.col(label).cast("long")).alias("__pos_total"),
-        F.sum(F.lit(1) - F.col(label).cast("long")).alias("__neg_total"),
+    # Totals come from the checkpointed per-threshold relation, NOT the raw
+    # input — summing ``df`` directly would be a second full scan of the data
+    # (2× the I/O at scale); ``part`` is already materialized and ≤ #distinct
+    # scores rows, and Σpos / Σ(n−pos) over it are the same exact integers.
+    totals = part.select(
+        F.sum("pos").alias("__pos_total"),
+        F.sum(F.col("n") - F.col("pos")).alias("__neg_total"),
     )
     cols = [
         F.col("threshold"),

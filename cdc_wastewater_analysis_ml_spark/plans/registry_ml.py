@@ -155,10 +155,26 @@ def _ml_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ml_split_stratified_counts", None)
+@register(
+    "ml_split_stratified_counts",
+    """
+    WITH m AS (
+      SELECT CAST(CASE WHEN (value + 20 * (user_id % 7)) > 100
+                       THEN 1 ELSE 0 END AS DOUBLE) AS label
+      FROM events)
+    SELECT label,
+           count(*) - CAST(floor(count(*) * 0.2) AS BIGINT) AS train_n,
+           CAST(floor(count(*) * 0.2) AS BIGINT) AS test_n
+    FROM m GROUP BY label
+    """,
+)
 def q_ml_split(spark, sf_dir):
     """Exact stratified 80/20 split ≙ codes.py:203-205 — emits per-class
-    train/test counts (rows-only check; exactness asserted in tests)."""
+    train/test counts.  HASH-gated (upgraded from rows-only): the split is
+    exact-count by construction, so test_n = ⌊n_c·0.2⌋ and train_n = n_c −
+    test_n are pure SQL over the same label derivation — the oracle pins the
+    split's defining invariant without needing to replicate the seeded hash
+    order (row membership stays engine-specific; SURVEY §5.2.3)."""
     df = _ml_frame(spark, sf_dir)
     train, test = ml.split_train_test_stratified(df, "label", 0.2, seed=42)
     tr = train.groupBy("label").agg(F.count(F.lit(1)).alias("train_n"))

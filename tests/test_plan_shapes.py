@@ -100,6 +100,19 @@ def test_metric_curves_have_no_unpartitioned_data_window(spark, sf_small, name):
         assert "__pid" in ln, f"{name}: unpartitioned data window:\n{ln}"
 
 
+@pytest.mark.parametrize("name", ["metric_roc_auc", "metric_average_precision"])
+def test_metric_curves_scan_input_once(spark, sf_small, name):
+    """binary_curve's class totals must come from the checkpointed
+    per-threshold relation, not a second aggregation of the raw input — at
+    scale that second branch is a full re-read of the data.  The raw scan
+    lives inside the (single) checkpoint lineage, so the top-level plan must
+    show ZERO parquet scans and only ExistingRDD reads of the checkpoint."""
+    plan = _plan(spark, sf_small, name)
+    scans = len(re.findall(r"Scan parquet|FileScan parquet", plan))
+    assert scans == 0, f"{name}: raw input re-scanned outside checkpoint\n{plan}"
+    assert "Scan ExistingRDD" in plan, plan
+
+
 @pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_embedding_cosine_lsh"])
 def test_lsh_candidate_joins_are_equi(spark, sf_small, name):
     """LSH banding must produce an equi join (shuffle/broadcast hash), never a
