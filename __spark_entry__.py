@@ -115,7 +115,12 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
     # so it sorts to the head of the rotation anyway); pre-existing streaming
     # ops are textually unchanged except read_events_stream gaining **options
     # (a no-op for existing zero-option callers).
-    "streaming/ops.py": ("stream_lag_reordered", "stream_session_windows"),
+    "streaming/ops.py": (
+        "stream_lag_reordered",
+        "stream_session_windows",
+        "stream_dedup_exact",
+        "stream_enrich_static",
+    ),
 }
 
 # Strict indexing (not .get): a key typo between the two hand-maintained

@@ -23,6 +23,8 @@ from ..sources import load_table
 from ..streaming import (
     read_events_stream,
     stream_conditional_rate,
+    stream_dedup_exact,
+    stream_enrich_static,
     stream_lag_per_key,
     stream_lag_per_key_reordered,
     stream_session_windows,
@@ -255,3 +257,47 @@ def q_stream_session_windows(spark, sf_dir):
         spark, stream_session_windows(src, "30 minutes", "1 hour"), "append"
     )
     return out.select("user_id", "session_start", "session_end", "n_events")
+
+
+@register(
+    "stream_dedup_exact",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_stream_dedup_exact(spark, sf_dir):
+    """Streaming exact dedup (streaming/ops.py stream_dedup_exact ≙ batch
+    dedup_exact, SURVEY §7 dedup family): first-arrival-wins DISTINCT over
+    an unbounded source, state one row per key.  Emitting only the key
+    columns makes the result deterministic (which duplicate arrives first is
+    a source-partition race) — so the oracle is plain SELECT DISTINCT."""
+    src = read_events_stream(spark, _silver_events_dir(spark, sf_dir))
+    out = _run_to_completion(
+        spark, stream_dedup_exact(src, ["user_id", "event_type"]), "append"
+    )
+    return out.select("user_id", "event_type")
+
+
+@register(
+    "stream_enrich_static",
+    """
+    SELECT e.event_id, e.user_id, c.c_mktsegment AS mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def q_stream_enrich_static(spark, sf_dir):
+    """Stream-static dimension enrichment (streaming/ops.py
+    stream_enrich_static): the customer dim joins the event stream as a
+    broadcast hash relation re-resolved per micro-batch — stateless,
+    watermark-free, the canonical attach-metadata-on-ingest shape."""
+    src = read_events_stream(spark, _silver_events_dir(spark, sf_dir))
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    out = _run_to_completion(
+        spark,
+        stream_enrich_static(src, dim, "user_id").select(
+            "event_id", "user_id", "mktsegment"
+        ),
+        "append",
+    )
+    return out.select("event_id", "user_id", "mktsegment")

@@ -1,19 +1,27 @@
 from .ops import (
     read_events_stream,
     stream_conditional_rate,
+    stream_dedup_exact,
+    stream_dedup_within_watermark,
+    stream_enrich_static,
     stream_lag_per_key,
     stream_lag_per_key_event_time,
     stream_lag_per_key_reordered,
     stream_session_windows,
+    stream_sink_parquet,
     stream_weekly_mean,
 )
 
 __all__ = [
     "read_events_stream",
     "stream_conditional_rate",
+    "stream_dedup_exact",
+    "stream_dedup_within_watermark",
+    "stream_enrich_static",
     "stream_lag_per_key",
     "stream_lag_per_key_event_time",
     "stream_lag_per_key_reordered",
     "stream_session_windows",
+    "stream_sink_parquet",
     "stream_weekly_mean",
 ]

@@ -394,3 +394,81 @@ def stream_lag_per_key_event_time(events: DataFrame, delay: str = "30 minutes") 
             timeMode="eventTime",
         )
     )
+
+
+def stream_dedup_exact(
+    events: DataFrame, key_cols: list[str] | None = None
+) -> DataFrame:
+    """Streaming exact dedup ≙ the batch fingerprint groupBy
+    (operators/dedup.py:dedup_exact) on an unbounded source: emit each
+    distinct key ONCE, at first arrival.
+
+    ``dropDuplicates`` keeps one state row per distinct key FOREVER — exact
+    DISTINCT semantics, state O(#distinct keys).  That is the right call for
+    a bounded backfill (availableNow) or a corpus whose key cardinality fits
+    the state store; for a forever-running ingest use
+    :func:`stream_dedup_within_watermark`, which bounds state by the
+    event-time horizon at the cost of re-admitting duplicates farther apart
+    than the horizon.
+
+    Only the key columns are emitted: WHICH duplicate row arrives first is a
+    race between source partitions, so projecting away the non-key columns
+    is what makes the op deterministic (same contract as the batch op's
+    canonical-row variant ``dedup_rows_keep_min``).
+    """
+    keys = key_cols or ["user_id", "event_type"]
+    return events.select(*keys).dropDuplicates(keys)
+
+
+def stream_dedup_within_watermark(
+    events: DataFrame, key_cols: list[str] | None = None, delay: str = "1 day"
+) -> DataFrame:
+    """Bounded-state streaming dedup: like :func:`stream_dedup_exact` but a
+    key's state row is dropped once the watermark passes its event time, so
+    state is O(keys within the horizon) — the forever-running ingest shape.
+
+    Contract change vs exact: two duplicates farther apart in EVENT TIME
+    than ``delay`` both emit (the first's state has expired).  Eviction runs
+    at the END of each micro-batch with that batch's incoming watermark, so
+    an expired key is actually re-admitted only from the NEXT batch on — a
+    beyond-horizon duplicate landing in the very batch where its
+    predecessor's state expires is still dropped (asserted in
+    tests/test_streaming_parity.py).  Emits the key columns plus ``ts``
+    (the surviving arrival's event time — required:
+    ``dropDuplicatesWithinWatermark`` needs the watermark column present).
+    """
+    keys = key_cols or ["user_id", "event_type"]
+    return (
+        events.withWatermark("ts", delay)
+        .select("ts", *keys)
+        .dropDuplicatesWithinWatermark(keys)
+    )
+
+
+def stream_enrich_static(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static equi-join: enrich an unbounded stream with a bounded
+    dimension (inner join).  Spark plans the static side as a broadcast hash
+    relation re-resolved per micro-batch — no stream-side state, no
+    watermark needed; the canonical "attach user/document metadata on
+    ingest" shape of a training-data pipeline."""
+    return stream.join(dim, on=on, how="inner")
+
+
+def stream_sink_parquet(
+    sdf: DataFrame, path: str, checkpoint: str, available_now: bool = True
+):
+    """Exactly-once parquet sink: the file sink's transaction log (_spark_
+    metadata) + the source checkpoint give end-to-end exactly-once for file
+    →file pipelines — a restart after adding new source files appends ONLY
+    the new rows, an interrupted batch is atomically retried.  Returns the
+    started StreamingQuery (caller awaits termination).
+    """
+    w = (
+        sdf.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

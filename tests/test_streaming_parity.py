@@ -208,3 +208,94 @@ def test_stream_lag_event_time_tws_gate(spark):
             stream_lag_per_key_event_time(events)
     else:
         assert stream_lag_per_key_event_time(events).isStreaming
+
+
+def test_stream_dedup_within_watermark_bounded_state_contract(spark, tmp_path):
+    """The bounded-state dedup contract, both directions: a duplicate WITHIN
+    the event-time horizon is dropped; a duplicate BEYOND it re-emits
+    (its predecessor's state expired with the watermark) — the price of
+    O(horizon) state on a forever-running ingest."""
+    import os
+
+    import pandas as pd
+
+    from cdc_wastewater_analysis_ml_spark.streaming import (
+        stream_dedup_within_watermark,
+    )
+
+    t0 = pd.Timestamp("2024-01-01")
+
+    def mk(rows):
+        return pd.DataFrame({
+            "event_id": range(len(rows)),
+            "ts": pd.Series([t0 + pd.Timedelta(r[1]) for r in rows]).astype("datetime64[us]"),
+            "user_id": [r[0] for r in rows],
+            "event_type": "a",
+            "value": 1.0,
+            "props": "{}",
+        })
+
+    d = str(tmp_path / "dedup_src")
+    os.makedirs(d)
+    # file 0: K=1 at t0; filler advances the watermark to t0+26h after batch
+    # 0, STRICTLY past K=1's state expiry t0+24h (an exact tie would probe
+    # Spark's eviction boundary, not the contract).  State eviction runs at
+    # the END of a batch with that batch's incoming watermark, so K=1's
+    # expired state is gone only after batch 1 — the re-admitted duplicate
+    # must arrive in batch 2.
+    mk([(1, "0h"), (9, "50h"), (3, "47h")]).to_parquet(f"{d}/f0.parquet", index=False)
+    # file 1: K=3 again 1h later (within horizon -> dropped as duplicate)
+    mk([(3, "48h")]).to_parquet(f"{d}/f1.parquet", index=False)
+    # file 2: K=1 again at t0+3d (beyond the 1d horizon -> re-emits)
+    mk([(1, "72h")]).to_parquet(f"{d}/f2.parquet", index=False)
+    for k in range(3):
+        os.utime(f"{d}/f{k}.parquet", (1_700_000_000 + 1000 * k,) * 2)
+
+    src = read_events_stream(spark, d, maxFilesPerTrigger=1)
+    sdf = stream_dedup_within_watermark(src, ["user_id"], "1 day")
+    q = (
+        sdf.writeStream.format("memory").queryName("dd_wm_sink")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT user_id, ts FROM dd_wm_sink").toPandas()
+    counts = got.groupby("user_id").size().to_dict()
+    assert counts == {1: 2, 3: 1, 9: 1}, counts  # K=1 re-admitted, K=3 deduped
+
+
+def test_stream_sink_parquet_exactly_once_across_restart(spark, tmp_path):
+    """File-source checkpoint + file-sink transaction log = end-to-end
+    exactly-once: a restart after new source files arrive appends ONLY the
+    new rows — no duplicates, no gaps (the canonical bronze->silver loop)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from cdc_wastewater_analysis_ml_spark.streaming import stream_sink_parquet
+
+    def mk(ids):
+        return pd.DataFrame({
+            "event_id": np.asarray(ids, dtype=np.int64),
+            "ts": pd.Series([pd.Timestamp("2024-01-01")] * len(ids)).astype("datetime64[us]"),
+            "user_id": np.zeros(len(ids), dtype=np.int64),
+            "event_type": "a",
+            "value": 1.0,
+            "props": "{}",
+        })
+
+    src_dir, out_dir, ckpt = (str(tmp_path / n) for n in ("src", "out", "ckpt"))
+    os.makedirs(src_dir)
+    mk(range(100)).to_parquet(f"{src_dir}/f0.parquet", index=False)
+
+    for expected in (100, 250):
+        q = stream_sink_parquet(
+            read_events_stream(spark, src_dir).select("event_id", "user_id"),
+            out_dir, ckpt,
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(out_dir)
+        assert got.count() == expected
+        assert got.select("event_id").distinct().count() == expected
+        if expected == 100:  # arrange the restart: 150 NEW rows
+            mk(range(100, 250)).to_parquet(f"{src_dir}/f1.parquet", index=False)
