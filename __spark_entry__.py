@@ -95,6 +95,7 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "dedup_embedding_cosine_lsh",
         "dedup_lsh_verified",
         "dedup_incremental",
+        "dedup_incremental_near",
     ),
     "operators/windows.py": (
         "window_lag",

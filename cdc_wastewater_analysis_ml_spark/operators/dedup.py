@@ -468,3 +468,100 @@ def dedup_incremental_exact(
     new_fp = fan_out(new_df).withColumn("__fp", fingerprint(text_col))
     store_fp = fan_out(store_df).select(fingerprint(text_col).alias("__fp")).distinct()
     return new_fp.join(store_fp, "__fp", "left_anti").drop("__fp")
+
+
+def minhash_lsh_candidates_vs_store(
+    new_df: DataFrame,
+    store_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs of a NEW batch against an existing corpus:
+    ``(id_new, id_store)`` sharing ≥1 MinHash band bucket.
+
+    The incremental analogue of :func:`minhash_lsh_candidates`: instead of a
+    corpus self-join, the delta's banded signatures equi-join the store's —
+    cost O(|delta| + matching buckets), never corpus × corpus.  At 100 TB
+    the store side is a PRECOMPUTED banded-signature staging table (written
+    once per corpus build, bucketed by (band_id, band_key) so this join is
+    exchange-free on the store side); here it is derived in-plan because the
+    fixtures are small.  No ``id <`` constraint — the two relations are
+    disjoint id spaces by contract (same-id re-crawls are the EXACT dedup
+    pass's job, :func:`dedup_incremental_exact`).
+    """
+    banded_new = banded_minhash(
+        new_df, text_col, id_col, num_hashes, bands, shingle_n
+    ).persist()
+    banded_store = banded_minhash(
+        store_df, text_col, id_col, num_hashes, bands, shingle_n
+    ).persist()
+    out = (
+        banded_new.alias("a")
+        .join(
+            banded_store.alias("b"),
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_key") == F.col("b.band_key"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_new"),
+            F.col(f"b.{id_col}").alias("id_store"),
+        )
+        .distinct()
+    )
+    return scoped_persist(out, banded_new, banded_store)
+
+
+def dedup_incremental_near(
+    new_df: DataFrame,
+    store_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental NEAR-dup dedup: rows of ``new_df`` whose text is not a
+    near-duplicate (shingle Jaccard ≥ ``threshold``) of ANY store document —
+    the daily-ingest production shape for a training corpus, completing
+    :func:`dedup_incremental_exact` (which only rejects byte-identical
+    re-crawls).
+
+    candidates→verify, both stages delta-driven: banded-LSH candidates
+    against the store (:func:`minhash_lsh_candidates_vs_store`), exact
+    Jaccard on candidate pairs only, then one left-anti join removes new
+    docs with a confirmed match.  Intra-batch near-dups are out of scope —
+    run :func:`minhash_lsh_candidates` + verify within the batch first if
+    the delta itself may contain them.
+    """
+    cand = minhash_lsh_candidates_vs_store(
+        new_df, store_df, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    sh_new = fan_out(new_df).select(
+        F.col(id_col).alias("id_new"),
+        F.array_distinct(word_shingles(text_col, shingle_n)).alias("shs_new"),
+    )
+    sh_store = fan_out(store_df).select(
+        F.col(id_col).alias("id_store"),
+        F.array_distinct(word_shingles(text_col, shingle_n)).alias("shs_store"),
+    )
+    joined = (
+        cand.join(sh_new, "id_new")
+        .join(sh_store, "id_store")
+        .withColumn("inter", F.size(F.array_intersect("shs_new", "shs_store")))
+    )
+    jac = F.col("inter") / (
+        F.size("shs_new") + F.size("shs_store") - F.col("inter")
+    )
+    matched = (
+        joined.filter(F.round(jac, 6) >= threshold)
+        .select(F.col("id_new").alias(id_col))
+        .distinct()
+    )
+    out = new_df.join(matched, id_col, "left_anti")
+    return transfer_cache_scope(cand, out)

@@ -924,3 +924,71 @@ def q_dedup_lsh_bucket_stats(spark, sf_dir):
     docs = _augmented_docs(spark, sf_dir)
     banded = D.banded_minhash(docs, "text", "doc_id", num_hashes=8, bands=4)
     return D.lsh_bucket_stats(banded)
+
+
+def _incremental_near_sql() -> str:
+    from .registry_ext import _minhash_sql, _shingles_sql_d
+
+    sig_cols = ", ".join(_minhash_sql(i) for i in range(8))
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        f"concat(minhash_{2 * b}, '|', minhash_{2 * b + 1}) AS band_key FROM {{sig}}"
+        for b in range(4)
+    )
+    return f"""
+    WITH store AS (SELECT doc_id, text FROM documents),
+      newb AS (
+        SELECT doc_id + 100000 AS doc_id, concat(text, ' near dup tail') AS text
+        FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 200000 AS doc_id,
+               concat('novel ', CAST(doc_id AS VARCHAR),
+                      ' content unlike anything stored before now') AS text
+        FROM documents WHERE doc_id % 5 = 1),
+      sig_s AS (SELECT d.doc_id, {sig_cols} FROM store d),
+      sig_n AS (SELECT d.doc_id, {sig_cols} FROM newb d),
+      band_s AS ({bands.format(sig="sig_s")}),
+      band_n AS ({bands.format(sig="sig_n")}),
+      cand AS (SELECT DISTINCT n.doc_id AS id_new, s.doc_id AS id_store
+               FROM band_n n JOIN band_s s
+                 ON n.band_id = s.band_id AND n.band_key = s.band_key),
+      shs_s AS (SELECT d.doc_id, list_distinct({_shingles_sql_d()}) AS shs
+                FROM store d),
+      shs_n AS (SELECT d.doc_id, list_distinct({_shingles_sql_d()}) AS shs
+                FROM newb d),
+      matched AS (
+        SELECT DISTINCT id_new FROM cand
+        JOIN shs_n a ON a.doc_id = id_new
+        JOIN shs_s b ON b.doc_id = id_store
+        WHERE round(len(list_intersect(a.shs, b.shs)) * 1.0
+                    / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))),
+                    6) >= 0.3)
+    SELECT doc_id FROM newb
+    WHERE doc_id NOT IN (SELECT id_new FROM matched)
+    """
+
+
+@register("dedup_incremental_near", _incremental_near_sql())
+def q_dedup_incremental_near(spark, sf_dir):
+    """Daily-ingest NEAR-dup dedup (operators/dedup.py dedup_incremental_near):
+    the new batch — half near-dup re-crawls (3 extra tail tokens), half
+    genuinely novel text — is banded-LSH-matched against the corpus and only
+    docs with no store match at Jaccard ≥ 0.3 survive.  Candidates→verify,
+    both stages delta-driven: O(|delta| + matching buckets), never
+    corpus × corpus; the completing near-dup half of ``dedup_incremental``."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near dup tail")).alias("text"),
+    )
+    fresh = docs.filter(F.col("doc_id") % 5 == 1).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(
+            F.lit("novel "),
+            F.col("doc_id").cast("string"),
+            F.lit(" content unlike anything stored before now"),
+        ).alias("text"),
+    )
+    batch = near.unionByName(fresh)
+    out = D.dedup_incremental_near(batch, docs, "text", "doc_id", threshold=0.3)
+    return out.select("doc_id")

@@ -296,3 +296,53 @@ def test_lsh_hot_bucket_guard_off_by_default(spark, sf_small):
         docs, "text", "doc_id", max_bucket_size=10**9, hot_bucket_action="skip"
     )
     assert sorted(map(tuple, base.collect())) == sorted(map(tuple, capped.collect()))
+
+
+def test_incremental_near_dedup_contract(spark):
+    """dedup_incremental_near: an exact re-crawl and a lightly-mutated
+    re-crawl are both rejected (Jaccard >= threshold vs the store); a novel
+    doc survives even when it shares stray vocabulary; and the id spaces are
+    respected (the store row itself never appears in the output)."""
+    from cdc_wastewater_analysis_ml_spark.operators import dedup as D
+
+    store = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog every day"),
+            (2, "pack my box with five dozen liquor jugs tonight"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # exact re-crawl of store doc 1
+            (101, "the quick brown fox jumps over the lazy dog every day"),
+            # near-dup of store doc 2 (one appended token)
+            (102, "pack my box with five dozen liquor jugs tonight please"),
+            # novel (shares words, no 3-shingle overlap)
+            (103, "a fox considered the box and wandered away instead"),
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        r["doc_id"]
+        for r in D.dedup_incremental_near(
+            batch, store, "text", "doc_id", threshold=0.3
+        ).collect()
+    )
+    assert out == [103], out
+
+
+def test_incremental_near_registry_recall(spark, sf_small):
+    """The driver-gated query's positives: every fresh doc survives, and the
+    near-dup half is removed at >= 95% recall (banded LSH may miss a short
+    doc whose mutated minhashes all shift — the documented tradeoff)."""
+    from cdc_wastewater_analysis_ml_spark.plans.registry import QUERIES
+    from cdc_wastewater_analysis_ml_spark.sources import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    n_near = docs.filter(F.col("doc_id") % 5 == 0).count()
+    n_fresh = docs.filter(F.col("doc_id") % 5 == 1).count()
+    out = QUERIES["dedup_incremental_near"](spark, sf_small).toPandas()
+    assert (out.doc_id >= 200000).sum() == n_fresh  # novel docs all survive
+    survivors_near = (out.doc_id < 200000).sum()
+    assert survivors_near <= 0.05 * n_near, (survivors_near, n_near)
