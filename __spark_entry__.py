@@ -110,7 +110,11 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
     "operators/relational.py": (),
     "operators/similarity.py": ("sim_recall_at_k",),
     "operators/text.py": (),
-    "sources/readers.py": (),
+    # r4 additive: scan_json/scan_orc (+ sinks) are new functions consumed
+    # only by the NEW roundtrip queries (never verified before); load_table/
+    # scan_csv/scan_parquet are textually unchanged.
+    "sources/readers.py": ("scan_json_roundtrip", "scan_orc_roundtrip"),
+    "sources/sinks.py": ("scan_json_roundtrip", "scan_orc_roundtrip"),
     # r4 additive: stream_lag_per_key_reordered (+ the TWS variant) are new
     # functions consumed only by the NEW query below (never verified before,
     # so it sorts to the head of the rotation anyway); pre-existing streaming

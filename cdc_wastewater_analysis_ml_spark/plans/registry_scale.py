@@ -992,3 +992,64 @@ def q_dedup_incremental_near(spark, sf_dir):
     batch = near.unionByName(fresh)
     out = D.dedup_incremental_near(batch, docs, "text", "doc_id", threshold=0.3)
     return out.select("doc_id")
+
+
+@register(
+    "scan_json_roundtrip",
+    """
+    SELECT o_orderstatus, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_scan_json_roundtrip(spark, sf_dir):
+    """sink_json → scan_json round trip: write orders as line-delimited JSON,
+    re-read with an EXPLICIT schema (the 100 TB path — inference re-reads the
+    whole text), aggregate.  Oracle aggregates the parquet source, proving
+    the JSON round trip lossless (shortest-round-trip doubles)."""
+    import hashlib
+    import tempfile
+
+    from ..sources import scan_json, sink_json
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/spark_graft_json_{tag}"
+    sink_json(o, path)
+    back = scan_json(spark, path, o.schema)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "scan_orc_roundtrip",
+    """
+    SELECT o_orderstatus, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_scan_orc_roundtrip(spark, sf_dir):
+    """sink_orc → scan_orc round trip: the second columnar substrate —
+    binary-exact doubles by construction; the check pins schema + values
+    through the ORC writer/reader pair."""
+    import hashlib
+    import tempfile
+
+    from ..sources import scan_orc, sink_orc
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/spark_graft_orc_{tag}"
+    sink_orc(o, path)
+    back = scan_orc(spark, path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

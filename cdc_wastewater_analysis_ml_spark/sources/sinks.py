@@ -52,3 +52,22 @@ def sink_parquet_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def sink_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Line-delimited JSON sink (interchange format: one object per line,
+    splittable, so a 100 TB export still scans in parallel).
+
+    ``timestampFormat`` is pinned to microseconds: Spark's default JSON
+    format truncates to MILLIS, silently losing precision on a round trip
+    (caught by tests/test_sinks.py) — columnar sinks don't have this trap.
+    """
+    df.write.mode(mode).option(
+        "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    ).json(path)
+
+
+def sink_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the second columnar substrate (pushdown/pruning like
+    parquet; native to Hive-side consumers)."""
+    df.write.mode(mode).orc(path)

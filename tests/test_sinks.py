@@ -68,3 +68,23 @@ def test_bucketed_join_no_exchange(spark, sf_small, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_left")
         spark.sql("DROP TABLE IF EXISTS b_right")
+
+
+def test_json_roundtrip_preserves_timestamps(spark, sf_small, tmp_path):
+    """JSON serializes timestamps as ISO strings; re-reading with the explicit
+    schema must restore them to the microsecond (the events fixture carries
+    non-zero micros)."""
+    from cdc_wastewater_analysis_ml_spark.sources import (
+        load_table,
+        scan_json,
+        sink_json,
+    )
+
+    ev = load_table(spark, sf_small, "events").select("event_id", "ts", "value")
+    path = str(tmp_path / "events_json")
+    sink_json(ev, path)
+    back = scan_json(spark, path, ev.schema)
+    a = ev.orderBy("event_id").toPandas()
+    b = back.orderBy("event_id").toPandas()
+    assert (a["ts"].to_numpy() == b["ts"].to_numpy()).all()
+    assert (a["value"].to_numpy() == b["value"].to_numpy()).all()
