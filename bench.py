@@ -54,6 +54,13 @@ HEADLINE = [
     "agg_session_windows",
     "dedup_lsh_verified",
     "window_trailing_mean_time",
+    # r4 additions (corpus-curation family).  Cross-round total comparisons
+    # should use the 34 queries above (see DEVNOTES); per-query times remain
+    # directly comparable either way.
+    "dedup_cluster_cc",
+    "corpus_contamination",
+    "text_repetition_signals",
+    "sample_mixture_weights",
 ]
 
 

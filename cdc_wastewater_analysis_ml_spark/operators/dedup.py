@@ -565,3 +565,92 @@ def dedup_incremental_near(
     )
     out = new_df.join(matched, id_col, "left_anti")
     return transfer_cache_scope(cand, out)
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    out_node: str = "doc_id",
+    out_cluster: str = "cluster_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over a near-dup
+    pair relation, labelling every node with the minimum id reachable from
+    it (``cluster_id``).  Completes the dedup story — pairwise verify says
+    *A~B, B~C*; clustering is what lets a pipeline keep ONE canonical doc
+    per transitive group (keep iff ``doc_id == cluster_id``).
+
+    Algorithm: Pregel-style min-label propagation expressed as DataFrame
+    ops — per round, every node takes ``min(own label, neighbours'
+    labels)`` (one shuffle join + one map-side-combinable shuffle agg),
+    converging in *diameter(G)* rounds.  Near-dup clusters are
+    shallow (duplicate families link through shared content, not long
+    chains), so the round count is small and data-independent-ish; for
+    adversarially deep graphs the two-phase large-star/small-star scheme of
+    Kiveris et al., "Connected Components in MapReduce and Beyond" (SoCC
+    2014) drops to O(log²) rounds with the same per-round plan shape — the
+    swap is local to this function.
+
+    Scale mechanics, per the iterative-algorithm house rules:
+
+    - the symmetrized edge relation is computed once and persisted — it is
+      re-scanned every round;
+    - each round's labels are eagerly ``localCheckpoint``-ed: truncates the
+      otherwise exponentially-growing lineage AND caches the only state the
+      next round needs (labels are ~(node, long) pairs — tiny next to the
+      corpus);
+    - convergence is detected WITHOUT a labels-vs-labels join: labels only
+      ever decrease, so the label sum is strictly monotone and "sum
+      unchanged" ⇔ fixpoint.  One scalar agg per round on checkpointed
+      data; decimal(38,0) so a 100 TB corpus's id sum cannot overflow.
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds don't converge — an
+    unconverged labelling silently under-merges clusters, which is a
+    correctness failure, not a degraded answer.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    sym = sym.persist()
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    prev_sum = object()  # sentinel: never equal to a real first-round sum
+    try:
+        for _ in range(max_iter):
+            nbr = sym.join(
+                labels.withColumnRenamed("node", "dst"), "dst"
+            ).select(F.col("src").alias("node"), "label")
+            labels = (
+                nbr.unionByName(labels.select("node", "label"))
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint(eager=True)
+            )
+            label_sum = labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)"))
+            ).collect()[0][0]
+            if label_sum == prev_sum:
+                return labels.select(
+                    F.col("node").alias(out_node),
+                    F.col("label").alias(out_cluster),
+                )
+            prev_sum = label_sum
+    finally:
+        sym.unpersist()
+    raise RuntimeError(
+        f"connected_components: no fixpoint after {max_iter} rounds — "
+        "graph diameter exceeds the iteration budget; raise max_iter or "
+        "switch to large-star/small-star"
+    )
+
+
+def cluster_dedup_decision(
+    cc: DataFrame, node_col: str = "doc_id", cluster_col: str = "cluster_id"
+) -> DataFrame:
+    """Keep-flag per clustered doc: the cluster's minimum id is canonical."""
+    return cc.withColumn("keep", F.col(node_col) == F.col(cluster_col))

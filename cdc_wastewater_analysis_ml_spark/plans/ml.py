@@ -243,3 +243,41 @@ def run_reference_scenarios(
     lin_p = train_linear_probability(train_p, label, "features_pca")
     results.append(evaluate_scored(score_linear(lin_p, test_p, label), "LinearRegression (PCA)"))
     return results
+
+
+def build_classifier_pipeline(
+    features: list[str],
+    label: str,
+    max_iter: int = 100,
+    seed: int = 42,
+):
+    """The EP3 train path as ONE saveable ``pyspark.ml.Pipeline`` —
+    assembler → z-score scaler → GBT (same pinned hyperparameters as
+    :func:`train_gbt`).  Fitting returns a ``PipelineModel`` whose
+    ``write().save(path)`` persists every stage (assembler config, scaler
+    means/stds, tree ensemble) to a directory; ``PipelineModel.load``
+    restores it bit-identically on any cluster — the train-once /
+    score-everywhere deployment shape the reference cannot express
+    (codes.py keeps the fitted objects in process memory only).
+    """
+    from pyspark.ml import Pipeline
+
+    return Pipeline(
+        stages=[
+            VectorAssembler(inputCols=features, outputCol="features_raw"),
+            StandardScaler(
+                withMean=True,
+                withStd=True,
+                inputCol="features_raw",
+                outputCol="features",
+            ),
+            GBTClassifier(
+                labelCol=label,
+                featuresCol="features",
+                maxIter=max_iter,
+                maxDepth=3,
+                stepSize=0.1,
+                seed=seed,
+            ),
+        ]
+    )

@@ -1,0 +1,480 @@
+"""Registry part 6: corpus-curation extensions — duplicate-cluster
+connected components, train/eval contamination, PII redaction, repetition
+quality signals, deterministic sampling/mixture operators.
+
+These are the training-data-pipeline operations layered over the document
+corpus (brief: "the operations a large-scale training-data pipeline would
+need"), generalizing the reference's cleaning steps (codes.py:96
+drop_duplicates; codes.py:28-60 hygiene) to LLM-corpus shapes.  House
+oracle rules apply: identical aliases both sides, the floor(x·10⁶+0.5)/10⁶
+cross-engine rounding for derived floats, explicit casts so DuckDB's wider
+types (BIGINT len/row_number, HUGEINT sums) land on Spark's dtypes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import corpus as C
+from ..operators import dedup as D
+from ..operators import sampling as SAM
+from ..sources import fan_out, load_table
+from .registry import register
+from .registry_scale import _lsh_verified_sql
+
+# ---------------------------------------------------------------------------
+# Duplicate clustering (connected components over verified near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def _cluster_cc_sql() -> str:
+    # Oracle: exact transitive closure via a recursive CTE over the SAME
+    # verified-pair relation the Spark pipeline produces (subquery-wrapped
+    # so its WITH chain nests).  UNION (not UNION ALL) dedups reach rows —
+    # termination on the cyclic dup graph.
+    return f"""
+    WITH RECURSIVE
+    vpairs AS (SELECT id_a, id_b FROM ({_lsh_verified_sql()}) v),
+    cedges AS (SELECT id_a AS src, id_b AS dst FROM vpairs
+               UNION SELECT id_b, id_a FROM vpairs),
+    cnodes AS (SELECT DISTINCT src AS node FROM cedges),
+    reach(node, dst) AS (
+        SELECT node, node FROM cnodes
+        UNION
+        SELECT r.node, e.dst FROM reach r JOIN cedges e ON e.src = r.dst
+    )
+    SELECT node AS doc_id,
+           CAST(min(dst) AS BIGINT) AS cluster_id,
+           (node = min(dst)) AS keep
+    FROM reach GROUP BY node
+    """
+
+
+@register("dedup_cluster_cc", _cluster_cc_sql())
+def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dup clusters: banded-LSH candidates → Jaccard verify →
+    connected components → keep-one-per-cluster decision.  Completes the
+    near-dup pipeline: pairwise verify alone can't answer "which single doc
+    survives" when A~B and B~C but A≁C.  Iterative min-label propagation
+    (operators/dedup.py:connected_components) — diameter-bounded rounds,
+    labels checkpointed per round, convergence via a monotone label-sum
+    check, no driver-side graph."""
+    from .registry_ext import _augmented_docs
+
+    docs = _augmented_docs(spark, sf_dir)
+    pairs = D.minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=8, bands=4)
+    verified = D.jaccard_verify_pairs(docs, pairs, "text", "doc_id", threshold=0.3)
+    cc = D.connected_components(verified.select("id_a", "id_b"))
+    return D.cluster_dedup_decision(cc)
+
+
+# ---------------------------------------------------------------------------
+# Train/eval contamination (n-gram overlap decontamination check)
+# ---------------------------------------------------------------------------
+
+_EVAL_TAIL = " eval holdout tail"
+
+
+def _contamination_sql() -> str:
+    def shingles(textexpr: str, n: int = 8) -> str:
+        norm = f"regexp_replace(trim(lower({textexpr})), '\\s+', ' ', 'g')"
+        toks = f"string_split({norm}, ' ')"
+        return (
+            f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 1) + 1), "
+            f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))"
+        )
+
+    ev_text = f"concat(text, '{_EVAL_TAIL}')"
+    return f"""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    ev AS (
+        SELECT DISTINCT md5(s.sh) AS h
+        FROM base, unnest({shingles(ev_text)}) AS s(sh)
+        WHERE doc_id % 5 = 0
+    ),
+    tr AS (
+        SELECT doc_id, md5(s.sh) AS h
+        FROM base, unnest(list_distinct({shingles("text")})) AS s(sh)
+    ),
+    tot AS (
+        SELECT doc_id, len(list_distinct({shingles("text")})) AS n_shingles
+        FROM base
+    ),
+    hits AS (
+        SELECT doc_id, count(*) AS n_shared FROM tr JOIN ev USING (h)
+        GROUP BY doc_id
+    )
+    SELECT h.doc_id, h.n_shared, t.n_shingles,
+           floor(h.n_shared * 1.0 / t.n_shingles * 1000000 + 0.5) / 1000000
+               AS overlap_frac
+    FROM hits h JOIN tot t USING (doc_id)
+    """
+
+
+@register("corpus_contamination", _contamination_sql())
+def q_corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: which training docs share ≥1 distinct
+    word 8-gram with the eval suite.  The eval fixture is a mutated copy of
+    every 5th doc (suffix appended) so interior 8-grams survive — exactly
+    the "eval set leaked into the crawl" shape.  Digest-keyed equi-join;
+    the eval digest set is broadcast-sized by construction."""
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    eval_df = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(_EVAL_TAIL)).alias("text")
+    )
+    out = C.contamination_overlap(docs, eval_df, "text", "doc_id", n=8)
+    return out.select(
+        "doc_id",
+        "n_shared",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        "overlap_frac",
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+
+def _pii_inject_sql() -> str:
+    return (
+        "concat(text, ' contact user', CAST(doc_id % 100 AS VARCHAR),"
+        " '@example.com via 10.0.', CAST(doc_id % 256 AS VARCHAR),"
+        " '.7 or 555-', lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'),"
+        " '-0199')"
+    )
+
+
+def _pii_sql() -> str:
+    t = "ptext"
+    red = f"regexp_replace({t}, '{C.PII_EMAIL}', '<EMAIL>', 'g')"
+    red = f"regexp_replace({red}, '{C.PII_PHONE}', '<PHONE>', 'g')"
+    red = f"regexp_replace({red}, '{C.PII_IPV4}', '<IP>', 'g')"
+    return f"""
+    WITH base AS (SELECT doc_id, {_pii_inject_sql()} AS ptext FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all({t}, '{C.PII_EMAIL}')) AS INTEGER) AS n_email,
+           CAST(len(regexp_extract_all({t}, '{C.PII_PHONE}')) AS INTEGER) AS n_phone,
+           CAST(len(regexp_extract_all({t}, '{C.PII_IPV4}')) AS INTEGER) AS n_ip,
+           md5({red}) AS clean_digest
+    FROM base
+    """
+
+
+@register("corpus_pii_redact", _pii_sql())
+def q_corpus_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count + redact emails / phones / IPv4s per document.  The
+    fixture injects one of each (derived from doc_id) since the synthetic
+    corpus contains none; the md5 digest of the redacted text hash-verifies
+    the actual replacement output, not just the counts.  Patterns live in
+    the Java∩RE2 common syntax so the identical strings run both engines."""
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit("@example.com via 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 or 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-0199"),
+        ).alias("ptext"),
+    )
+    out = C.pii_redact(injected, "ptext")
+    return out.select(
+        "doc_id", "n_email", "n_phone", "n_ip",
+        F.md5("redacted").alias("clean_digest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition quality signals
+# ---------------------------------------------------------------------------
+
+
+def _repetition_sql() -> str:
+    def dup_frac(sh: str) -> str:
+        return (
+            f"floor((len({sh}) - len(list_distinct({sh}))) * 1.0 / len({sh})"
+            f" * 1000000 + 0.5) / 1000000"
+        )
+
+    norm = "regexp_replace(trim(lower(rtext)), '\\s+', ' ', 'g')"
+    toks = f"string_split({norm}, ' ')"
+
+    def shingles(n: int) -> str:
+        return (
+            f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 1) + 1), "
+            f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))"
+        )
+
+    return f"""
+    WITH base AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 = 0 THEN concat(text, ' ', text)
+                    ELSE text END AS rtext
+        FROM documents)
+    SELECT doc_id,
+           CAST(len({toks}) AS BIGINT) AS n_tokens,
+           {dup_frac(shingles(2))} AS dup_2gram_frac,
+           {dup_frac(shingles(3))} AS dup_3gram_frac
+    FROM base
+    """
+
+
+@register("text_repetition_signals", _repetition_sql())
+def q_text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetitious-text signals: duplicate 2-/3-gram fractions
+    per doc (every 4th doc is doubled in the fixture so the filter has real
+    positives).  Pure Catalyst array expressions, single scan, no shuffle."""
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit(" "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("rtext"),
+    )
+    out = C.repetition_signals(injected, "rtext", "doc_id")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "dup_2gram_frac",
+        "dup_3gram_frac",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / mixture
+# ---------------------------------------------------------------------------
+
+
+def _hash_pred_sql(key_sql: str, seed, threshold_hex: str) -> str:
+    return (
+        f"substr(md5(concat('{seed}:', CAST({key_sql} AS VARCHAR))), 1, 8)"
+        f" < '{threshold_hex}'"
+    )
+
+
+def _sample_fraction_sql() -> str:
+    thr = SAM.fraction_to_hex_threshold(0.2)
+    return f"""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_value_cents
+    FROM events
+    WHERE {_hash_pred_sql("event_id", 42, thr)}
+    GROUP BY event_type
+    """
+
+
+@register("sample_hash_fraction", _sample_fraction_sql())
+def q_sample_hash_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% uniform sample (md5 keyed on event_id, seed 42),
+    then per-type stats.  Engine-portable and partition-independent — the
+    reproducible alternative to df.sample()/rand().  Value sums go through
+    integer cents so float-summation order can't break cross-engine hashes."""
+    ev = load_table(spark, sf_dir, "events")
+    s = SAM.sample_fraction_hash(ev, "event_id", 0.2, seed=42)
+    return s.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("sum_value_cents"),
+    )
+
+
+_MIX_WEIGHTS = {
+    "src0": 1.0,
+    "src1": 0.75,
+    "src2": 0.5,
+    "src3": 0.25,
+    "src4": 0.1,
+    "src5": 0.05,
+}
+
+
+def _sample_mixture_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{g}' THEN '{SAM.fraction_to_hex_threshold(w)}'"
+        for g, w in _MIX_WEIGHTS.items()
+    )
+    return f"""
+    SELECT source, count(*) AS n
+    FROM documents
+    WHERE substr(md5(concat('7:', CAST(doc_id AS VARCHAR))), 1, 8)
+          < CASE source {cases} END
+    GROUP BY source
+    """
+
+
+@register("sample_mixture_weights", _sample_mixture_sql())
+def q_sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixture re-weighting: per-source keep probabilities applied in
+    ONE deterministic filter scan (src0 2×-ish down to src5 rare; src6-9
+    dropped) — the "dataset mixture" step of a training pipeline without
+    per-source passes."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = SAM.sample_mixture(docs, "doc_id", "source", _MIX_WEIGHTS, seed=7)
+    return s.groupBy("source").agg(F.count("*").alias("n"))
+
+
+def _sample_topk_sql() -> str:
+    return f"""
+    SELECT lang, doc_id, CAST(rk AS INTEGER) AS rk FROM (
+        SELECT lang, doc_id,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY substr(md5(concat('5:', CAST(doc_id AS VARCHAR))), 1, 8),
+                            doc_id) AS rk
+        FROM documents) t
+    WHERE rk <= 3
+    """
+
+
+@register("sample_topk_per_key", _sample_topk_sql())
+def q_sample_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-3-per-language deterministic sample (seeded-hash order) — the
+    reproducible per-key reservoir.  One shuffle on lang; parallelism =
+    #keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = SAM.sample_topk_per_key(docs, ["lang"], "doc_id", 3, seed=5)
+    return out.select("lang", "doc_id", "rk")
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter funnel, up-sampling mixture, dataset-card token stats
+# ---------------------------------------------------------------------------
+
+
+def _quality_funnel_sql() -> str:
+    from .registry_ext import _TOKENS, _shingles_sql
+
+    return f"""
+    WITH t AS (
+        SELECT doc_id, text, {_TOKENS} AS toks,
+               length(text) AS total,
+               length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                   AS punct,
+               {_shingles_sql(2)} AS sh2
+        FROM documents),
+    s AS (
+        SELECT doc_id,
+               len(toks) AS n_tok,
+               floor((len(sh2) - len(list_distinct(sh2))) / len(sh2)
+                     * 1000000 + 0.5) / 1000000 AS dup2,
+               floor(least(1.0, total / 500.0)
+                     * (1.0 - CASE WHEN total > 0
+                                   THEN punct * 1.0 / total ELSE 0.0 END)
+                     * (1.0 - (CASE WHEN len(toks) > 0
+                                    THEN len(list_filter(toks, x ->
+                                         list_contains(['the','a','and','of','to'], x)))
+                                         * 1.0 / len(toks)
+                                    ELSE 0.0 END) / 2.0)
+                     * 1000000 + 0.5) / 1000000 AS quality
+        FROM t)
+    SELECT CASE WHEN n_tok < 25 THEN 'too_short'
+                WHEN dup2 > 0.05 THEN 'repetitive'
+                WHEN quality < 0.35 THEN 'low_quality'
+                ELSE 'kept' END AS reason,
+           count(*) AS n_docs
+    FROM s GROUP BY 1
+    """
+
+
+@register("corpus_quality_filter", _quality_funnel_sql())
+def q_corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter funnel: first-failing-rule attribution over the
+    curation signals (token count < 25 → repetition > 0.05 → quality
+    < 0.35 → kept), reduced to per-reason counts — the pipeline-observability
+    relation a corpus run reports.  Single scan, all signals are Catalyst
+    expressions; thresholds compare the floor-rounded values so the rule
+    boundary is engine-exact."""
+    from ..operators import text as T
+    from ..operators.corpus import dup_fraction
+
+    d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    n_tok = T.token_count("text")
+    dup2 = dup_fraction(T.word_shingles("text", 2))
+    quality = F.floor(T.quality_score("text") * 1000000 + F.lit(0.5)) / 1000000
+    reason = (
+        F.when(n_tok < 25, "too_short")
+        .when(dup2 > 0.05, "repetitive")
+        .when(quality < 0.35, "low_quality")
+        .otherwise("kept")
+    )
+    return d.select(reason.alias("reason")).groupBy("reason").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+_RESAMPLE_WEIGHTS = {"src0": 2.5, "src1": 1.0, "src2": 0.3, "src3": 2.0}
+
+
+def _resample_sql() -> str:
+    whole_cases = " ".join(
+        f"WHEN '{g}' THEN {int(w)}" for g, w in _RESAMPLE_WEIGHTS.items()
+    )
+    thr_cases = " ".join(
+        f"WHEN '{g}' THEN '{SAM.fraction_to_hex_threshold(w - int(w))}'"
+        for g, w in _RESAMPLE_WEIGHTS.items()
+    )
+    return f"""
+    WITH n AS (
+        SELECT source,
+               CASE source {whole_cases} END
+               + CASE WHEN substr(md5(concat('9:', CAST(doc_id AS VARCHAR))), 1, 8)
+                           < CASE source {thr_cases} END
+                      THEN 1 ELSE 0 END AS n_copies
+        FROM documents
+        WHERE source IN ({", ".join(f"'{g}'" for g in _RESAMPLE_WEIGHTS)}))
+    SELECT source, CAST(sum(n_copies) AS BIGINT) AS n_rows
+    FROM n WHERE n_copies > 0 GROUP BY source
+    """
+
+
+@register("sample_resample_mixture", _resample_sql())
+def q_sample_resample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-mixture re-weighting WITH up-sampling (src0 2.5×, src3 2×,
+    src2 0.3×; others dropped): rows replicate JVM-side via
+    explode(sequence), fractional parts resolved per row by the hash draw.
+    The oracle sums expected copy counts — same multiset cardinality the
+    replicated relation materializes."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = SAM.resample_mixture(docs, "doc_id", "source", _RESAMPLE_WEIGHTS, seed=9)
+    return out.groupBy("source").agg(F.count("*").alias("n_rows"))
+
+
+def _token_stats_sql() -> str:
+    from .registry_ext import _TOKENS
+
+    return f"""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+           round(quantile_cont(len(toks), 0.50), 6) AS p50_tokens,
+           round(quantile_cont(len(toks), 0.90), 6) AS p90_tokens
+    FROM (SELECT lang, {_TOKENS} AS toks FROM documents) t
+    GROUP BY lang
+    """
+
+
+@register("corpus_token_stats", _token_stats_sql())
+def q_corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card token statistics per language: doc count, total token
+    budget, exact p50/p90 token-length quantiles — one shuffle on lang,
+    map-side combinable counts/sums plus per-group exact percentiles."""
+    from ..operators import text as T
+
+    d = fan_out(load_table(spark, sf_dir, "documents").select("lang", "text"))
+    toks = d.select("lang", T.token_count("text").alias("n_tokens"))
+    return toks.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.percentile(F.col("n_tokens"), F.lit(0.50)), 6).alias("p50_tokens"),
+        F.round(F.percentile(F.col("n_tokens"), F.lit(0.90)), 6).alias("p90_tokens"),
+    )

@@ -171,3 +171,30 @@ def test_reference_fidelity_scenarios_full(spark):
         assert 0.0 < r["average_precision"] <= 1.0
     best = max(rows.values(), key=lambda r: r["roc_auc"])
     assert best["model"] == "GradientBoosting (Original)"
+
+
+def test_classifier_pipeline_save_load_roundtrip(spark, model_df, tmp_path):
+    """DEVNOTES item 6: the full train path (assemble → scale → GBT) as one
+    PipelineModel; persisted and reloaded, it must reproduce the exact same
+    probability column."""
+    from pyspark.ml import PipelineModel
+    from pyspark.ml.functions import vector_to_array
+
+    train, test = ml.split_train_test_stratified(model_df, LABEL_COLUMN)
+    pipe = ml.build_classifier_pipeline(MODEL_FEATURES, LABEL_COLUMN, max_iter=5)
+    model = pipe.fit(train)
+    path = str(tmp_path / "clf_pipeline")
+    model.write().overwrite().save(path)
+    loaded = PipelineModel.load(path)
+
+    def probs(m):
+        return [
+            round(r["p"], 12)
+            for r in m.transform(test)
+            .select(vector_to_array("probability")[1].alias("p"))
+            .orderBy("p")
+            .limit(100)
+            .collect()
+        ]
+
+    assert probs(loaded) == probs(model)
