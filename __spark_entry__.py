@@ -97,8 +97,9 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "dedup_incremental",
         "dedup_incremental_near",
         # r4 additive: connected_components/cluster_dedup_decision are new
-        # functions consumed only by the new (never-verified) query below.
+        # functions consumed only by the new (never-verified) queries below.
         "dedup_cluster_cc",
+        "dedup_embedding_clusters",
     ),
     "operators/windows.py": (
         "window_lag",
@@ -139,6 +140,7 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "stream_session_windows",
         "stream_dedup_exact",
         "stream_enrich_static",
+        "stream_sample_fraction",
     ),
 }
 

@@ -28,14 +28,14 @@ from .registry_scale import _lsh_verified_sql
 # ---------------------------------------------------------------------------
 
 
-def _cluster_cc_sql() -> str:
+def _cc_closure_sql(pairs_sql: str, out_node: str = "doc_id") -> str:
     # Oracle: exact transitive closure via a recursive CTE over the SAME
-    # verified-pair relation the Spark pipeline produces (subquery-wrapped
-    # so its WITH chain nests).  UNION (not UNION ALL) dedups reach rows —
+    # pair relation the Spark pipeline produces (subquery-wrapped so its
+    # WITH chain nests).  UNION (not UNION ALL) dedups reach rows —
     # termination on the cyclic dup graph.
     return f"""
     WITH RECURSIVE
-    vpairs AS (SELECT id_a, id_b FROM ({_lsh_verified_sql()}) v),
+    vpairs AS (SELECT id_a, id_b FROM ({pairs_sql}) v),
     cedges AS (SELECT id_a AS src, id_b AS dst FROM vpairs
                UNION SELECT id_b, id_a FROM vpairs),
     cnodes AS (SELECT DISTINCT src AS node FROM cedges),
@@ -44,11 +44,15 @@ def _cluster_cc_sql() -> str:
         UNION
         SELECT r.node, e.dst FROM reach r JOIN cedges e ON e.src = r.dst
     )
-    SELECT node AS doc_id,
+    SELECT node AS {out_node},
            CAST(min(dst) AS BIGINT) AS cluster_id,
            (node = min(dst)) AS keep
     FROM reach GROUP BY node
     """
+
+
+def _cluster_cc_sql() -> str:
+    return _cc_closure_sql(_lsh_verified_sql())
 
 
 @register("dedup_cluster_cc", _cluster_cc_sql())
@@ -478,3 +482,35 @@ def q_corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile(F.col("n_tokens"), F.lit(0.50)), 6).alias("p50_tokens"),
         F.round(F.percentile(F.col("n_tokens"), F.lit(0.90)), 6).alias("p90_tokens"),
     )
+
+
+def _embedding_cluster_sql() -> str:
+    from .registry_ext import _cos_sql, _rhp_sig_sql
+
+    pairs = f"""
+    WITH sig AS (SELECT e.vec_id, e.embedding,
+                        {_rhp_sig_sql('e', 4)} AS rhp_sig
+                 FROM embeddings e),
+      scored AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({_cos_sql('a', 'b')}, 6) AS cos
+        FROM sig a JOIN sig b USING (rhp_sig)
+        WHERE a.vec_id < b.vec_id)
+    SELECT id_a, id_b FROM scored WHERE cos >= 0.35
+    """
+    return _cc_closure_sql(pairs, out_node="vec_id")
+
+
+@register("dedup_embedding_clusters", _embedding_cluster_sql())
+def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-modality dup clusters: RHP-LSH-bucketed cosine pairs →
+    connected components → keep-one-per-cluster.  Same generic CC operator
+    as the text path (dedup_cluster_cc) over a different pair generator —
+    clustering composes with ANY candidate modality (text shingles,
+    embeddings, URL keys)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = D.near_dup_embedding_lsh(emb, "vec_id", "embedding", 0.35, planes=4)
+    cc = D.connected_components(
+        pairs.select("id_a", "id_b"), out_node="vec_id"
+    )
+    return D.cluster_dedup_decision(cc, node_col="vec_id")

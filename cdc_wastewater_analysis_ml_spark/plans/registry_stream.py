@@ -301,3 +301,39 @@ def q_stream_enrich_static(spark, sf_dir):
         "append",
     )
     return out.select("event_id", "user_id", "mktsegment")
+
+
+def _stream_sample_sql() -> str:
+    from ..operators.sampling import fraction_to_hex_threshold
+
+    thr = fraction_to_hex_threshold(0.2)
+    return f"""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_value_cents
+    FROM events
+    WHERE substr(md5(concat('42:', CAST(event_id AS VARCHAR))), 1, 8) < '{thr}'
+    GROUP BY event_type
+    """
+
+
+@register("stream_sample_fraction", _stream_sample_sql())
+def q_stream_sample_fraction(spark, sf_dir):
+    """Deterministic 20% sample on an unbounded source: the IDENTICAL
+    operator function as the batch `sample_hash_fraction` query applied to a
+    streaming DataFrame — hash-threshold sampling is a stateless
+    deterministic filter, so it streams with zero state and zero semantic
+    drift (df.sample()/rand() cannot make that claim: their row choice
+    depends on partition iteration order, which differs per micro-batch)."""
+    from ..operators.sampling import sample_fraction_hash
+
+    src = read_events_stream(spark, _silver_events_dir(spark, sf_dir))
+    sampled = sample_fraction_hash(src, "event_id", 0.2, seed=42)
+    agg = sampled.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("sum_value_cents"),
+    )
+    out = _run_to_completion(spark, agg, "complete")
+    return out.select("event_type", "n", "sum_value_cents")

@@ -161,3 +161,43 @@ def test_sort_rows_ranked_has_no_single_task_window(spark, sf_small):
             assert "__pid" in ln, f"single-task global window:\n{ln}"
         else:
             assert "__cnt" in ln, f"unexpected data window:\n{ln}"
+
+
+def test_quality_filter_single_scan_single_agg_exchange(spark, sf_small):
+    """The funnel is one scan of documents + one partial/final agg pair —
+    every signal must fold into the scan stage (no joins, ≤1 hash exchange,
+    no Python)."""
+    plan = _plan(spark, sf_small, "corpus_quality_filter")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan
+
+
+def test_contamination_joins_are_equi(spark, sf_small):
+    """Contamination must candidate-join on the shingle digest — equi joins
+    only, never a nested-loop/cartesian pairing of train × eval."""
+    plan = _plan(spark, sf_small, "corpus_contamination")
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan
+
+
+def test_sample_filters_fold_into_scan_stage(spark, sf_small):
+    """Hash-threshold sampling is a pure filter: no exchange before the
+    aggregate, no join, no Python anywhere."""
+    for name in ("sample_hash_fraction", "sample_mixture_weights"):
+        plan = _plan(spark, sf_small, name)
+        assert plan.count("Scan parquet") == 1, name
+        assert plan.count("Exchange hashpartitioning") <= 1, name
+        for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                    "BatchEvalPython", "ArrowEvalPython"):
+            assert bad not in plan, (name, bad)
+
+
+def test_resample_mixture_no_shuffle_before_agg(spark, sf_small):
+    """explode(sequence) replication happens map-side: the only exchange is
+    the final count-by-source aggregate."""
+    plan = _plan(spark, sf_small, "sample_resample_mixture")
+    assert "Generate explode" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
