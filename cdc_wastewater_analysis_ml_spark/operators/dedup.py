@@ -609,37 +609,81 @@ def connected_components(
     unconverged labelling silently under-merges clusters, which is a
     correctness failure, not a degraded answer.
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # Materialize the edge relation ONCE before symmetrizing: the union of e
+    # with its own swap is two branches over the same upstream plan, and a
+    # near-dup pair generator upstream (LSH candidates → Jaccard verify) is
+    # exactly the kind of subplan that must not execute twice.  The pair
+    # relation itself is tiny relative to the corpus (ids only), so an eager
+    # localCheckpoint is cheap and also frees the caller's cached
+    # intermediates for the rest of the iteration.
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
     sym = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     sym = sym.persist()
+    # Round 1 fused into initialization: with identity labels, the first
+    # propagation is simply min(node, direct neighbours) — one shuffle agg,
+    # no join.  The loop below therefore starts at round 2; a diameter-1
+    # graph (the common near-dup pair-cluster case) needs exactly one loop
+    # round to confirm the fixpoint.
+    # Per-round state is eagerly localCheckpoint-ed: persist() alone would
+    # cache EXECUTION but leave the logical plan growing — and with the
+    # pointer-doubling join below referencing the round's relation twice,
+    # the analyzed plan would double per round (exponential Catalyst
+    # planning, measured as a 10× wall-clock blowup before this was a
+    # checkpoint).  Truncating lineage every round keeps planning O(1).
+    def _sum(df: DataFrame):
+        return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[
+            0
+        ][0]
+
     labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        sym.groupBy("src")
+        .agg(F.least(F.min("dst"), F.col("src")).alias("label"))
+        .select(F.col("src").alias("node"), "label")
+        .localCheckpoint(eager=True)
     )
-    prev_sum = object()  # sentinel: never equal to a real first-round sum
+    prev_sum = _sum(labels)
     try:
         for _ in range(max_iter):
             nbr = sym.join(
                 labels.withColumnRenamed("node", "dst"), "dst"
             ).select(F.col("src").alias("node"), "label")
-            labels = (
+            stepped = (
                 nbr.unionByName(labels.select("node", "label"))
                 .groupBy("node")
                 .agg(F.min("label").alias("label"))
                 .localCheckpoint(eager=True)
             )
-            label_sum = labels.agg(
-                F.sum(F.col("label").cast("decimal(38,0)"))
-            ).collect()[0][0]
+            # Labels only ever decrease (through both the min-step and the
+            # compression below), so equal consecutive sums ⇔ fixpoint —
+            # checked BEFORE compression, which a converged (or shallow)
+            # graph then never pays for.
+            label_sum = _sum(stepped)
             if label_sum == prev_sum:
-                return labels.select(
+                return stepped.select(
                     F.col("node").alias(out_node),
                     F.col("label").alias(out_cluster),
                 )
             prev_sum = label_sum
+            # Pointer doubling: label ← label(label).  Every label is itself
+            # a node (min over node ids), and label(x) ≤ x, so one extra
+            # equi-join per round squares the contraction distance —
+            # convergence in O(log diameter) rounds instead of diameter.
+            # At cluster scale the round count IS the cost (each round is a
+            # global shuffle barrier), so chain-shaped dup graphs (URL
+            # redirect chains, transitive near-dup tails) stop being a
+            # pathological case.
+            hop = stepped.select(
+                F.col("node").alias("label"), F.col("label").alias("label2")
+            )
+            labels = (
+                stepped.join(hop, "label")
+                .select("node", F.col("label2").alias("label"))
+                .localCheckpoint(eager=True)
+            )
     finally:
         sym.unpersist()
     raise RuntimeError(
