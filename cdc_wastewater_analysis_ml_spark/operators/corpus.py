@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..sources.readers import fan_out
-from .text import word_shingles, token_count
+from .text import tokenize, token_count, word_shingles
 
 #: Redaction patterns — Java regex ∩ RE2 (portable to the DuckDB oracle).
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -58,11 +58,21 @@ def contamination_overlap(
     that up from sizes, so the plan degrades gracefully if the eval side
     grows.
     """
-    tr_sh = fan_out(train).select(
+    # ONE scan of the train corpus: shingle each doc once, take both the
+    # per-doc total (size) and the exploded digests from that single
+    # projection.  n_shingles rides along the exploded rows as a small int —
+    # cheap next to the digest — which also removes the hits⋈totals join the
+    # first version paid (and its second full shingle pass, the r4 ADVICE
+    # finding).
+    doc_sh = fan_out(train).select(
         F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(text_col, n))).alias("__sh"),
+        F.array_distinct(word_shingles(text_col, n)).alias("__shs"),
     )
-    tr = tr_sh.select(id_col, F.md5("__sh").alias("__h"))
+    tr = doc_sh.select(
+        F.col(id_col),
+        F.size("__shs").alias("n_shingles"),
+        F.explode("__shs").alias("__sh"),
+    ).select(id_col, "n_shingles", F.md5("__sh").alias("__h"))
     ev = (
         fan_out(eval_df)
         .select(
@@ -71,20 +81,66 @@ def contamination_overlap(
         .select(F.md5("__sh").alias("__h"))
         .distinct()
     )
-    hits = tr.join(ev, "__h").groupBy(id_col).agg(
+    hits = tr.join(ev, "__h").groupBy(id_col, "n_shingles").agg(
         F.count("*").alias("n_shared")
-    )
-    totals = fan_out(train).select(
-        F.col(id_col),
-        F.size(F.array_distinct(word_shingles(text_col, n))).alias("n_shingles"),
     )
     # floor(x·1e6 + 0.5)/1e6: the house cross-engine rounding (see DEVNOTES)
     frac = F.col("n_shared") / F.col("n_shingles")
-    return hits.join(totals, id_col).select(
+    return hits.select(
         id_col,
         "n_shared",
         "n_shingles",
         (F.floor(frac * 1e6 + F.lit(0.5)) / 1e6).alias("overlap_frac"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    standard pre-tokenization packing step of an LLM data pipeline
+    (context-length windows with ``chunk_tokens − stride`` tokens of
+    overlap).
+
+    Returns ``(id_col, chunk_id, chunk_text, n_chunk_tokens)`` with 0-based
+    ``chunk_id``; the tail chunk may be shorter.  A doc with ≤ chunk_tokens
+    tokens yields exactly one chunk.
+
+    Pure Catalyst: tokenize once, build chunk start offsets with
+    ``sequence``, slice+join per start with ``transform``, ``posexplode``
+    to rows.  No shuffle, no Python — chunking pipelines inside the scan
+    stage, which is the only shape that survives a 100 TB corpus (one task
+    per input split, output fan-out proportional to tokens/stride).
+    """
+    if chunk_tokens <= 0 or stride <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = tokenize(text_col)
+    n = F.size(toks)
+    # chunks after the first: ceil((n - chunk)/stride), floored at 0
+    extra = F.greatest(
+        F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)), F.lit(0)
+    ).cast("int")
+    starts = F.sequence(F.lit(1), F.lit(1) + extra * stride, F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.array_join(F.slice(toks, s, chunk_tokens), " ").alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), n - s + 1).cast("int").alias(
+                "n_chunk_tokens"
+            ),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "__c")
+    ).select(
+        id_col,
+        "chunk_id",
+        F.col("__c.chunk_text").alias("chunk_text"),
+        F.col("__c.n_chunk_tokens").alias("n_chunk_tokens"),
     )
 
 

@@ -25,7 +25,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..sources.readers import fan_out
-from .caching import scoped_persist, transfer_cache_scope
+from .caching import (
+    release_local_checkpoint as _release_local_checkpoint,
+    scoped_persist,
+    transfer_cache_scope,
+)
 from .text import fingerprint, word_shingles
 
 
@@ -432,10 +436,15 @@ def jaccard_verify_pairs(
     though the caller typically drops the intermediate ``pairs`` handle
     (the round-3 ``dedup_lsh_verified`` regression).
     """
+    # Persist the per-doc shingle arrays: the relation feeds BOTH sides of
+    # the pair join, and without the pin the expensive shingle projection
+    # runs twice (once per side) — the same double-compute shape the banded
+    # signatures had.  Scoped to the returned plan like the transferred
+    # candidate-cache pins.
     sh = fan_out(df).select(
         F.col(id_col),
         F.array_distinct(word_shingles(text_col, shingle_n)).alias("__shs"),
-    )
+    ).persist()
     a = sh.select(F.col(id_col).alias("id_a"), F.col("__shs").alias("shs_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("__shs").alias("shs_b"))
     joined = (
@@ -448,7 +457,7 @@ def jaccard_verify_pairs(
         joined.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
-    return transfer_cache_scope(pairs, out)
+    return scoped_persist(transfer_cache_scope(pairs, out), sh)
 
 
 def dedup_incremental_exact(
@@ -657,6 +666,12 @@ def connected_components(
                 .agg(F.min("label").alias("label"))
                 .localCheckpoint(eager=True)
             )
+            # Round k's checkpoint has materialized (eager) and its lineage
+            # is cut — nothing can ever re-read round k−1's blocks, so free
+            # them NOW instead of pinning every round's state until Python/
+            # JVM GC gets around to it (block-manager pressure on long
+            # chains / busy clusters — r4 ADVICE).
+            _release_local_checkpoint(labels)
             # Labels only ever decrease (through both the min-step and the
             # compression below), so equal consecutive sums ⇔ fixpoint —
             # checked BEFORE compression, which a converged (or shallow)
@@ -684,8 +699,11 @@ def connected_components(
                 .select("node", F.col("label2").alias("label"))
                 .localCheckpoint(eager=True)
             )
+            _release_local_checkpoint(stepped)
     finally:
         sym.unpersist()
+        # sym is gone; nothing can recompute from the edge snapshot now.
+        _release_local_checkpoint(e)
     raise RuntimeError(
         f"connected_components: no fixpoint after {max_iter} rounds — "
         "graph diameter exceeds the iteration budget; raise max_iter or "

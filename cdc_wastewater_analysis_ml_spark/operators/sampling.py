@@ -32,9 +32,18 @@ _HEX_SPAN = 16**8  # first 8 hex chars of md5: uniform draw in [0, 16^8)
 
 
 def fraction_to_hex_threshold(fraction: float) -> str:
-    """Exact keep-threshold: ``hash8 < threshold`` keeps ⌊p·16⁸⌋/16⁸ ≈ p."""
+    """Exact keep-threshold: ``hash8 < threshold`` keeps ⌊p·16⁸⌋/16⁸ ≈ p.
+
+    ``fraction == 1.0`` returns ``"g"`` — lexicographically after every hex
+    digit, so the predicate keeps EVERY row.  (The ⌊p·16⁸⌋ clamp would
+    otherwise cap at ``"ffffffff"`` and silently drop rows whose draw is
+    exactly ``ffffffff`` — p≈2.3e-10 per row, ~1 row per 4.3B at corpus
+    scale, for a weight that says "keep everything".)
+    """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    if fraction == 1.0:
+        return "g"
     return format(min(int(fraction * _HEX_SPAN), _HEX_SPAN - 1), "08x")
 
 

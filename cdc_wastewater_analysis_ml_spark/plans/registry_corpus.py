@@ -460,8 +460,10 @@ def _token_stats_sql() -> str:
     return f"""
     SELECT lang, count(*) AS n_docs,
            CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
-           round(quantile_cont(len(toks), 0.50), 6) AS p50_tokens,
-           round(quantile_cont(len(toks), 0.90), 6) AS p90_tokens
+           floor(quantile_cont(len(toks), 0.50) * 1000000 + 0.5) / 1000000
+               AS p50_tokens,
+           floor(quantile_cont(len(toks), 0.90) * 1000000 + 0.5) / 1000000
+               AS p90_tokens
     FROM (SELECT lang, {_TOKENS} AS toks FROM documents) t
     GROUP BY lang
     """
@@ -479,9 +481,41 @@ def q_corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
-        F.round(F.percentile(F.col("n_tokens"), F.lit(0.50)), 6).alias("p50_tokens"),
-        F.round(F.percentile(F.col("n_tokens"), F.lit(0.90)), 6).alias("p90_tokens"),
+        # floor(x·1e6+0.5)/1e6: house cross-engine rounding (half-up round()
+        # diverges between engines on boundary doubles — DEVNOTES).
+        (F.floor(F.percentile(F.col("n_tokens"), F.lit(0.50)) * 1000000 + F.lit(0.5))
+         / 1000000).alias("p50_tokens"),
+        (F.floor(F.percentile(F.col("n_tokens"), F.lit(0.90)) * 1000000 + F.lit(0.5))
+         / 1000000).alias("p90_tokens"),
     )
+
+
+def _chunk_sql() -> str:
+    from .registry_ext import _TOKENS
+
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+         s AS (SELECT doc_id, toks, len(toks) AS n,
+                      CAST(greatest(ceil((len(toks) - 64) * 1.0 / 48), 0)
+                           AS INTEGER) AS extra
+               FROM t)
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS chunk_id,
+           array_to_string(list_slice(toks, 1 + i * 48, i * 48 + 64), ' ')
+               AS chunk_text,
+           CAST(least(64, n - (1 + i * 48) + 1) AS INTEGER) AS n_chunk_tokens
+    FROM s, unnest(range(0, extra + 1)) AS u(i)
+    """
+
+
+@register("corpus_chunk_documents", _chunk_sql())
+def q_corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token windows, stride 48): the
+    pre-tokenization packing step of an LLM pipeline.  Pure Catalyst
+    sequence/slice/posexplode — chunking pipelines inside the scan stage,
+    no shuffle, no Python."""
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return C.chunk_documents(docs, "text", "doc_id", chunk_tokens=64, stride=48)
 
 
 def _embedding_cluster_sql() -> str:

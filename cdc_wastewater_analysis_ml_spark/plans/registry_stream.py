@@ -25,6 +25,7 @@ from ..streaming import (
     stream_conditional_rate,
     stream_dedup_exact,
     stream_enrich_static,
+    stream_interval_join,
     stream_lag_per_key,
     stream_lag_per_key_reordered,
     stream_session_windows,
@@ -301,6 +302,37 @@ def q_stream_enrich_static(spark, sf_dir):
         "append",
     )
     return out.select("event_id", "user_id", "mktsegment")
+
+
+@register(
+    "stream_interval_join",
+    """
+    SELECT p.user_id, p.event_id AS l_id, p.ts AS l_ts,
+           c.event_id AS r_id, c.ts AS r_ts
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 6 HOUR AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
+def q_stream_interval_join(spark, sf_dir):
+    """Watermarked stream-stream interval join (streaming/ops.py
+    stream_interval_join): clicks within 6 h before each same-user purchase.
+    INNER join ⇒ append mode emits every match (the watermark bounds join
+    STATE, not the inner-join result), and the silver dir's ≤32 part files
+    land in one availableNow micro-batch (file-source default
+    maxFilesPerTrigger=1000), so no row is ever evicted before its match
+    arrives — the emitted set is exactly the batch interval join, which is
+    the oracle."""
+    src = read_events_stream(spark, _silver_events_dir(spark, sf_dir))
+    out = _run_to_completion(
+        spark,
+        stream_interval_join(
+            src, "user_id", "purchase", "click", "6 hours", "1 hour"
+        ),
+        "append",
+    )
+    return out.select("user_id", "l_id", "l_ts", "r_id", "r_ts")
 
 
 def _stream_sample_sql() -> str:

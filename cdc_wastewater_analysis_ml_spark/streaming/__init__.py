@@ -4,6 +4,7 @@ from .ops import (
     stream_dedup_exact,
     stream_dedup_within_watermark,
     stream_enrich_static,
+    stream_interval_join,
     stream_lag_per_key,
     stream_lag_per_key_event_time,
     stream_lag_per_key_reordered,
@@ -18,6 +19,7 @@ __all__ = [
     "stream_dedup_exact",
     "stream_dedup_within_watermark",
     "stream_enrich_static",
+    "stream_interval_join",
     "stream_lag_per_key",
     "stream_lag_per_key_event_time",
     "stream_lag_per_key_reordered",

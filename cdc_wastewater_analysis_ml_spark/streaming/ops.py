@@ -445,6 +445,60 @@ def stream_dedup_within_watermark(
     )
 
 
+def stream_interval_join(
+    events: DataFrame,
+    key: str = "user_id",
+    left_type: str = "purchase",
+    right_type: str = "click",
+    lookback: str = "6 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream INTERVAL join: for every ``left_type``
+    event, the ``right_type`` events of the same ``key`` whose event time
+    falls in ``[l_ts − lookback, l_ts]`` — the attribution shape ("which
+    clicks preceded this purchase") and the remaining §2.11 join family
+    (stream-static is :func:`stream_enrich_static`; this is
+    stream-STREAM).
+
+    Mechanics: both branches carry their own watermark, and the join
+    condition pairs the key equality with an event-time RANGE — exactly
+    what Spark needs to bound join state (left rows evict once the right
+    watermark passes ``l_ts``, right rows once the left watermark passes
+    ``r_ts + lookback``).  Inner join ⇒ every match is emitted in append
+    mode; the watermark only bounds STATE, so on a bounded source whose
+    files land in one micro-batch the emitted set equals the batch join —
+    the oracle contract.  State per key is O(events in the lookback
+    horizon), the scale knob a production attribution pipeline actually
+    tunes.
+    """
+    left = (
+        events.filter(F.col("event_type") == left_type)
+        .select(
+            F.col(key),
+            F.col("ts").alias("l_ts"),
+            F.col("event_id").alias("l_id"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    right = (
+        events.filter(F.col("event_type") == right_type)
+        .select(
+            F.col(key).alias("__rk"),
+            F.col("ts").alias("r_ts"),
+            F.col("event_id").alias("r_id"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    cond = (
+        (F.col(key) == F.col("__rk"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+    )
+    return left.join(right, cond, "inner").select(
+        key, "l_id", "l_ts", "r_id", "r_ts"
+    )
+
+
 def stream_enrich_static(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     """Stream-static equi-join: enrich an unbounded stream with a bounded
     dimension (inner join).  Spark plans the static side as a broadcast hash

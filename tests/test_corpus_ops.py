@@ -64,6 +64,41 @@ def test_cc_max_iter_raises(spark):
         connected_components(edges, max_iter=2)
 
 
+def test_cc_adversarial_diameter_converges_in_log_rounds(spark):
+    """1000-node path graph (diameter 999): pointer doubling must converge
+    in O(log d) rounds — max_iter=15 ≪ 999 proves the claim (plain
+    min-propagation would need ~999 rounds and raise)."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)], ["id_a", "id_b"]
+    )
+    cc = connected_components(edges, max_iter=15)
+    rows = cc.collect()
+    assert len(rows) == 1000
+    assert {r["cluster_id"] for r in rows} == {0}
+
+
+def test_cc_releases_round_checkpoints(spark):
+    """Every round's localCheckpoint blocks must be freed once the next
+    round materializes (r4 ADVICE): after a multi-round run, block-manager
+    storage may hold only the RETURNED relation's own checkpoint — not one
+    entry per round."""
+    import gc
+
+    gc.collect()
+    jsc = spark.sparkContext._jsc.sc()
+    before = len(jsc.getRDDStorageInfo())
+    # diameter-60 chain → several rounds → would pin ~2 blocks/round unfreed
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], ["id_a", "id_b"]
+    )
+    out = connected_components(edges)
+    assert out.count() == 61
+    after = len(jsc.getRDDStorageInfo())
+    assert after - before <= 1, (
+        f"round checkpoints leaked: {before} -> {after} storage entries"
+    )
+
+
 def test_cluster_dedup_decision_keeps_min(spark):
     edges = spark.createDataFrame([(2, 1), (2, 3)], ["id_a", "id_b"])
     rows = cluster_dedup_decision(connected_components(edges)).collect()
@@ -89,6 +124,42 @@ def test_contamination_overlap_counts(spark):
     assert rows[1]["n_shared"] == 3  # all three of doc 1's 8-grams survive
     assert rows[1]["n_shingles"] == 3
     assert rows[1]["overlap_frac"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# chunking
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_overlapping_windows(spark):
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, text), (2, "short doc")], ["doc_id", "text"]
+    )
+    out = C.chunk_documents(df, "text", "doc_id", chunk_tokens=4, stride=3)
+    rows = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_chunk_tokens"])
+        for r in out.collect()
+    }
+    # doc 1: 10 tokens, starts 1/4/7 → full windows with 1-token overlap
+    assert rows[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert rows[(1, 1)] == ("t3 t4 t5 t6", 4)
+    assert rows[(1, 2)] == ("t6 t7 t8 t9", 4)
+    # doc 2: fits in one window
+    assert rows[(2, 0)] == ("short doc", 2)
+    assert len(rows) == 4
+
+
+def test_chunk_documents_short_tail(spark):
+    text = " ".join(f"t{i}" for i in range(9))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    out = C.chunk_documents(df, "text", "doc_id", chunk_tokens=4, stride=3)
+    rows = {r["chunk_id"]: r for r in out.collect()}
+    assert len(rows) == 3
+    assert rows[2]["chunk_text"] == "t6 t7 t8"
+    assert rows[2]["n_chunk_tokens"] == 3
+    with pytest.raises(ValueError, match="positive"):
+        C.chunk_documents(df, "text", "doc_id", chunk_tokens=0)
 
 
 # ---------------------------------------------------------------------------
@@ -166,6 +237,17 @@ def test_sample_fraction_extremes(spark):
     assert SAM.sample_fraction_hash(df, "k", 1.0, seed=1).count() == 100
     with pytest.raises(ValueError):
         SAM.fraction_to_hex_threshold(1.5)
+
+
+def test_sample_fraction_one_keeps_the_ffffffff_draw():
+    """fraction == 1.0 must keep EVERY row, including one whose 8-hex draw
+    is exactly 'ffffffff' — the clamped ⌊p·16⁸⌋−1 threshold silently
+    dropped it (~1 row per 4.3B at corpus scale; r4 ADVICE).  'g' sorts
+    after every hex digit in both Spark and DuckDB."""
+    thr = SAM.fraction_to_hex_threshold(1.0)
+    assert "ffffffff" < thr  # lexicographic, the predicate the filter runs
+    # just-below-1 fractions still clamp inside the hex span
+    assert SAM.fraction_to_hex_threshold(1.0 - 1e-12) == "ffffffff"
 
 
 def test_sample_mixture_drops_unlisted_groups(spark):

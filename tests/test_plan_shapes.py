@@ -183,6 +183,16 @@ def test_contamination_joins_are_equi(spark, sf_small):
         assert bad not in plan
 
 
+def test_contamination_scans_train_once(spark, sf_small):
+    """The train corpus must be shingled exactly once: n_shingles and the
+    exploded digests both derive from ONE array_distinct projection (r4
+    VERDICT task 3 — the first version paid a second full scan + a
+    hits⋈totals join).  Exactly 2 parquet scans total: train + eval."""
+    plan = _plan(spark, sf_small, "corpus_contamination")
+    scans = len(re.findall(r"Scan parquet|FileScan parquet", plan))
+    assert scans == 2, f"train corpus re-scanned:\n{plan}"
+
+
 def test_sample_filters_fold_into_scan_stage(spark, sf_small):
     """Hash-threshold sampling is a pure filter: no exchange before the
     aggregate, no join, no Python anywhere."""

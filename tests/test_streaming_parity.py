@@ -100,6 +100,43 @@ def test_stream_lag_matches_batch(spark, sf_small, stream_dir):
     assert (abs(got["value_lag2"] - expected["value_lag2"]) < 1e-9).all()
 
 
+def test_stream_interval_join_matches_batch_and_bounds(spark, tmp_path):
+    """Crafted input pinning the interval-join boundary semantics: both
+    range endpoints are INCLUSIVE ([l_ts − lookback, l_ts]), future clicks
+    and other users never match, and the streamed result equals the batch
+    join."""
+    import datetime as dt
+
+    from cdc_wastewater_analysis_ml_spark.streaming import stream_interval_join
+    from cdc_wastewater_analysis_ml_spark.streaming.ops import EVENTS_SCHEMA
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, minutes, user, typ):
+        return (eid, t0 + dt.timedelta(minutes=minutes), user, typ, 0.0, "{}")
+
+    rows = [
+        ev(1, 0, 1, "purchase"),
+        ev(2, -30, 1, "click"),   # exactly lookback before → inclusive lower
+        ev(3, 0, 1, "click"),     # same instant → inclusive upper
+        ev(4, -31, 1, "click"),   # one minute too old → excluded
+        ev(5, 1, 1, "click"),     # after the purchase → excluded
+        ev(6, -5, 2, "click"),    # other user → excluded
+    ]
+    d = str(tmp_path / "iv_events")
+    spark.createDataFrame(rows, EVENTS_SCHEMA).write.parquet(d)
+    src = read_events_stream(spark, d)
+    out = _run_to_memory(
+        spark,
+        stream_interval_join(src, "user_id", "purchase", "click",
+                             "30 minutes", "10 minutes"),
+        "iv_join",
+        "append",
+    )
+    got = {(r["l_id"], r["r_id"]) for r in out.collect()}
+    assert got == {(1, 2), (1, 3)}
+
+
 def test_stream_session_windows_prefix_of_batch(spark, sf_small, stream_dir):
     from cdc_wastewater_analysis_ml_spark.streaming import stream_session_windows
 
