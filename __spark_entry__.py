@@ -154,9 +154,14 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "sample_resample_mixture",
         "stream_sample_fraction",
     ),
-    # corpus_chunk_documents is r5-additive (never verified — listed for
-    # completeness, nothing to invalidate).
-    "plans/registry_corpus.py": ("corpus_token_stats", "corpus_chunk_documents"),
+    # corpus_chunk_documents / embedding_quantize_int8 are r5-additive
+    # (never verified — listed for completeness, nothing to invalidate);
+    # operators/quantize.py is a NEW r5 module consumed only by the latter.
+    "plans/registry_corpus.py": (
+        "corpus_token_stats",
+        "corpus_chunk_documents",
+        "embedding_quantize_int8",
+    ),
     "operators/relational.py": (),
     "operators/similarity.py": ("sim_recall_at_k",),
     "operators/text.py": (),

@@ -68,15 +68,24 @@ def contamination_overlap(
         F.col(id_col),
         F.array_distinct(word_shingles(text_col, n)).alias("__shs"),
     )
+    # explode_outer, NOT explode: for a plain explode Catalyst's
+    # InferFiltersFromGenerate injects `size(<generator input>) > 0` and
+    # substitutes the FULL shingle expression into a Filter and the scan's
+    # DataFilters — i.e. every row pays the shingle computation twice more
+    # (measured 1.7× on this query at sf0.1).  The outer variant skips the
+    # inference; its only semantic delta is a null row for null/absent
+    # text, which cannot survive the inner digest join below.
     tr = doc_sh.select(
         F.col(id_col),
         F.size("__shs").alias("n_shingles"),
-        F.explode("__shs").alias("__sh"),
+        F.explode_outer("__shs").alias("__sh"),
     ).select(id_col, "n_shingles", F.md5("__sh").alias("__h"))
     ev = (
         fan_out(eval_df)
         .select(
-            F.explode(F.array_distinct(word_shingles(text_col, n))).alias("__sh")
+            F.explode_outer(
+                F.array_distinct(word_shingles(text_col, n))
+            ).alias("__sh")
         )
         .select(F.md5("__sh").alias("__h"))
         .distinct()
@@ -134,8 +143,12 @@ def chunk_documents(
             ),
         ),
     )
+    # posexplode_outer: suppress InferFiltersFromGenerate re-computing the
+    # whole chunk array in an inferred size()>0 filter (see
+    # contamination_overlap); the array is never empty (≥1 chunk) and a
+    # null-text row surfaces as one null chunk either way.
     return df.select(
-        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "__c")
+        F.col(id_col), F.posexplode_outer(chunks).alias("chunk_id", "__c")
     ).select(
         id_col,
         "chunk_id",

@@ -320,9 +320,16 @@ def ngram_jaccard_pairs(
     share a shingle — which is exactly the set it must inspect anyway.
     """
     # The exploded shingle relation feeds three consumers (both join sides +
-    # the size aggregate); persist so shingling runs once.
+    # the size aggregate); persist so shingling runs once.  explode_outer:
+    # a plain explode gets an InferFiltersFromGenerate size()>0 filter that
+    # re-computes the whole shingle expression during cache materialization
+    # (see corpus.contamination_overlap); null-text rows yield a null sh
+    # that no equi-join side ever matches.
     sh = fan_out(df).select(
-        F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("sh")
+        F.col(id_col),
+        F.explode_outer(
+            F.array_distinct(word_shingles(text_col, shingle_n))
+        ).alias("sh"),
     ).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")

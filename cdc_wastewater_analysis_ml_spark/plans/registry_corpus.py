@@ -518,6 +518,55 @@ def q_corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.chunk_documents(docs, "text", "doc_id", chunk_tokens=64, stride=48)
 
 
+def _quantize_sql() -> str:
+    # Replays the exact engine arithmetic: float elements widened to double,
+    # floor-shift quantizer (engine-identical, unlike round()), per-vector
+    # symmetric scale floored at 1e-30.
+    idx = "range(1, len(embedding) + 1)"
+    return f"""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             greatest(list_max(list_transform(embedding,
+                          x -> abs(CAST(x AS DOUBLE)))) / 127.0,
+                      1e-30) AS scale
+      FROM embeddings),
+    d AS (
+      SELECT vec_id, embedding, scale,
+             list_transform(embedding,
+                 x -> CAST(greatest(-127, least(127,
+                          CAST(floor(CAST(x AS DOUBLE) / scale + 0.5)
+                               AS INTEGER))) AS DOUBLE) * scale) AS deq
+      FROM s)
+    SELECT vec_id,
+           floor(scale * 1000000 + 0.5) / 1000000 AS scale,
+           floor(list_max(list_transform({idx},
+                     i -> abs(CAST(embedding[i] AS DOUBLE) - deq[i])))
+                 * 1000000 + 0.5) / 1000000 AS max_abs_err,
+           floor(list_sum(list_transform({idx},
+                     i -> CAST(embedding[i] AS DOUBLE) * deq[i]))
+                 / nullif(sqrt(list_sum(list_transform({idx},
+                              i -> CAST(embedding[i] AS DOUBLE)
+                                   * CAST(embedding[i] AS DOUBLE))))
+                          * sqrt(list_sum(list_transform({idx},
+                              i -> deq[i] * deq[i]))), 0.0)
+                 * 1000000 + 0.5) / 1000000 AS cos_orig_deq
+    FROM d
+    """
+
+
+@register("embedding_quantize_int8", _quantize_sql())
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization fidelity report (scale,
+    ∞-norm reconstruction error, original↔reconstruction cosine) — the
+    gate a pipeline runs before switching its ANN index to quantized codes
+    (4× memory/shuffle cut).  Pure Catalyst array expressions, one scan,
+    zero shuffle."""
+    from ..operators import quantize as Q
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    return Q.quantization_report(emb, "embedding", "vec_id")
+
+
 def _embedding_cluster_sql() -> str:
     from .registry_ext import _cos_sql, _rhp_sig_sql
 

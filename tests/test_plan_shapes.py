@@ -187,10 +187,17 @@ def test_contamination_scans_train_once(spark, sf_small):
     """The train corpus must be shingled exactly once: n_shingles and the
     exploded digests both derive from ONE array_distinct projection (r4
     VERDICT task 3 — the first version paid a second full scan + a
-    hits⋈totals join).  Exactly 2 parquet scans total: train + eval."""
+    hits⋈totals join).  Exactly 2 parquet scans total: train + eval, and
+    exactly 2 shingle computations in the whole plan — a plain explode
+    would let InferFiltersFromGenerate re-inject the full shingle
+    expression into a Filter + the scan DataFilters (measured 1.7× slower;
+    explode_outer suppresses the inference)."""
     plan = _plan(spark, sf_small, "corpus_contamination")
     scans = len(re.findall(r"Scan parquet|FileScan parquet", plan))
     assert scans == 2, f"train corpus re-scanned:\n{plan}"
+    assert plan.count("array_distinct") == 2, (
+        f"shingle expression duplicated (inferred generate filter?):\n{plan}"
+    )
 
 
 def test_sample_filters_fold_into_scan_stage(spark, sf_small):
