@@ -54,6 +54,8 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # query definitions in the file are textually unchanged, and each
     # @register block is self-contained.
     "plans/registry_corpus.py": 5,
+    # r5: tpch_shipping_priority ADDED (additive @register block only).
+    "plans/registry_scale.py": 5,
     # r4: global_row_number added (operators/windows.py) and wired into
     # sort_rows_ranked; the pre-existing window ops are textually unchanged
     # but module-granularity staleness is the rule (r2 lesson).
@@ -154,6 +156,9 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "sample_resample_mixture",
         "stream_sample_fraction",
     ),
+    # tpch_shipping_priority is r5-additive to plans/registry_scale.py (the
+    # file's other query definitions are textually unchanged).
+    "plans/registry_scale.py": ("tpch_shipping_priority",),
     # corpus_chunk_documents / embedding_quantize_int8 are r5-additive
     # (never verified — listed for completeness, nothing to invalidate);
     # operators/quantize.py is a NEW r5 module consumed only by the latter.

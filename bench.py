@@ -74,9 +74,12 @@ HEADLINE = [
     "corpus_contamination",
     "text_repetition_signals",
     "sample_mixture_weights",
-    # r5 addition: the reference's actual end-to-end EP1 pipeline over the
-    # synthetic wastewater fixture (5040-row composite; VERDICT r4 task 8).
+    # r5 additions: the reference's actual end-to-end EP1 pipeline over the
+    # synthetic wastewater fixture (5040-row composite; VERDICT r4 task 8),
+    # plus the two new scan-stage corpus ops.
     "pipeline_wastewater_ep1",
+    "corpus_chunk_documents",
+    "embedding_quantize_int8",
 ]
 
 

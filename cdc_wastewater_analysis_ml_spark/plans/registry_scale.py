@@ -424,6 +424,57 @@ def q_tpch_pricing_summary(spark, sf_dir):
     )
 
 
+def _tpch_q3_sql() -> str:
+    return """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """
+
+
+@register("tpch_shipping_priority", _tpch_q3_sql())
+def q_tpch_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority; fixture carries o_orderpriority in
+    place of o_shippriority): segment-filtered customer broadcasts into
+    orders, the date-filtered orders side shuffles against lineitem on the
+    order key, one grouped agg, global top-10 via TakeOrderedAndProject (a
+    per-partition top-k merge on the driver — no global sort materializes).
+    Tiebreak pinned (revenue desc, o_orderdate, l_orderkey) so the LIMIT
+    membership is deterministic cross-engine."""
+    cu = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    joined = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
 @register(
     "tpch_revenue_by_nation",
     """

@@ -200,6 +200,16 @@ def test_contamination_scans_train_once(spark, sf_small):
     )
 
 
+def test_tpch_q3_topk_without_global_sort(spark, sf_small):
+    """orderBy().limit(10) must plan as TakeOrderedAndProject (per-partition
+    top-k + driver merge) — a global Sort exchange materializing the whole
+    aggregate would be the 100 TB scale-killer — and the segment-filtered
+    customer dim must broadcast."""
+    plan = _plan(spark, sf_small, "tpch_shipping_priority")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_sample_filters_fold_into_scan_stage(spark, sf_small):
     """Hash-threshold sampling is a pure filter: no exchange before the
     aggregate, no join, no Python anywhere."""
