@@ -156,9 +156,13 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "sample_resample_mixture",
         "stream_sample_fraction",
     ),
-    # tpch_shipping_priority is r5-additive to plans/registry_scale.py (the
-    # file's other query definitions are textually unchanged).
-    "plans/registry_scale.py": ("tpch_shipping_priority",),
+    # r5-additive to plans/registry_scale.py (the file's other query
+    # definitions are textually unchanged); operators/ann_index.py is a NEW
+    # r5 module consumed only by sim_ivf_index_persisted.
+    "plans/registry_scale.py": (
+        "tpch_shipping_priority",
+        "sim_ivf_index_persisted",
+    ),
     # corpus_chunk_documents / embedding_quantize_int8 are r5-additive
     # (never verified — listed for completeness, nothing to invalidate);
     # operators/quantize.py is a NEW r5 module consumed only by the latter.

@@ -234,6 +234,48 @@ def q_sim_cosine_ivf(spark, sf_dir):
     )
 
 
+#: Index dirs already materialized this session (fixture content is static).
+_IVF_INDEXED: set[str] = set()
+
+
+def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    import tempfile
+
+    from ..operators import ann_index as ANN
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/spark_graft_ivf_{tag}"
+    if path not in _IVF_INDEXED:
+        emb = load_table(spark, sf_dir, "embeddings")
+        centroids = [
+            (r["vec_id"], list(r["embedding"]))
+            for r in emb.filter(F.col("vec_id") < 8)
+            .select("vec_id", "embedding")
+            .collect()
+        ]
+        ANN.save_ivf_index(emb, centroids, path, "vec_id", "embedding")
+        _IVF_INDEXED.add(path)
+    return path
+
+
+@register("sim_ivf_index_persisted", _IVF_SQL)
+def q_sim_ivf_index_persisted(spark, sf_dir):
+    """IVF top-5 over a SAVED index (operators/ann_index.py): the corpus
+    cell assignment is materialized once as cell-partitioned parquet +
+    centroid table; queries probe the loaded quantizer and scan only the
+    probed cell directories (broadcast equi-join on the partition column).
+    Same quantizer/queries/k as sim_cosine_ivf ⇒ same oracle."""
+    from ..operators import ann_index as ANN
+
+    path = _ivf_index_dir(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ANN.query_ivf_index(
+        spark, path, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=5, nprobe=2,
+    )
+
+
 _RECALL_SQL = f"""
     WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
       ex_scored AS (

@@ -210,6 +210,21 @@ def test_tpch_q3_topk_without_global_sort(spark, sf_small):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_ivf_index_scan_prunes_cells_dynamically(spark, sf_small):
+    """The persisted-IVF query path must read ONLY probed cell directories:
+    the cell-partitioned corpus scan needs a dynamic-pruning partition
+    filter fed by the broadcast probe relation — without it every query
+    scans the whole corpus and the saved layout buys nothing at 100 TB."""
+    plan = _plan(spark, sf_small, "sim_ivf_index_persisted")
+    scan_lines = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "spark_graft_ivf" in ln
+    ]
+    assert scan_lines, plan
+    for ln in scan_lines:
+        assert "dynamicpruning" in ln, f"no partition pruning on cell scan:\n{ln}"
+
+
 def test_sample_filters_fold_into_scan_stage(spark, sf_small):
     """Hash-threshold sampling is a pure filter: no exchange before the
     aggregate, no join, no Python anywhere."""
