@@ -470,6 +470,14 @@ def stream_interval_join(
     the oracle contract.  State per key is O(events in the lookback
     horizon), the scale knob a production attribution pipeline actually
     tunes.
+
+    Deliberately INNER-only: an outer variant emits unmatched rows only
+    when a LATER trigger advances the watermark past them — probed
+    empirically: under ``trigger(availableNow=True)`` Spark stops after the
+    data batches without a final watermark-only flush, so unmatched rows
+    never surface on a bounded source and "left_outer" would silently
+    behave as inner.  On a continuous source the same composition with
+    ``how="left_outer"`` is valid.
     """
     left = (
         events.filter(F.col("event_type") == left_type)
