@@ -162,6 +162,7 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
     "plans/registry_scale.py": (
         "tpch_shipping_priority",
         "sim_ivf_index_persisted",
+        "agg_trend_by_key",
     ),
     # corpus_chunk_documents / embedding_quantize_int8 are r5-additive
     # (never verified — listed for completeness, nothing to invalidate);

@@ -650,6 +650,42 @@ def q_window_trailing_mean_time(spark, sf_dir):
 
 
 @register(
+    "agg_trend_by_key",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           floor(regr_slope(value, epoch_us(ts) / 86400000000.0 - 19723.0)
+                 * 1000000 + 0.5) / 1000000 AS slope_per_day,
+           floor(regr_intercept(value, epoch_us(ts) / 86400000000.0 - 19723.0)
+                 * 1000000 + 0.5) / 1000000 AS intercept,
+           floor(corr(value, epoch_us(ts) / 86400000000.0 - 19723.0)
+                 * 1000000 + 0.5) / 1000000 AS r
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_trend_by_key(spark, sf_dir):
+    """Per-key linear trend: OLS slope/intercept/correlation of value over
+    event time via the built-in regression aggregates (single map-side-
+    combinable shuffle — the distributed form of the reference's
+    trend-over-time EDA, codes.py:113-120).
+
+    Event time is rescaled to DAYS SINCE 2024-01-01 (a fixed constant, not
+    a data-dependent min) before aggregating: raw epoch-µs x-values put
+    n·Σx²−(Σx)² ~12 orders of magnitude above the retained variance, so
+    the naive-formula cancellation would eat the float digits the 1e-6
+    cross-engine rounding needs; day-scale x keeps slope O(1)."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.unix_micros(F.col("ts")) / F.lit(86400000000.0) - F.lit(19723.0)
+    flr6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        flr6(F.regr_slope(F.col("value"), x)).alias("slope_per_day"),
+        flr6(F.regr_intercept(F.col("value"), x)).alias("intercept"),
+        flr6(F.corr(F.col("value"), x)).alias("r"),
+    )
+
+
+@register(
     "agg_session_windows",
     """
     WITH g AS (
