@@ -163,6 +163,10 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "tpch_shipping_priority",
         "sim_ivf_index_persisted",
         "agg_trend_by_key",
+        # r5 non-additive edit in this file: explode→explode_outer in the
+        # winnow query (plan-only on non-null fixtures, but the rule is the
+        # rule — it re-verifies).
+        "text_winnow_fingerprint",
     ),
     # corpus_chunk_documents / embedding_quantize_int8 are r5-additive
     # (never verified — listed for completeness, nothing to invalidate);

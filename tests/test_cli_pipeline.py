@@ -20,3 +20,17 @@ def test_cli_end_to_end(spark, tmp_path):
     # engineered columns present in the sink
     for col in ("influenza_a_detected", "log_conc_lag1", "population_group_encoded"):
         assert col in header
+
+
+def test_explain_tool_flags_and_writes(spark, tmp_path, capsys):
+    """tools/explain.py must render formatted plans for named queries and
+    exit 0 when nothing outside the allowlist is flagged."""
+    from tools.explain import main
+
+    out = tmp_path / "plans.txt"
+    rc = main(["/root/testdata/sf0.001", "join_left_equi", "topk_categories",
+               "--out", str(out)])
+    assert rc == 0
+    text = out.read_text()
+    assert "## join_left_equi" in text and "## topk_categories" in text
+    assert "Physical Plan" in text

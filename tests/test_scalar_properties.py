@@ -191,3 +191,88 @@ def test_join_asof_matches_pandas_merge_asof(spark, left_rows, right_rows):
     for lid, v in expected.items():
         g = got[lid]
         assert (pd.isna(v) and pd.isna(g)) or v == g, (lid, v, g)
+
+
+# ---------------------------------------------------------------------------
+# chunking / quantization invariants (round-5 ops)
+# ---------------------------------------------------------------------------
+
+texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab c"),  # forces multi-token and empty cases
+        min_size=0,
+        max_size=120,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@_settings
+@given(texts, st.integers(2, 7), st.integers(1, 6))
+def test_chunk_documents_cover_and_reconstruct(spark, docs, chunk, stride):
+    """Invariants for every (text, chunk_tokens, stride): (a) every token
+    index is covered by ≥1 chunk; (b) concatenating each chunk's first
+    `stride` tokens (plus the last chunk's tail) reconstructs the token
+    stream; (c) n_chunk_tokens matches the chunk's own token count."""
+    from hypothesis import assume
+
+    from cdc_wastewater_analysis_ml_spark.operators.corpus import chunk_documents
+    from cdc_wastewater_analysis_ml_spark.operators.text import normalize_text
+
+    assume(stride <= chunk)  # overlapping-window contract
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    out = (
+        chunk_documents(df, "text", "doc_id", chunk, stride)
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    )
+    norm = (
+        df.select("doc_id", normalize_text("text").alias("n")).orderBy("doc_id").collect()
+    )
+    for row in norm:
+        toks = row["n"].split(" ")  # matches tokenize(): "" -> [""]
+        chunks = [r for r in out if r["doc_id"] == row["doc_id"]]
+        assert chunks, (row, out)
+        rebuilt: list[str] = []
+        for r in chunks:
+            ctoks = r["chunk_text"].split(" ")
+            assert r["n_chunk_tokens"] == len(ctoks)
+            rebuilt.extend(ctoks if r is chunks[-1] else ctoks[:stride])
+        assert rebuilt == toks, (toks, [r["chunk_text"] for r in chunks])
+
+
+vectors = st.lists(
+    st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+        min_size=1,
+        max_size=16,
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@_settings
+@given(vectors)
+def test_quantization_error_bounded_by_half_scale(spark, vecs):
+    """For every vector: max|x − deq(q(x))| ≤ scale/2 + ulp slack (the
+    floor-shift quantizer's worst case), and scale reflects max|x|/127."""
+    from cdc_wastewater_analysis_ml_spark.operators.quantize import (
+        quantization_report,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    rows = quantization_report(df).collect()
+    assert len(rows) == len(vecs)
+    for r in rows:
+        v = vecs[r["vec_id"]]
+        amax = max(abs(np.float32(x)) for x in v)
+        scale = max(amax / 127.0, 1e-30)
+        # reported scale is floor-rounded to 1e-6
+        assert abs(r["scale"] - scale) <= 1e-6
+        assert r["max_abs_err"] <= scale / 2 + 1e-6
