@@ -56,6 +56,8 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     "plans/registry_corpus.py": 5,
     # r5: tpch_shipping_priority ADDED (additive @register block only).
     "plans/registry_scale.py": 5,
+    # r5: metric_calibration_curve ADDED (additive @register block only).
+    "plans/registry_ext.py": 5,
     # r4: global_row_number added (operators/windows.py) and wired into
     # sort_rows_ranked; the pre-existing window ops are textually unchanged
     # but module-granularity staleness is the rule (r2 lesson).
@@ -176,6 +178,7 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "corpus_chunk_documents",
         "embedding_quantize_int8",
     ),
+    "plans/registry_ext.py": ("metric_calibration_curve",),
     "operators/relational.py": (),
     "operators/similarity.py": ("sim_recall_at_k",),
     "operators/text.py": (),

@@ -75,6 +75,34 @@ def q_metric_accuracy(spark, sf_dir):
 
 
 @register(
+    "metric_calibration_curve",
+    _SCORED_CTE
+    + """
+    SELECT CAST(least(CAST(floor(score * 10) AS INTEGER), 9) AS INTEGER) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           floor(avg(score) * 1000000 + 0.5) / 1000000 AS mean_score,
+           floor(avg(CAST(label AS DOUBLE)) * 1000000 + 0.5) / 1000000
+               AS frac_pos
+    FROM scored GROUP BY 1
+    """,
+)
+def q_metric_calibration_curve(spark, sf_dir):
+    """Reliability-diagram bins (decile calibration curve): per score bin,
+    count + mean predicted probability + observed positive rate — the
+    standard is-the-model-calibrated companion to ROC/PR (sklearn
+    calibration_curve semantics with fixed-width bins, last bin closed).
+    One map-side-combinable grouped aggregate."""
+    sc = _scored_events(spark, sf_dir)
+    b = F.least(F.floor(F.col("score") * 10).cast("int"), F.lit(9))
+    flr6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return sc.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        flr6(F.avg("score")).alias("mean_score"),
+        flr6(F.avg(F.col("label").cast("double"))).alias("frac_pos"),
+    )
+
+
+@register(
     "metric_confusion_matrix",
     _SCORED_CTE
     + """
