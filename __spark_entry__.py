@@ -169,6 +169,7 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         # winnow query (plan-only on non-null fixtures, but the rule is the
         # rule — it re-verifies).
         "text_winnow_fingerprint",
+        "agg_funnel_conversion",
     ),
     # corpus_chunk_documents / embedding_quantize_int8 are r5-additive
     # (never verified — listed for completeness, nothing to invalidate);

@@ -9,7 +9,7 @@ integer types (HUGEINT sums) land on the same dtypes as Spark.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import aggregates as A
@@ -682,6 +682,69 @@ def q_agg_trend_by_key(spark, sf_dir):
         flr6(F.regr_slope(F.col("value"), x)).alias("slope_per_day"),
         flr6(F.regr_intercept(F.col("value"), x)).alias("intercept"),
         flr6(F.corr(F.col("value"), x)).alias("r"),
+    )
+
+
+@register(
+    "agg_funnel_conversion",
+    """
+    WITH w1 AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+                 OVER (PARTITION BY user_id) AS t1
+      FROM events),
+    w2 AS (
+      SELECT user_id, ts, event_type, t1,
+             min(CASE WHEN event_type = 'click' AND ts >= t1 THEN ts END)
+                 OVER (PARTITION BY user_id) AS t2
+      FROM w1),
+    w3 AS (
+      SELECT user_id, t1, t2,
+             min(CASE WHEN event_type = 'purchase' AND ts >= t2 THEN ts END)
+                 OVER (PARTITION BY user_id) AS t3
+      FROM w2),
+    u AS (SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+          FROM w3 GROUP BY user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(t1) AS BIGINT) AS n_view,
+           CAST(count(t2) AS BIGINT) AS n_view_click,
+           CAST(count(t3) AS BIGINT) AS n_full_funnel
+    FROM u
+    """,
+)
+def q_agg_funnel_conversion(spark, sf_dir):
+    """Event-sequence funnel: users whose first view precedes a click that
+    precedes a purchase (ordered steps, not mere presence).  Three stacked
+    per-user window minima — each conditioned on the previous step's
+    timestamp — then one per-user collapse and a global count.  All windows
+    AND the collapse share the user_id partitioning, so the whole funnel is
+    ONE hash exchange; integer-exact output (no float parity surface)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    d1 = ev.select("user_id", "ts", "event_type", t1.alias("t1"))
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") >= F.col("t1")),
+            F.col("ts"),
+        )
+    ).over(w)
+    d2 = d1.select("user_id", "ts", "event_type", "t1", t2.alias("t2"))
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t2")),
+            F.col("ts"),
+        )
+    ).over(w)
+    d3 = d2.select("user_id", "t1", "t2", t3.alias("t3"))
+    u = d3.groupBy("user_id").agg(
+        F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3")
+    )
+    return u.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_view_click"),
+        F.count("t3").alias("n_full_funnel"),
     )
 
 

@@ -210,6 +210,16 @@ def test_tpch_q3_topk_without_global_sort(spark, sf_small):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_funnel_single_hash_exchange(spark, sf_small):
+    """The three stacked per-user funnel windows and the per-user collapse
+    must all ride ONE user_id hash exchange (plus the final global
+    single-partition agg of 4 counters) — a funnel that re-shuffles per
+    step is the naive plan this query exists to avoid."""
+    plan = _plan(spark, sf_small, "agg_funnel_conversion")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+
+
 def test_ivf_index_scan_prunes_cells_dynamically(spark, sf_small):
     """The persisted-IVF query path must read ONLY probed cell directories:
     the cell-partitioned corpus scan needs a dynamic-pruning partition
