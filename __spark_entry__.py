@@ -150,6 +150,7 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "corpus_pii_redact",
         "text_repetition_signals",
         "corpus_quality_filter",  # dup_fraction signal
+        "corpus_chunk_documents",  # r5-additive chunk_documents
     ),
     "operators/sampling.py": (
         "sample_hash_fraction",
@@ -170,6 +171,7 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         # rule — it re-verifies).
         "text_winnow_fingerprint",
         "agg_funnel_conversion",
+        "clean_winsorize_by_key",
     ),
     # corpus_chunk_documents / embedding_quantize_int8 are r5-additive
     # (never verified — listed for completeness, nothing to invalidate);

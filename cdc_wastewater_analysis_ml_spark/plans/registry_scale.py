@@ -686,6 +686,40 @@ def q_agg_trend_by_key(spark, sf_dir):
 
 
 @register(
+    "clean_winsorize_by_key",
+    """
+    WITH pct AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, round(e.value, 6) AS value,
+           floor(least(greatest(e.value, p.lo), p.hi) * 1000000 + 0.5)
+               / 1000000 AS value_winsorized
+    FROM events e JOIN pct p USING (event_type)
+    """,
+)
+def q_clean_winsorize_by_key(spark, sf_dir):
+    """Per-key winsorization (clip to the key's exact [p05, p95]) — the
+    outlier-tame step of a feature pipeline, generalizing the reference's
+    global clip (codes.py:89-93) to per-group bounds.  One shuffle for the
+    exact per-key percentiles (5 keys), then the bounds broadcast back onto
+    the fact scan — the clip itself is map-side, no second fact shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = ev.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.05)).alias("lo"),
+        F.percentile(F.col("value"), F.lit(0.95)).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return ev.join(F.broadcast(pct), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        (F.floor(clipped * 1e6 + F.lit(0.5)) / 1e6).alias("value_winsorized"),
+    )
+
+
+@register(
     "agg_funnel_conversion",
     """
     WITH w1 AS (
