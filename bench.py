@@ -80,6 +80,14 @@ HEADLINE = [
     "pipeline_wastewater_ep1",
     "corpus_chunk_documents",
     "embedding_quantize_int8",
+    "tpch_shipping_priority",
+    "agg_trend_by_key",
+    "agg_funnel_conversion",
+    "clean_winsorize_by_key",
+    "metric_calibration_curve",
+    # index build happens on the first call (memoized per sf); the median
+    # therefore reports the steady-state query-only path.
+    "sim_ivf_index_persisted",
 ]
 
 
