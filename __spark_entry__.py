@@ -172,6 +172,8 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "text_winnow_fingerprint",
         "agg_funnel_conversion",
         "clean_winsorize_by_key",
+        "agg_retention_cohorts",
+        "corpus_dedup_rate_report",
     ),
     # corpus_chunk_documents / embedding_quantize_int8 are r5-additive
     # (never verified — listed for completeness, nothing to invalidate);

@@ -686,6 +686,75 @@ def q_agg_trend_by_key(spark, sf_dir):
 
 
 @register(
+    "agg_retention_cohorts",
+    """
+    WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+               FROM events GROUP BY user_id),
+         a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
+               FROM events)
+    SELECT f.cohort_week,
+           CAST(date_diff('day', CAST(f.cohort_week AS DATE),
+                          CAST(a.activity_week AS DATE)) / 7 AS INTEGER)
+               AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_agg_retention_cohorts(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-seen ISO week,
+    counted per (cohort, week-offset) of later activity — the standard
+    engagement-retention relation.  Two keyed aggregations + one user-keyed
+    join; offsets are exact day-multiples of 7 (both engines truncate weeks
+    to Monday), so the output is integer-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    a = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("activity_week")
+    ).distinct()
+    return (
+        a.join(f, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("activity_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "corpus_dedup_rate_report",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+           floor((1 - count(DISTINCT md5(text)) * 1.0 / count(*))
+                 * 1000000 + 0.5) / 1000000 AS dup_rate
+    FROM documents GROUP BY source
+    """,
+)
+def q_corpus_dedup_rate_report(spark, sf_dir):
+    """Per-source duplicate-rate observability: doc count, distinct content
+    fingerprints, dup fraction — the one-line health report a corpus
+    pipeline records before/after each dedup stage.  Distinct-count keyed
+    on the 128-bit digest, never document bodies."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    n_distinct = F.countDistinct(F.md5("text"))
+    dup_rate = F.floor(
+        (1 - n_distinct * F.lit(1.0) / F.count(F.lit(1))) * 1e6 + F.lit(0.5)
+    ) / 1e6
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        n_distinct.alias("n_distinct"),
+        dup_rate.alias("dup_rate"),
+    )
+
+
+@register(
     "clean_winsorize_by_key",
     """
     WITH pct AS (
