@@ -346,3 +346,48 @@ def test_incremental_near_registry_recall(spark, sf_small):
     assert (out.doc_id >= 200000).sum() == n_fresh  # novel docs all survive
     survivors_near = (out.doc_id < 200000).sum()
     assert survivors_near <= 0.05 * n_near, (survivors_near, n_near)
+
+
+def test_funnel_conversion_requires_ordered_steps(spark):
+    """The funnel must demand view -> click -> purchase IN ORDER, not mere
+    event presence: a user with all three types in the wrong order does not
+    convert.  Crafted users: A ordered (full funnel), B click-before-view
+    (view only), C purchase-before-click (view+click), D purchase only
+    (neither)."""
+    import datetime as dt
+
+    from cdc_wastewater_analysis_ml_spark.plans.registry import QUERIES
+    import cdc_wastewater_analysis_ml_spark.plans.registry_scale as RS
+    from cdc_wastewater_analysis_ml_spark.sources import readers
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    seq = {
+        1: ["view", "click", "purchase"],          # A: full funnel
+        2: ["click", "view", "purchase"],          # B: no click after view
+        3: ["view", "purchase", "click"],          # C: no purchase after click
+        4: ["purchase"],                            # D: view-less
+    }
+    eid = 0
+    for uid, types in seq.items():
+        for i, typ in enumerate(types):
+            rows.append((eid, t0 + dt.timedelta(minutes=i), uid, typ, 1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    import unittest.mock as mock
+
+    with mock.patch.object(RS, "load_table", lambda *_a, **_k: ev):
+        out = QUERIES["agg_funnel_conversion"](spark, "ignored").collect()[0]
+    assert (
+        out["n_users"],
+        out["n_view"],
+        out["n_view_click"],
+        out["n_full_funnel"],
+    ) == (4, 3, 2, 1)
+
+    # B's purchase follows its post-view click?  B: click(0) view(1)
+    # purchase(2) — t1=1, click>=1? none (click at 0) → correctly excluded
+    # from n_view_click even though all three types are present.
