@@ -44,18 +44,22 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # dedup family re-verifies.
     "operators/dedup.py": 5,
     "operators/caching.py": 5,
-    # r5: contamination_overlap single-scan rewrite (r4 VERDICT task 3).
-    "operators/corpus.py": 5,
+    # r6: chunk_documents rejects stride > chunk_tokens (ADVICE r5 #1 —
+    # additive guard; module-granularity rule → whole corpus family, which
+    # fully re-verified in the r5 prefix so nothing rides an older row).
+    "operators/corpus.py": 6,
     # r5: fraction_to_hex_threshold(1.0) keeps the 'ffffffff' draw
     # (r4 ADVICE #1).
     "operators/sampling.py": 5,
-    # r5 diff touches ONLY the corpus_token_stats @register block (house
-    # floor-rounding for p50/p90, both engines — r4 ADVICE #3); the other
-    # query definitions in the file are textually unchanged, and each
-    # @register block is self-contained.
-    "plans/registry_corpus.py": 5,
-    # r5: tpch_shipping_priority ADDED (additive @register block only).
-    "plans/registry_scale.py": 5,
+    # r6: corpus_chunk_documents oracle made null-faithful (ADVICE r5 #2).
+    # (r5 entry — corpus_token_stats floor-rounding — fully re-verified in
+    # the r5 prefix, so the marker advances.)
+    "plans/registry_corpus.py": 6,
+    # r6: retention-cohorts single-fact-scan rewrite (VERDICT r5 task 4),
+    # _ivf_index_dir moved to mkdtemp (ADVICE r5 #3 — result-neutral, listed
+    # anyway), TPC-H Q18/Q21-lite analogues ADDED.  (All r5-entry consumers
+    # re-verified in the r5 prefix.)
+    "plans/registry_scale.py": 6,
     # r5: metric_calibration_curve ADDED (additive @register block only).
     "plans/registry_ext.py": 5,
     # r4: global_row_number added (operators/windows.py) and wired into
@@ -84,6 +88,13 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # neutrality (r4 judge, What's-wrong #4).
     "streaming/ops.py": 5,
 }
+# r6 onward: registration is MECHANICAL (VERDICT r5 task 3) — every .py
+# under the package touched since the previous round's driver commit MUST
+# appear above at the current round, enforced by
+# tests/test_staleness_registration.py (git-diff file list ⊆ this map;
+# consumer sets for registry files are additionally checked by AST
+# block-diff against the base commit, so "textually additive" is a computed
+# fact, not a judgment call).
 
 #: Every registry query that transitively routes through a module above.
 _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
@@ -159,29 +170,20 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "sample_resample_mixture",
         "stream_sample_fraction",
     ),
-    # r5-additive to plans/registry_scale.py (the file's other query
-    # definitions are textually unchanged); operators/ann_index.py is a NEW
-    # r5 module consumed only by sim_ivf_index_persisted.
+    # r6 diff (AST block-diff, verified by tests/test_staleness_registration):
+    # q_agg_retention_cohorts rewritten (single fact scan); _ivf_index_dir
+    # helper changed (mkdtemp) → its sole mention is q_sim_ivf_index_persisted;
+    # TPC-H Q18/Q21-lite blocks ADDED (never verified).
     "plans/registry_scale.py": (
-        "tpch_shipping_priority",
-        "sim_ivf_index_persisted",
-        "agg_trend_by_key",
-        # r5 non-additive edit in this file: explode→explode_outer in the
-        # winnow query (plan-only on non-null fixtures, but the rule is the
-        # rule — it re-verifies).
-        "text_winnow_fingerprint",
-        "agg_funnel_conversion",
-        "clean_winsorize_by_key",
         "agg_retention_cohorts",
-        "corpus_dedup_rate_report",
+        "sim_ivf_index_persisted",
+        "tpch_top_spenders",
+        "tpch_dormant_customers",
     ),
-    # corpus_chunk_documents / embedding_quantize_int8 are r5-additive
-    # (never verified — listed for completeness, nothing to invalidate);
-    # operators/quantize.py is a NEW r5 module consumed only by the latter.
+    # r6 diff: only the _chunk_sql() oracle helper changed (null-faithful,
+    # ADVICE r5 #2) — mentioned solely by the corpus_chunk_documents block.
     "plans/registry_corpus.py": (
-        "corpus_token_stats",
         "corpus_chunk_documents",
-        "embedding_quantize_int8",
     ),
     "plans/registry_ext.py": ("metric_calibration_curve",),
     "operators/relational.py": (),

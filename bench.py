@@ -16,6 +16,22 @@ on whichever query runs next.  The median of three is the stable signal
 (DEVNOTES r1: ambient swings are ±30% single-shot).  ``value`` is the sum
 of medians; ``first_run_total`` preserves the old single-pass semantics
 (sum of each query's FIRST run) for cross-round comparison against r1–r4.
+
+**Self-preserving record (r6, VERDICT r5 task 1)**: the driver keeps only
+the LAST ~2000 chars of stdout, and r5's per-query ``first_run`` dict pushed
+the medians (the signal of record) past that horizon — BENCH_r05 lost the
+sum-of-medians and ~34 medians to tail truncation.  The stdout line is now
+compact (~1.6 KB: scalar summary first, medians dict LAST so truncation
+from the front can never eat them) and the full detail — every per-query
+sample of every run — goes to ``BENCH_DETAIL.json`` next to this file
+instead of stdout.
+
+**Warm-up builds one-time artifacts (r6, VERDICT r5 task 1b)**: the
+persisted-IVF index build (~9 s, memoized per sf) previously landed in
+``sim_ivf_index_persisted``'s first run, inflating ``first_run_total`` by a
+setup cost that is not query work.  The warm-up phase now materializes the
+index for the benchmark's sf_dir up front, so ``first_run`` measures the
+query on every entry.
 """
 
 from __future__ import annotations
@@ -115,10 +131,17 @@ def main() -> None:
     _force(QUERIES["sim_cosine_topk"](spark, "/root/testdata/sf0.001"))
     _force(QUERIES["multimodal_media_stats"](spark, "/root/testdata/sf0.001"))
     _force(QUERIES["sim_cosine_ivf"](spark, "/root/testdata/sf0.001"))
+    # One-time artifact: materialize the persisted IVF index for THIS sf_dir
+    # now (memoized per sf, ~9 s at sf0.1) so sim_ivf_index_persisted's
+    # first_run times the query, not the index build.
+    from cdc_wastewater_analysis_ml_spark.plans.registry_scale import _ivf_index_dir
+
+    _ivf_index_dir(spark, sf_dir)
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     medians: dict[str, float] = {}
     first: dict[str, float] = {}
+    detail: dict[str, list[float]] = {}
     for name in HEADLINE:
         samples: list[float] = []
         for _ in range(runs):
@@ -134,18 +157,38 @@ def main() -> None:
             gc.collect()
         medians[name] = round(statistics.median(samples), 3)
         first[name] = round(samples[0], 3)
+        detail[name] = [round(s, 3) for s in samples]
 
+    # Full per-run detail goes to a sidecar file, NOT stdout: the driver's
+    # record keeps only the tail of stdout, and the medians dict must never
+    # be pushed past that horizon by lower-value detail.
+    with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(
+            {
+                "sf": sf,
+                "runs_per_query": runs,
+                "first_run_total": round(sum(first.values()), 3),
+                "first_run": first,
+                "samples": detail,
+                "medians": medians,
+                "value": round(sum(medians.values()), 3),
+            },
+            fh,
+            indent=1,
+        )
+
+    # ONE compact JSON line (~1.6 KB): scalar summary first, medians LAST —
+    # tail truncation eats the front, so the signal of record survives.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
-                "value": round(sum(medians.values()), 3),
                 "unit": "sec",
-                "queries": medians,
+                "sf": sf,
                 "runs_per_query": runs,
                 "first_run_total": round(sum(first.values()), 3),
-                "first_run": first,
-                "sf": sf,
+                "value": round(sum(medians.values()), 3),
+                "queries": medians,
             }
         )
     )

@@ -127,6 +127,16 @@ def chunk_documents(
     """
     if chunk_tokens <= 0 or stride <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
+    if stride > chunk_tokens:
+        # The overlapping-window contract (docstring, tests, property suite)
+        # assumes every token lands in ≥1 chunk; stride > chunk_tokens would
+        # silently skip tokens between windows and can push the tail start
+        # past the token count (empty chunk_text, negative n_chunk_tokens) —
+        # ADVICE r5 #1.
+        raise ValueError(
+            f"stride ({stride}) must be <= chunk_tokens ({chunk_tokens}): "
+            "windows must cover every token"
+        )
     toks = tokenize(text_col)
     n = F.size(toks)
     # chunks after the first: ceil((n - chunk)/stride), floored at 0

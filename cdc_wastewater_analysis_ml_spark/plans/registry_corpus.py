@@ -493,17 +493,27 @@ def q_corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _chunk_sql() -> str:
     from .registry_ext import _TOKENS
 
+    # Null-faithful (ADVICE r5 #2): Spark's posexplode_outer turns a
+    # null-text doc into ONE all-NULL chunk row, while DuckDB's NULL-ignoring
+    # greatest/least would otherwise fabricate (0, NULL, 64).  extra pins the
+    # NULL case to 0 so exactly one row unnests, then every output column is
+    # explicitly nulled.
     return f"""
     WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
          s AS (SELECT doc_id, toks, len(toks) AS n,
-                      CAST(greatest(ceil((len(toks) - 64) * 1.0 / 48), 0)
-                           AS INTEGER) AS extra
+                      CASE WHEN toks IS NULL THEN 0
+                           ELSE CAST(greatest(ceil((len(toks) - 64) * 1.0 / 48), 0)
+                                     AS INTEGER) END AS extra
                FROM t)
     SELECT doc_id,
-           CAST(i AS INTEGER) AS chunk_id,
-           array_to_string(list_slice(toks, 1 + i * 48, i * 48 + 64), ' ')
-               AS chunk_text,
-           CAST(least(64, n - (1 + i * 48) + 1) AS INTEGER) AS n_chunk_tokens
+           CASE WHEN toks IS NULL THEN NULL ELSE CAST(i AS INTEGER) END
+               AS chunk_id,
+           CASE WHEN toks IS NULL THEN NULL
+                ELSE array_to_string(list_slice(toks, 1 + i * 48, i * 48 + 64), ' ')
+               END AS chunk_text,
+           CASE WHEN toks IS NULL THEN NULL
+                ELSE CAST(least(64, n - (1 + i * 48) + 1) AS INTEGER)
+               END AS n_chunk_tokens
     FROM s, unnest(range(0, extra + 1)) AS u(i)
     """
 

@@ -234,19 +234,27 @@ def q_sim_cosine_ivf(spark, sf_dir):
     )
 
 
-#: Index dirs already materialized this session (fixture content is static).
-_IVF_INDEXED: set[str] = set()
+#: sf_dir -> built index path (fixture content is static per session).
+_IVF_INDEXED: dict[str, str] = {}
 
 
 def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
-    import hashlib
+    """Session-scoped persisted-IVF index for ``sf_dir`` (built once).
+
+    The index lives in a fresh ``mkdtemp`` directory (mode 0700, random
+    suffix), NOT a name derived from ``sf_dir``: a fixed, predictable /tmp
+    path is racy under concurrent processes (pytest-xdist / parallel bench
+    overwriting while another reads) and symlink-squattable on shared hosts
+    (ADVICE r5 #3).  Cross-process reuse was never real — memoization is
+    per-process either way — so a private per-process dir loses nothing.
+    """
     import tempfile
 
     from ..operators import ann_index as ANN
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"{tempfile.gettempdir()}/spark_graft_ivf_{tag}"
-    if path not in _IVF_INDEXED:
+    path = _IVF_INDEXED.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="spark_graft_ivf_") + "/index"
         emb = load_table(spark, sf_dir, "embeddings")
         centroids = [
             (r["vec_id"], list(r["embedding"]))
@@ -255,7 +263,7 @@ def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
             .collect()
         ]
         ANN.save_ivf_index(emb, centroids, path, "vec_id", "embedding")
-        _IVF_INDEXED.add(path)
+        _IVF_INDEXED[sf_dir] = path
     return path
 
 
@@ -567,6 +575,102 @@ def q_tpch_revenue_by_nation(spark, sf_dir):
 
 
 @register(
+    "tpch_top_spenders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, round(sum(l_quantity), 6) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+    SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, b.sum_qty
+    FROM orders o
+    JOIN big b ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q_tpch_top_spenders(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): the group-then-topk pattern
+    the Q1/Q3/Q5 trio doesn't exercise — aggregate the fact table per order
+    key WITH a selective HAVING, join the survivors back to orders/customer,
+    global top-100 by order value.
+
+    Scale notes: the per-orderkey aggregate is map-side combinable (lineitem
+    rows per order are bounded, so no skew); the HAVING keeps ~1-2% of
+    orders, and the survivor relation's size is DATA-DEPENDENT — so the
+    orders join is deliberately left unhinted for AQE to pick broadcast
+    when the survivors fit (they do at every test SF) and sort-merge when
+    they don't (the honest 100 TB answer — a forced broadcast here would be
+    a literal OOM at scale).  The final LIMIT plans as
+    TakeOrderedAndProject: per-partition top-100 + driver merge, never a
+    global sort.  Tiebreak pinned (o_totalprice DESC, o_orderkey ASC) so
+    LIMIT membership is deterministic cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 6).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "o_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_dormant_customers",
+    """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           floor(avg(c_acctbal) * 1000000 + 0.5) / 1000000 AS avg_acctbal
+    FROM customer c
+    WHERE c_acctbal > 0
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_mktsegment
+    """,
+)
+def q_tpch_dormant_customers(spark, sf_dir):
+    """TPC-H Q21/Q22 shape (NOT EXISTS → anti join): positive-balance
+    customers with NO orders since 2000, counted per market segment — the
+    churn/exclusion pattern the existing join suite doesn't cover.
+
+    Scale notes: the date predicate pushes into the orders parquet scan
+    (plan-tested), so the anti join's right side is only the recent rows;
+    LEFT ANTI needs no dedup of the order keys (semi/anti joins short-
+    circuit on first match) and shuffles both sides once on the customer
+    key.  avg uses the house floor-rounding so boundary doubles hash
+    identically cross-engine."""
+    cu = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    return (
+        cu.join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.floor(F.avg("c_acctbal") * 1000000 + F.lit(0.5)) / 1000000).alias(
+                "avg_acctbal"
+            ),
+        )
+    )
+
+
+@register(
     "scan_csv_roundtrip",
     """
     SELECT o_orderstatus, count(*) AS n,
@@ -704,18 +808,23 @@ def q_agg_trend_by_key(spark, sf_dir):
 def q_agg_retention_cohorts(spark, sf_dir):
     """Cohort retention triangle: users grouped by first-seen ISO week,
     counted per (cohort, week-offset) of later activity — the standard
-    engagement-retention relation.  Two keyed aggregations + one user-keyed
-    join; offsets are exact day-multiples of 7 (both engines truncate weeks
-    to Monday), so the output is integer-exact."""
+    engagement-retention relation.
+
+    ONE fact scan (VERDICT r5 task 4 — the previous two-aggregate + join
+    form read ``events`` twice, which at 100 TB is the query's whole cost):
+    distinct ``(user_id, activity_week)`` pairs first (one shuffle that also
+    crushes the fact table down to |users|·|weeks| rows), then the cohort
+    week is a per-user window-min over that TINY relation — the second
+    exchange moves thousandths of the input, not the input.  Offsets are
+    exact day-multiples of 7 (both engines truncate weeks to Monday), so
+    the output is integer-exact."""
     ev = load_table(spark, sf_dir, "events")
-    f = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
-    )
     a = ev.select(
         "user_id", F.date_trunc("week", F.col("ts")).alias("activity_week")
     ).distinct()
+    w = Window.partitionBy("user_id")
     return (
-        a.join(f, "user_id")
+        a.withColumn("cohort_week", F.min("activity_week").over(w))
         .groupBy(
             "cohort_week",
             (F.datediff("activity_week", "cohort_week") / 7)

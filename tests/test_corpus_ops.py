@@ -93,7 +93,17 @@ def test_cc_releases_round_checkpoints(spark):
     )
     out = connected_components(edges)
     assert out.count() == 61
-    after = len(jsc.getRDDStorageInfo())
+    # The release path unpersists NON-blocking (async block removal): on a
+    # loaded machine the storage list can lag the unpersist call, so poll
+    # with a short retry instead of asserting immediately (ADVICE r5 #4).
+    import time
+
+    deadline = time.monotonic() + 10.0
+    while True:
+        after = len(jsc.getRDDStorageInfo())
+        if after - before <= 1 or time.monotonic() > deadline:
+            break
+        time.sleep(0.2)
     assert after - before <= 1, (
         f"round checkpoints leaked: {before} -> {after} storage entries"
     )
@@ -160,6 +170,10 @@ def test_chunk_documents_short_tail(spark):
     assert rows[2]["n_chunk_tokens"] == 3
     with pytest.raises(ValueError, match="positive"):
         C.chunk_documents(df, "text", "doc_id", chunk_tokens=0)
+    # stride > chunk_tokens would skip tokens between windows (and yields
+    # empty tail chunks with negative n_chunk_tokens) — rejected up front.
+    with pytest.raises(ValueError, match="stride"):
+        C.chunk_documents(df, "text", "doc_id", chunk_tokens=4, stride=6)
 
 
 # ---------------------------------------------------------------------------

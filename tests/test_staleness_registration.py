@@ -1,0 +1,73 @@
+"""Staleness registration is mechanical, not a judgment call (VERDICT r5
+task 3): every package module touched since the previous round's driver
+commit must be registered in ``__spark_entry__._MODULE_CHANGED_IN_ROUND`` at
+the current round, and changed registry files must list every AST-affected
+``@register`` block as a stale consumer.
+
+These tests are self-neutralizing after the round closes: once the driver
+commits ``round N: ...``, the diff base advances and the worktree diff is
+empty — they only bite while edits are in flight, which is exactly when the
+map must be maintained.
+"""
+
+import subprocess
+
+import pytest
+
+import __spark_entry__ as entry
+from tools import staleness
+
+
+@pytest.fixture(scope="module")
+def audit_ctx():
+    root = staleness.repo_root()
+    try:
+        base = staleness.base_commit(root)
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        pytest.skip("git unavailable")
+    if base is None:
+        pytest.skip("no prior-round driver commit to diff against")
+    return root, base, staleness.current_round(root)
+
+
+def test_changed_modules_are_registered_at_current_round(audit_ctx):
+    root, base, rnd = audit_ctx
+    changed = staleness.changed_package_files(root, base)
+    missing = {
+        rel: entry._MODULE_CHANGED_IN_ROUND.get(rel)
+        for rel in changed
+        if entry._MODULE_CHANGED_IN_ROUND.get(rel, -1) < rnd
+    }
+    assert not missing, (
+        f"modules changed since {base[:10]} but not registered at round {rnd} "
+        f"in _MODULE_CHANGED_IN_ROUND: {missing}"
+    )
+
+
+def test_changed_registry_files_list_all_ast_affected_queries(audit_ctx):
+    root, base, _ = audit_ctx
+    problems = {}
+    for rel in staleness.changed_package_files(root, base):
+        if not rel.split("/")[-1].startswith("registry"):
+            continue
+        required = staleness.registry_required_consumers(root, base, rel)
+        listed = set(entry._MODULE_CONSUMERS.get(rel, ()))
+        if not required <= listed:
+            problems[rel] = sorted(required - listed)
+    assert not problems, (
+        f"AST-affected @register blocks missing from _MODULE_CONSUMERS: "
+        f"{problems}"
+    )
+
+
+def test_consumer_lists_name_real_queries():
+    """Guard against typos: every consumer name must exist in the registry
+    (new not-yet-implemented names would silently invalidate nothing)."""
+    from cdc_wastewater_analysis_ml_spark.plans.registry import QUERIES
+
+    unknown = {
+        mod: [n for n in names if n not in QUERIES]
+        for mod, names in entry._MODULE_CONSUMERS.items()
+    }
+    unknown = {m: ns for m, ns in unknown.items() if ns}
+    assert not unknown, f"consumer names not in registry: {unknown}"
