@@ -38,11 +38,11 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     "plans/metrics.py": 4,
     # r4: two-phase partition-offset stratified split (plans/ml.py).
     "plans/ml.py": 4,
-    # r5: connected_components releases each round's localCheckpoint blocks
-    # once the next round materializes (r4 ADVICE #4); the release helper
-    # lives in operators/caching.py.  Module-granularity rule → the whole
-    # dedup family re-verifies.
-    "operators/dedup.py": 5,
+    # r6: minhash_lsh_verified fused candidates→verify operator added and
+    # banded_minhash refactored onto the shared _bands_from_sig helper
+    # (VERDICT r5 task 2 — one shingle pass instead of two).  Module-
+    # granularity rule → the whole dedup family re-verifies.
+    "operators/dedup.py": 6,
     "operators/caching.py": 5,
     # r6: chunk_documents rejects stride > chunk_tokens (ADVICE r5 #1 —
     # additive guard; module-granularity rule → whole corpus family, which
@@ -179,6 +179,7 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "sim_ivf_index_persisted",
         "tpch_top_spenders",
         "tpch_dormant_customers",
+        "dedup_lsh_verified",  # switched to the fused operator (task 2)
     ),
     # r6 diff: only the _chunk_sql() oracle helper changed (null-faithful,
     # ADVICE r5 #2) — mentioned solely by the corpus_chunk_documents block.

@@ -1083,12 +1083,15 @@ def q_dedup_lsh_verified(spark, sf_dir):
     """Candidates→verify near-dup pipeline: banded MinHash-LSH candidate
     pairs, then exact Jaccard only on those pairs (≥ 0.3).  The production
     dedup shape — linear-ish in corpus size where standalone pairwise
-    Jaccard is quadratic in hot shingles."""
+    Jaccard is quadratic in hot shingles.  r6: uses the FUSED operator so
+    the corpus is shingled once (the two-stage composition paid a second
+    full text pass; VERDICT r5 task 2)."""
     from .registry_ext import _augmented_docs
 
     docs = _augmented_docs(spark, sf_dir)
-    pairs = D.minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=8, bands=4)
-    return D.jaccard_verify_pairs(docs, pairs, "text", "doc_id", threshold=0.3)
+    return D.minhash_lsh_verified(
+        docs, "text", "doc_id", num_hashes=8, bands=4, threshold=0.3
+    )
 
 
 @register(

@@ -285,6 +285,36 @@ def test_lsh_hot_bucket_guard_adversarial_corpus(spark):
         assert r["candidate_pairs"] == 200 * 199 // 2
 
 
+def test_fused_lsh_verified_matches_two_stage_composition(spark, sf_small):
+    """minhash_lsh_verified (one staged shingle pass, r6) must return the
+    exact pair set + jaccard values of the two-operator composition it
+    replaces — the fusion is a plan optimization, never a semantics
+    change (min over distinct shingles == min over all shingles)."""
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    pairs = D.minhash_lsh_candidates(docs, "text", "doc_id")
+    composed = D.jaccard_verify_pairs(docs, pairs, "text", "doc_id", threshold=0.3)
+    fused = D.minhash_lsh_verified(docs, "text", "doc_id", threshold=0.3)
+    assert sorted(map(tuple, composed.collect())) == sorted(
+        map(tuple, fused.collect())
+    )
+
+
+def test_fused_lsh_verified_hot_bucket_guard(spark):
+    """The fused operator carries the same hot-bucket guard contract."""
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical boilerplate every single time in this corpus").alias("text"),
+    )
+    with pytest.raises(ValueError, match="exceed max_bucket_size=50"):
+        D.minhash_lsh_verified(
+            docs, "text", "doc_id", max_bucket_size=50, hot_bucket_action="error"
+        ).count()
+    skipped = D.minhash_lsh_verified(
+        docs, "text", "doc_id", max_bucket_size=50, hot_bucket_action="skip"
+    )
+    assert skipped.count() == 0
+
+
 def test_lsh_hot_bucket_guard_off_by_default(spark, sf_small):
     """Without a cap the candidate set is unchanged (guard is opt-in)."""
     from cdc_wastewater_analysis_ml_spark.operators import dedup as D
