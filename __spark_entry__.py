@@ -87,6 +87,14 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # whole streaming consumer family re-verifies rather than arguing
     # neutrality (r4 judge, What's-wrong #4).
     "streaming/ops.py": 5,
+    # r6 NEW modules (consumers = their one new query, never verified):
+    # foreachBatch incremental near-dedup + its registry file.
+    "streaming/neardup.py": 6,
+    "plans/registry_stream_ext.py": 6,
+    # r6: registry.py diff is the registry_stream_ext tail import ONLY — the
+    # AST audit derives an EMPTY affected-query set (no @register block or
+    # helper changed); listed at file granularity per the mechanical rule.
+    "plans/registry.py": 6,
 }
 # r6 onward: registration is MECHANICAL (VERDICT r5 task 3) — every .py
 # under the package touched since the previous round's driver commit MUST
@@ -186,6 +194,9 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
     "plans/registry_corpus.py": (
         "corpus_chunk_documents",
     ),
+    "streaming/neardup.py": ("stream_dedup_incremental_near",),
+    "plans/registry_stream_ext.py": ("stream_dedup_incremental_near",),
+    "plans/registry.py": (),
     "plans/registry_ext.py": ("metric_calibration_curve",),
     "operators/relational.py": (),
     "operators/similarity.py": ("sim_recall_at_k",),

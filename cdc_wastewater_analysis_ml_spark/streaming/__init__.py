@@ -1,3 +1,4 @@
+from .neardup import read_docs_stream, stream_dedup_incremental_near
 from .ops import (
     read_events_stream,
     stream_conditional_rate,
@@ -14,9 +15,11 @@ from .ops import (
 )
 
 __all__ = [
+    "read_docs_stream",
     "read_events_stream",
     "stream_conditional_rate",
     "stream_dedup_exact",
+    "stream_dedup_incremental_near",
     "stream_dedup_within_watermark",
     "stream_enrich_static",
     "stream_interval_join",

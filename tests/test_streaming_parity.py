@@ -336,3 +336,45 @@ def test_stream_sink_parquet_exactly_once_across_restart(spark, tmp_path):
         assert got.select("event_id").distinct().count() == expected
         if expected == 100:  # arrange the restart: 150 NEW rows
             mk(range(100, 250)).to_parquet(f"{src_dir}/f1.parquet", index=False)
+
+
+def test_stream_near_dedup_matches_batch_and_is_multi_batch(spark, sf_small, tmp_path):
+    """foreachBatch incremental near-dedup (streaming/neardup.py): with a
+    static store, the union of per-micro-batch survivor sets must equal the
+    one-shot batch dedup_incremental_near over the whole delta — and the
+    run must actually be incremental (>= 3 micro-batches: one per ingest
+    file under maxFilesPerTrigger=1), or the parity assertion is vacuous."""
+    from cdc_wastewater_analysis_ml_spark.operators.dedup import (
+        dedup_incremental_near,
+    )
+    from cdc_wastewater_analysis_ml_spark.plans.registry_stream_ext import (
+        _delta_docs,
+    )
+    from cdc_wastewater_analysis_ml_spark.streaming import (
+        read_docs_stream,
+        stream_dedup_incremental_near,
+    )
+
+    store = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    delta = _delta_docs(spark, sf_small)
+    src, sink, ckpt = (str(tmp_path / n) for n in ("src", "sink", "ckpt"))
+    delta.repartition(3).write.mode("overwrite").parquet(src)
+
+    q = stream_dedup_incremental_near(
+        read_docs_stream(spark, src, maxFilesPerTrigger=1),
+        store, sink, ckpt, threshold=0.3,
+    )
+    q.awaitTermination(300)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 3, f"expected >=3 micro-batches, got {n_batches}"
+
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(sink).select("doc_id").collect()
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in dedup_incremental_near(
+            delta, store, "text", "doc_id", threshold=0.3
+        ).select("doc_id").collect()
+    )
+    assert got == want and len(want) > 0

@@ -65,10 +65,13 @@ def base_commit(root: Path) -> str | None:
 
 def changed_package_files(root: Path, base: str) -> list[str]:
     """Package-relative paths of query-defining ``.py`` files that differ
-    between ``base`` and the WORKTREE (so uncommitted edits count too)."""
+    between ``base`` and the WORKTREE — uncommitted edits count, and so do
+    brand-new UNTRACKED files (git diff alone would let a new module ship
+    unregistered until its first commit)."""
     out = _git(root, "diff", "--name-only", base, "--", PKG)
+    out += _git(root, "ls-files", "--others", "--exclude-standard", "--", PKG)
     rels = []
-    for line in out.splitlines():
+    for line in sorted(set(out.splitlines())):
         p = Path(line)
         if p.suffix != ".py" or p.name in ("__init__.py", "__main__.py"):
             continue
