@@ -51,10 +51,15 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # r5: fraction_to_hex_threshold(1.0) keeps the 'ffffffff' draw
     # (r4 ADVICE #1).
     "operators/sampling.py": 5,
-    # r6: corpus_chunk_documents oracle made null-faithful (ADVICE r5 #2).
+    # r6: corpus_chunk_documents oracle made null-faithful (ADVICE r5 #2);
+    # session 2 ADDS corpus_unigram_logprob / corpus_pack_sequences /
+    # corpus_pack_greedy blocks (never verified).
     # (r5 entry — corpus_token_stats floor-rounding — fully re-verified in
     # the r5 prefix, so the marker advances.)
     "plans/registry_corpus.py": 6,
+    # r6 session 2 NEW module: two-phase partition-offset global prefix sum
+    # (consumed only by the new corpus_pack_sequences query).
+    "operators/prefix.py": 6,
     # r6: retention-cohorts single-fact-scan rewrite (VERDICT r5 task 4),
     # _ivf_index_dir moved to mkdtemp (ADVICE r5 #3 — result-neutral, listed
     # anyway), TPC-H Q18/Q21-lite analogues ADDED.  (All r5-entry consumers
@@ -163,6 +168,8 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "dedup_incremental_near",
         "dedup_cluster_cc",
         "dedup_embedding_clusters",
+        # r6 session 2: unigram_logprob scope-persists its tf relation
+        "corpus_unigram_logprob",
     ),
     "operators/corpus.py": (
         "corpus_contamination",
@@ -170,7 +177,12 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "text_repetition_signals",
         "corpus_quality_filter",  # dup_fraction signal
         "corpus_chunk_documents",  # r5-additive chunk_documents
+        # r6 session 2 additive: unigram LM scoring + both packing variants
+        "corpus_unigram_logprob",
+        "corpus_pack_sequences",
+        "corpus_pack_greedy",
     ),
+    "operators/prefix.py": ("corpus_pack_sequences",),
     "operators/sampling.py": (
         "sample_hash_fraction",
         "sample_mixture_weights",
@@ -188,11 +200,19 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "tpch_top_spenders",
         "tpch_dormant_customers",
         "dedup_lsh_verified",  # switched to the fused operator (task 2)
+        # r6 session 2 additive: Q4/Q14/Q7 analogue blocks (never verified)
+        "tpch_late_order_priority",
+        "tpch_promo_revenue",
+        "tpch_trade_volume",
     ),
     # r6 diff: only the _chunk_sql() oracle helper changed (null-faithful,
-    # ADVICE r5 #2) — mentioned solely by the corpus_chunk_documents block.
+    # ADVICE r5 #2) — mentioned solely by the corpus_chunk_documents block;
+    # session 2 ADDS the unigram-LM + packing blocks (never verified).
     "plans/registry_corpus.py": (
         "corpus_chunk_documents",
+        "corpus_unigram_logprob",
+        "corpus_pack_sequences",
+        "corpus_pack_greedy",
     ),
     "streaming/neardup.py": ("stream_dedup_incremental_near",),
     "plans/registry_stream_ext.py": ("stream_dedup_incremental_near",),

@@ -219,3 +219,164 @@ def repetition_signals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         _dup_frac(sh2).alias("dup_2gram_frac"),
         _dup_frac(sh3).alias("dup_3gram_frac"),
     )
+
+
+def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM — the cheap perplexity proxy public pipelines (CCNet-style)
+    use to rank documents by "naturalness" before an expensive model-based
+    quality pass.  A doc of common words scores near the corpus mode; rare
+    -token noise (boilerplate IDs, mojibake) scores far below it.
+
+    Returns ``(id_col, n_tokens, avg_logprob)`` where ``avg_logprob`` =
+    Σ tf·ln(count(tok)/total) / Σ tf, floor-rounded 1e-6 (house rule).
+
+    Scale shape (all linear, no all-pairs): one tokenize+explode collapsed
+    immediately to per-(doc, token) term frequencies (shuffle 1 — map-side
+    combinable, and the relation every later stage reuses, persisted with
+    result-scoped lifetime); vocabulary counts aggregate FROM the tf
+    relation (shuffle 2, input already one row per (doc,token)); the
+    corpus-total is a 1-row scalar broadcast (the allowlisted 1-row BNLJ);
+    scoring re-joins tf⋈vocab on the token (shuffle 3) and aggregates per
+    doc (shuffle 4).  At 100 TB the vocab relation is Heaps-law sublinear
+    in the corpus, and AQE broadcasts it when it fits.
+    """
+    from .caching import scoped_persist
+
+    doc_tf = (
+        fan_out(df)
+        .select(F.col(id_col), F.explode_outer(tokenize(text_col)).alias("__tok"))
+        .filter(F.col("__tok").isNotNull())
+        .groupBy(id_col, "__tok")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+        .persist()
+    )
+    vocab = doc_tf.groupBy("__tok").agg(F.sum("__tf").alias("__cnt"))
+    total = vocab.agg(F.sum("__cnt").alias("__total"))
+    vocab_lp = vocab.crossJoin(F.broadcast(total)).select(
+        "__tok", F.log(F.col("__cnt") / F.col("__total")).alias("__lp")
+    )
+    avg = F.sum(F.col("__tf") * F.col("__lp")) / F.sum("__tf")
+    result = (
+        doc_tf.join(vocab_lp, "__tok")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__tf").cast("bigint").alias("n_tokens"),
+            (F.floor(avg * 1e6 + F.lit(0.5)) / 1e6).alias("avg_logprob"),
+        )
+    )
+    return scoped_persist(result, doc_tf)
+
+
+def pack_token_stream(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    context_len: int = 512,
+) -> DataFrame:
+    """Concat-and-split sequence packing: lay every document's tokens on one
+    global stream (ordered by ``id_col``) and cut it into fixed
+    ``context_len`` windows — the GPT-style packing step that turns a
+    curated corpus into training rows with zero padding.
+
+    Returns one row per (document, pack) span:
+    ``(pack_id, id_col, n_doc_tokens, n_tokens_in_pack, begins_in_pack)``
+    — a doc longer than a window spans several packs; a window holds spans
+    of several docs.  Integer-exact (no floats anywhere).
+
+    Scale shape: per-doc token counts are a linear scan; the global token
+    offset uses the two-phase partition-offset prefix sum
+    (:func:`~.prefix.global_prefix_sum`) — range shuffle + per-partition
+    window + broadcast offsets, NEVER a single-task global window; the
+    pack explosion is a per-row ``sequence`` fan-out proportional to
+    tokens/context_len.  One range shuffle total.
+    """
+    if context_len <= 0:
+        raise ValueError("context_len must be positive")
+    from .prefix import global_prefix_sum
+
+    L = F.lit(context_len)
+    toks = df.select(
+        F.col(id_col), token_count(text_col).alias("__n")
+    ).filter(F.col("__n") > 0)
+    laid = global_prefix_sum(
+        toks, [id_col], "__n", out="__start", exclusive=True
+    )
+    first = F.floor(F.col("__start") / L).cast("bigint")
+    last = F.floor((F.col("__start") + F.col("__n") - 1) / L).cast("bigint")
+    end = F.col("__start") + F.col("__n")
+    return (
+        laid.select(
+            F.col(id_col),
+            F.col("__n"),
+            F.col("__start"),
+            F.explode(F.sequence(first, last)).alias("pack_id"),
+        )
+        .select(
+            "pack_id",
+            id_col,
+            F.col("__n").cast("bigint").alias("n_doc_tokens"),
+            (
+                F.least((F.col("pack_id") + 1) * L, end)
+                - F.greatest(F.col("pack_id") * L, F.col("__start"))
+            ).cast("bigint").alias("n_tokens_in_pack"),
+            (F.col("__start") >= F.col("pack_id") * L).alias("begins_in_pack"),
+        )
+    )
+
+
+def greedy_pack_by_key(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    key_col: str,
+    context_len: int = 512,
+) -> DataFrame:
+    """No-split greedy bin packing within each ``key_col`` group: walk the
+    group's documents in ``id_col`` order and close the current pack when
+    the next document would overflow ``context_len`` — the packing variant
+    for pipelines that must NOT split documents across training rows
+    (contrast :func:`pack_token_stream`).  A document longer than
+    ``context_len`` gets a pack of its own (downstream truncation policy).
+
+    Returns ``(key_col, id_col, n_doc_tokens, pack_id, pack_fill)`` with
+    0-based per-key ``pack_id`` and ``pack_fill`` = tokens in the pack
+    after placing this doc.
+
+    Scale shape: greedy packing is inherently sequential — but only WITHIN
+    a key (source/shard), which is exactly how production pipelines shard
+    the decision.  ``applyInPandas`` gives each key's walk to one task
+    (Arrow-batched, one shuffle on the key); keys are independent, so the
+    stage parallelizes across the key space.  The Python per group is a
+    vectorized-enough O(n) walk over two int arrays, not per-row UDF calls.
+    """
+    if context_len <= 0:
+        raise ValueError("context_len must be positive")
+    import pandas as pd  # noqa: F401 — applyInPandas contract
+
+    counted = df.select(
+        F.col(key_col), F.col(id_col), token_count(text_col).alias("n_doc_tokens")
+    ).filter(F.col("n_doc_tokens") > 0)
+
+    schema = (
+        f"{key_col} string, {id_col} long, n_doc_tokens long, "
+        "pack_id long, pack_fill long"
+    )
+
+    def pack_group(pdf):
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        packs, fills = [], []
+        pack, fill = -1, 0
+        for n in pdf["n_doc_tokens"]:
+            if pack < 0 or fill + n > context_len:
+                pack += 1
+                fill = int(n)
+            else:
+                fill += int(n)
+            packs.append(pack)
+            fills.append(fill)
+        pdf["pack_id"] = packs
+        pdf["pack_fill"] = fills
+        return pdf[[key_col, id_col, "n_doc_tokens", "pack_id", "pack_fill"]]
+
+    return counted.groupBy(key_col).applyInPandas(pack_group, schema=schema)

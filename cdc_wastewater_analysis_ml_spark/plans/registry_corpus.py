@@ -607,3 +607,113 @@ def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select("id_a", "id_b"), out_node="vec_id"
     )
     return D.cluster_dedup_decision(cc, node_col="vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing + unigram LM scoring (r6 training-data-pipeline additions)
+# ---------------------------------------------------------------------------
+
+
+def _unigram_logprob_sql() -> str:
+    from .registry_ext import _TOKENS
+
+    # Mirrors the engine exactly: per-(doc,token) term frequencies, corpus
+    # vocab counts, 1-row total, Σ tf·ln(cnt/total)/Σ tf.  unnest(NULL)
+    # yields no rows, matching Spark's explode_outer + isNotNull filter.
+    return f"""
+    WITH base AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+    dt AS (SELECT doc_id, t.tok AS tok, CAST(count(*) AS BIGINT) AS tf
+           FROM base, unnest(toks) AS t(tok) GROUP BY 1, 2),
+    vocab AS (SELECT tok, sum(tf) AS cnt FROM dt GROUP BY 1),
+    tot AS (SELECT sum(cnt) AS total FROM vocab)
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+           floor(sum(tf * ln(cnt * 1.0 / total)) / sum(tf) * 1000000 + 0.5)
+               / 1000000 AS avg_logprob
+    FROM dt JOIN vocab USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """
+
+
+@register("corpus_unigram_logprob", _unigram_logprob_sql())
+def q_corpus_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram-LM document scoring (CCNet-style perplexity proxy):
+    rank docs by mean ln p(token) under the corpus's own unigram model —
+    the cheap "naturalness" signal run before any model-based quality
+    stage.  All linear shuffles; the tf relation is computed once and
+    scope-persisted across its two consumers."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return C.unigram_logprob(docs, "text", "doc_id")
+
+
+_PACK_LEN = 512
+
+
+def _pack_sequences_sql() -> str:
+    from .registry_ext import _TOKENS
+
+    L = _PACK_LEN
+    return f"""
+    WITH t AS (SELECT doc_id, CAST(len({_TOKENS}) AS BIGINT) AS n
+               FROM documents WHERE len({_TOKENS}) > 0),
+    cum AS (SELECT doc_id, n,
+            CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS strt
+            FROM t)
+    SELECT CAST(p.i AS BIGINT) AS pack_id, doc_id,
+           n AS n_doc_tokens,
+           CAST(least((p.i + 1) * {L}, strt + n) - greatest(p.i * {L}, strt)
+                AS BIGINT) AS n_tokens_in_pack,
+           (strt >= p.i * {L}) AS begins_in_pack
+    FROM cum, unnest(range(strt // {L}, (strt + n - 1) // {L} + 1)) AS p(i)
+    """
+
+
+@register("corpus_pack_sequences", _pack_sequences_sql())
+def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing into 512-token training windows
+    (GPT-style zero-padding packing).  The global token offset uses the
+    two-phase partition-offset prefix sum (operators/prefix.py) — never a
+    single-task global window; integer-exact, so the oracle hash is
+    bit-clean."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return C.pack_token_stream(docs, "text", "doc_id", context_len=_PACK_LEN)
+
+
+def _pack_greedy_sql() -> str:
+    from .registry_ext import _TOKENS
+
+    L = _PACK_LEN
+    # Linear recursion over per-source row numbers replays the greedy walk
+    # exactly: one recursion step advances every source by one document.
+    return f"""
+    WITH RECURSIVE t AS (
+      SELECT source, doc_id, CAST(len({_TOKENS}) AS BIGINT) AS n,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents WHERE len({_TOKENS}) > 0),
+    walk(source, rn, doc_id, n, pack_id, fill) AS (
+      SELECT source, rn, doc_id, n, CAST(0 AS BIGINT), n FROM t WHERE rn = 1
+      UNION ALL
+      SELECT d.source, d.rn, d.doc_id, d.n,
+             CASE WHEN w.fill + d.n > {L} THEN w.pack_id + 1
+                  ELSE w.pack_id END,
+             CASE WHEN w.fill + d.n > {L} THEN d.n ELSE w.fill + d.n END
+      FROM walk w JOIN t d ON d.source = w.source AND d.rn = w.rn + 1)
+    SELECT source, doc_id, n AS n_doc_tokens, pack_id, fill AS pack_fill
+    FROM walk
+    """
+
+
+@register("corpus_pack_greedy", _pack_greedy_sql())
+def q_corpus_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split greedy packing per source shard (documents never split
+    across training rows; oversized docs get a lone pack).  Sequential
+    only WITHIN a key — applyInPandas gives each source's walk to one
+    Arrow-batched task, keys parallelize across the cluster.  The oracle
+    replays the identical walk as a linear recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "text"
+    )
+    return C.greedy_pack_by_key(
+        docs, "text", "doc_id", key_col="source", context_len=_PACK_LEN
+    )

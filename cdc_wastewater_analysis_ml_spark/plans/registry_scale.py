@@ -1465,3 +1465,156 @@ def q_scan_orc_roundtrip(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H coverage, r6: Q4 (EXISTS→semi with a cross-side predicate),
+# Q14 (conditional-aggregate ratio over a dim join), Q7 (two-sided
+# dimension role-playing with an OR pair filter).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_late_order_priority",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_late_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape (order-priority checking; the fixture has no
+    commitdate/receiptdate, so "late" = any line shipped >60 days after
+    the order): EXISTS with a predicate spanning both relations → LEFT
+    SEMI join on the order key carrying the cross-side date condition —
+    the semi-with-residual-filter shape the Q21/Q22 anti covers only in
+    its negated form.
+
+    Scale notes: the orders date filter pushes into the parquet scan; the
+    lineitem side projects only (l_orderkey, l_shipdate) before the semi
+    join (column pruning verified in the plan test), and semi joins
+    short-circuit on first match so the lineitem side is never
+    de-duplicated.  One shuffle per side on the order key; the priority
+    agg is map-side combinable over 5 groups."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+
+
+@register(
+    "tpch_promo_revenue",
+    """
+    SELECT floor(100.0
+               * sum(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0 END)
+               / sum(l_extendedprice * (1 - l_discount))
+               * 1000000 + 0.5) / 1000000 AS promo_revenue_pct,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-12-01 00:00:00'
+    """,
+)
+def q_tpch_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape (promotion effect): conditional-aggregate ratio —
+    promo revenue share of a shipping quarter — over a fact⋈dim join.
+
+    Scale notes: the date filter pushes into the lineitem scan; part is a
+    dimension (broadcast, plan-tested) so the fact NEVER shuffles — the
+    whole query is scan → broadcast hash join → 1-group partial agg, the
+    cheapest possible multi-table plan at 100 TB.  House floor-rounding on
+    the ratio (sum order differs across engines in the last ulps)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-12-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+    pct = 100.0 * promo / F.sum(rev)
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (F.floor(pct * 1e6 + F.lit(0.5)) / 1e6).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "tpch_trade_volume",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS l_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+       OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+    GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+    """,
+)
+def q_tpch_trade_volume(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping between two nations): the dimension
+    role-playing pattern — nation joins the fact chain TWICE under
+    different roles (supplier's vs customer's nation) with a symmetric OR
+    pair filter, grouped by ship year.
+
+    Scale notes: both nation roles and supplier broadcast (plan-tested);
+    the nation-name filter applies AFTER both roles resolve (the OR spans
+    the two join branches so neither can be pushed below its own join
+    alone — but each branch's IN ('A','B') half IS pushed into the
+    broadcast sides by Catalyst as an InSet on the two names).  The fact
+    shuffles once for the orders join; everything after is broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | (
+        (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")
+    )
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )

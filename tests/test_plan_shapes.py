@@ -290,3 +290,65 @@ def test_resample_mixture_no_shuffle_before_agg(spark, sf_small):
     plan = _plan(spark, sf_small, "sample_resample_mixture")
     assert "Generate explode" in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_tpch_q4_semi_join_with_pruned_lineitem(spark, sf_small):
+    """Q4 analogue: EXISTS must plan as a LeftSemi hash/merge join carrying
+    the cross-side date residual (never a nested loop), the orders date
+    range must push into its scan, and the lineitem side must prune to the
+    two columns the semi join needs."""
+    plan = _plan(spark, sf_small, "tpch_late_order_priority")
+    assert "LeftSemi" in plan, plan
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+    m = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    li_schemas = [s for s in m if "l_orderkey" in s]
+    assert li_schemas, plan
+    for s in li_schemas:
+        cols = {c.split(":")[0] for c in s.split(",")}
+        assert cols <= {"l_orderkey", "l_shipdate"}, cols
+
+
+def test_tpch_q14_fact_never_shuffles(spark, sf_small):
+    """Q14 analogue: part is a broadcast dim, the date filter pushes into
+    the lineitem scan, and the single-group aggregate partial-aggregates
+    map-side — the fact table must reach the result with ZERO hash
+    exchanges."""
+    plan = _plan(spark, sf_small, "tpch_promo_revenue")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_tpch_q7_nation_roles_broadcast(spark, sf_small):
+    """Q7 analogue: supplier and both nation roles broadcast (3 broadcast
+    joins), no nested loop despite the OR pair filter."""
+    plan = _plan(spark, sf_small, "tpch_trade_volume")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, plan
+
+
+def test_pack_sequences_no_single_task_data_window(spark, sf_small):
+    """Concat-and-split packing must compute its global token offset with
+    the two-phase partition-offset prefix sum: every window over data rows
+    is keyed by the range-partition id; the only un-partitioned window is
+    the prefix-offset sum over per-partition totals (≤ #partitions rows)."""
+    plan = _plan(spark, sf_small, "corpus_pack_sequences")
+    window_lines = [ln for ln in plan.splitlines() if re.search(r"[+:]- Window ", ln)]
+    assert window_lines, plan
+    for ln in window_lines:
+        assert "__pid" in ln or "__tot" in ln, f"single-task data window:\n{ln}"
+
+
+def test_unigram_logprob_single_tokenize_and_equi_joins(spark, sf_small):
+    """Unigram scoring must tokenize the corpus ONCE (the tf relation is
+    computed once and reused via scoped persist — InMemoryTableScan on the
+    second consumer), join vocab↔tf as an equi join, and keep the only
+    nested-loop the allowlisted 1-row corpus-total broadcast."""
+    plan = _plan(spark, sf_small, "corpus_unigram_logprob")
+    assert "InMemoryTableScan" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the only BNLJ permitted is the 1-row scalar total
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
