@@ -104,6 +104,15 @@ HEADLINE = [
     # index build happens on the first call (memoized per sf); the median
     # therefore reports the steady-state query-only path.
     "sim_ivf_index_persisted",
+    # r6 session-2 additions: sequence packing + unigram-LM scoring (the
+    # training-data-prep tail of the corpus family) and the three new TPC-H
+    # join/agg shapes (Q4 exists-semi, Q14 broadcast-ratio, Q7 role-playing).
+    "corpus_pack_sequences",
+    "corpus_pack_greedy",
+    "corpus_unigram_logprob",
+    "tpch_late_order_priority",
+    "tpch_promo_revenue",
+    "tpch_trade_volume",
 ]
 
 
@@ -177,8 +186,13 @@ def main() -> None:
             indent=1,
         )
 
-    # ONE compact JSON line (~1.6 KB): scalar summary first, medians LAST —
-    # tail truncation eats the front, so the signal of record survives.
+    # ONE compact JSON line (~1.8 KB): scalar summary first, medians next,
+    # and compact DUPLICATES of the two totals ("v" = value, "frt" =
+    # first_run_total) at the very END.  The driver's record keeps only the
+    # LAST ~2000 chars of stdout, i.e. truncation eats the FRONT of this
+    # line — the trailing duplicates guarantee both totals survive even if
+    # the headline set grows past the horizon (JSON last-key-wins makes the
+    # duplicates harmless to any parser reading the full line).
     print(
         json.dumps(
             {
@@ -189,6 +203,8 @@ def main() -> None:
                 "first_run_total": round(sum(first.values()), 3),
                 "value": round(sum(medians.values()), 3),
                 "queries": medians,
+                "v": round(sum(medians.values()), 3),
+                "frt": round(sum(first.values()), 3),
             }
         )
     )
