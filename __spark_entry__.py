@@ -58,8 +58,10 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # the r5 prefix, so the marker advances.)
     "plans/registry_corpus.py": 6,
     # r6 session 2 NEW module: two-phase partition-offset global prefix sum
-    # (consumed only by the new corpus_pack_sequences query).
+    # (consumed by the new corpus_pack_sequences + corpus_shard_assign).
     "operators/prefix.py": 6,
+    # r6 session 2 NEW module: deterministic shard assignment/writer.
+    "operators/shards.py": 6,
     # r6: retention-cohorts single-fact-scan rewrite (VERDICT r5 task 4),
     # _ivf_index_dir moved to mkdtemp (ADVICE r5 #3 — result-neutral, listed
     # anyway), TPC-H Q18/Q21-lite analogues ADDED.  (All r5-entry consumers
@@ -148,6 +150,10 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         # functions consumed only by the new (never-verified) queries below.
         "dedup_cluster_cc",
         "dedup_embedding_clusters",
+        # r6 session 2 additive: exact-substring pairs + quality-aware
+        # cluster representative (new functions, never verified).
+        "dedup_substring_kgram",
+        "dedup_cluster_best",
     ),
     "operators/windows.py": (
         "window_lag",
@@ -170,6 +176,11 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "dedup_embedding_clusters",
         # r6 session 2: unigram_logprob scope-persists its tf relation
         "corpus_unigram_logprob",
+        # r6 session 2 additive: tfidf + shard layout scope-persist too
+        "corpus_tfidf_top_terms",
+        "corpus_shard_assign",
+        "dedup_substring_kgram",
+        "dedup_cluster_best",
     ),
     "operators/corpus.py": (
         "corpus_contamination",
@@ -181,8 +192,13 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "corpus_unigram_logprob",
         "corpus_pack_sequences",
         "corpus_pack_greedy",
+        # r6 session 2 additive: TF-IDF keyword extraction
+        "corpus_tfidf_top_terms",
     ),
-    "operators/prefix.py": ("corpus_pack_sequences",),
+    "operators/prefix.py": ("corpus_pack_sequences", "corpus_shard_assign"),
+    # r6 session 2 NEW module: deterministic shard assignment + sorted-shard
+    # writer (consumes operators/prefix.py).
+    "operators/shards.py": ("corpus_shard_assign",),
     "operators/sampling.py": (
         "sample_hash_fraction",
         "sample_mixture_weights",
@@ -213,6 +229,11 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "corpus_unigram_logprob",
         "corpus_pack_sequences",
         "corpus_pack_greedy",
+        # r6 session 2 additive blocks (never verified)
+        "dedup_substring_kgram",
+        "corpus_tfidf_top_terms",
+        "dedup_cluster_best",
+        "corpus_shard_assign",
     ),
     "streaming/neardup.py": ("stream_dedup_incremental_near",),
     "plans/registry_stream_ext.py": ("stream_dedup_incremental_near",),

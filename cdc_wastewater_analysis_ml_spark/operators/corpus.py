@@ -26,7 +26,7 @@ stage, nothing that breaks at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..sources.readers import fan_out
@@ -380,3 +380,56 @@ def greedy_pack_by_key(
         return pdf[[key_col, id_col, "n_doc_tokens", "pack_id", "pack_fill"]]
 
     return counted.groupBy(key_col).applyInPandas(pack_group, schema=schema)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    top_k: int = 5,
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms — the classic keyword-extraction
+    signal (and the document representation behind sparse retrieval /
+    cluster labeling over a curated corpus).
+
+    ``tfidf = tf · ln(N / df)`` with N = #docs containing ≥1 token and
+    df = #docs containing the term; ranking is (tfidf DESC, term ASC) via
+    ``row_number`` so ties are deterministic; the reported score is
+    floor-rounded 1e-6 (house rule).
+
+    Scale shape: same backbone as :func:`unigram_logprob` — ONE
+    tokenize+explode collapsed to the per-(doc, term) tf relation
+    (persisted, scope-released with the result) feeds both the
+    document-frequency aggregate and the scoring join; N is a 1-row scalar
+    broadcast; the final window partitions by doc (millions of small
+    partitions — never a global window).  The df relation is Heaps-law
+    sublinear in the corpus and broadcast when it fits.
+    """
+    from .caching import scoped_persist
+
+    doc_tf = (
+        fan_out(df)
+        .select(F.col(id_col), F.explode_outer(tokenize(text_col)).alias("term"))
+        .filter(F.col("term").isNotNull())
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    dfreq = doc_tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    n_docs = doc_tf.agg(F.countDistinct(id_col).alias("__n"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("__score"), F.asc("term"))
+    out = (
+        doc_tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("__score", F.col("tf") * F.log(F.col("__n") / F.col("__df")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col(id_col),
+            "rank",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            (F.floor(F.col("__score") * 1e6 + F.lit(0.5)) / 1e6).alias("tfidf"),
+        )
+    )
+    return scoped_persist(out, doc_tf)

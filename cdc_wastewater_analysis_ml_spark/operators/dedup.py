@@ -30,7 +30,7 @@ from .caching import (
     scoped_persist,
     transfer_cache_scope,
 )
-from .text import fingerprint, word_shingles
+from .text import fingerprint, token_count, word_shingles
 
 
 def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -819,3 +819,102 @@ def cluster_dedup_decision(
 ) -> DataFrame:
     """Keep-flag per clustered doc: the cluster's minimum id is canonical."""
     return cc.withColumn("keep", F.col(node_col) == F.col(cluster_col))
+
+
+def substring_kgram_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Exact-substring duplication detection: pairs of docs sharing at least
+    one exact ``k``-token span, with the count of distinct shared spans.
+
+    The practical Spark form of suffix-array substring dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): a shared
+    50-token span in that work ≙ a shared k-token shingle here — exact
+    match, not similarity, which is why this complements
+    :func:`ngram_jaccard_pairs` (a 5 000-token page that embeds one
+    verbatim 100-token paragraph from another page has Jaccard ≈ 0.02 but
+    IS contaminated).  Only docs with ≥ k tokens participate (shorter docs
+    cannot contain a k-token span; whole-short-doc duplication is
+    :func:`dedup_exact`'s job).
+
+    Scale shape: explode DISTINCT k-shingles per doc, digest to md5 — the
+    shuffle carries a 32-char key + id, never text; pairs emerge from a
+    self-equi-join on the digest, so only docs sharing a span ever meet.
+    ``max_bucket_size`` drops spans occurring in more than that many docs
+    (boilerplate headers/footers) — the same hot-bucket guard as the LSH
+    family, and the knob that bounds the join's worst case at 100 TB.
+    """
+    spans = (
+        fan_out(df)
+        .filter(token_count(text_col) >= k)
+        .select(
+            F.col(id_col),
+            F.explode_outer(
+                F.array_distinct(word_shingles(text_col, k))
+            ).alias("__sh"),
+        )
+        .filter(F.col("__sh").isNotNull())
+        .select(id_col, F.md5("__sh").alias("__h"))
+        .persist()
+    )
+    if max_bucket_size is not None:
+        ok = (
+            spans.groupBy("__h")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket_size)
+            .select("__h")
+        )
+        joined_spans = spans.join(ok, "__h")
+    else:
+        joined_spans = spans
+    a, b = joined_spans.alias("a"), joined_spans.alias("b")
+    out = (
+        a.join(
+            b,
+            on=[
+                F.col("a.__h") == F.col("b.__h"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_spans"))
+    )
+    return scoped_persist(out, spans)
+
+
+def cluster_best_decision(
+    cc: DataFrame,
+    scores: DataFrame,
+    node_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Quality-aware keep-one-per-cluster: instead of the min-id canonical
+    doc (:func:`cluster_dedup_decision`), keep each dup cluster's
+    HIGHEST-``score_col`` member (ties → lowest id) — the production
+    policy when near-dup variants differ in cleanliness and the pipeline
+    should keep the best copy, not the first-crawled one.
+
+    ``scores`` must be rounded/quantized upstream (the ordering must be on
+    values both engines reproduce exactly).  The per-cluster window is safe
+    at scale: dup clusters are small by construction (bounded by the LSH
+    bucket guard), so no window partition is ever large.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.desc(score_col), F.asc(node_col)
+    )
+    return (
+        cc.join(scores, node_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("keep_best", F.col("__rn") == 1)
+        .drop("__rn")
+    )

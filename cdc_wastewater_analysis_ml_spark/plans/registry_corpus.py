@@ -717,3 +717,172 @@ def q_corpus_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.greedy_pack_by_key(
         docs, "text", "doc_id", key_col="source", context_len=_PACK_LEN
     )
+
+
+# ---------------------------------------------------------------------------
+# r6 session-2 additions: exact-substring dedup, TF-IDF keywords,
+# quality-aware cluster representative, deterministic shard layout
+# ---------------------------------------------------------------------------
+
+
+def _substring_kgram_sql() -> str:
+    from .registry_ext import _AUG_CTE, _shingles_sql_d, _TOKENS_D
+
+    return (
+        _AUG_CTE
+        + f"""
+    , sp AS (
+        SELECT d.doc_id, md5(s.sh) AS h
+        FROM docs d, unnest(list_distinct({_shingles_sql_d(8)})) AS s(sh)
+        WHERE len({_TOKENS_D}) >= 8),
+    ok AS (SELECT h FROM sp GROUP BY h HAVING count(*) <= 50),
+    spk AS (SELECT doc_id, h FROM sp JOIN ok USING (h))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared_spans
+    FROM spk a JOIN spk b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """
+    )
+
+
+@register("dedup_substring_kgram", _substring_kgram_sql())
+def q_dedup_substring_kgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication: doc pairs sharing ≥1 exact 8-token span
+    (the Spark form of suffix-array substring dedup à la Lee et al.) with a
+    50-doc hot-span guard.  Complements Jaccard similarity — catches a
+    verbatim paragraph embedded in an otherwise-different page."""
+    from .registry_ext import _augmented_docs
+
+    docs = _augmented_docs(spark, sf_dir)
+    return D.substring_kgram_pairs(
+        docs, "text", "doc_id", k=8, max_bucket_size=50
+    )
+
+
+def _tfidf_sql() -> str:
+    from .registry_ext import _TOKENS
+
+    return f"""
+    WITH dt AS (
+        SELECT doc_id, t.tok AS term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents) b,
+             unnest(toks) AS t(tok)
+        GROUP BY 1, 2),
+    dfq AS (SELECT term, count(*) AS dfn FROM dt GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS nd FROM dt),
+    scored AS (
+        SELECT doc_id, term, tf, tf * ln(nd * 1.0 / dfn) AS score
+        FROM dt JOIN dfq USING (term) CROSS JOIN n),
+    ranked AS (
+        SELECT doc_id, term, tf, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, term) AS rnk
+        FROM scored)
+    SELECT doc_id, CAST(rnk AS INTEGER) AS rank, term, tf,
+           floor(score * 1000000 + 0.5) / 1000000 AS tfidf
+    FROM ranked WHERE rnk <= 3
+    """
+
+
+@register("corpus_tfidf_top_terms", _tfidf_sql())
+def q_corpus_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (tfidf = tf·ln(N/df), ties by
+    term).  One tokenize pass: the tf relation is computed once and
+    scope-persisted across the document-frequency aggregate and the
+    scoring join; N is a 1-row scalar broadcast."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return C.tfidf_top_terms(docs, "text", "doc_id", top_k=3)
+
+
+def _cluster_best_sql() -> str:
+    from .registry_ext import _AUG_CTE
+    from .registry_scale import _lsh_verified_sql
+
+    closure = _cc_closure_sql(_lsh_verified_sql())
+    quality = (
+        _AUG_CTE
+        + r"""
+    , t AS (
+      SELECT doc_id, text, length(text) AS total,
+             string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                          ' ') AS toks,
+             length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                 AS punct
+      FROM docs)
+    SELECT doc_id,
+           floor(least(1.0, total / 500.0)
+                 * (1.0 - CASE WHEN total > 0
+                               THEN punct * 1.0 / total ELSE 0.0 END)
+                 * (1.0 - (CASE WHEN len(toks) > 0
+                                THEN len(list_filter(toks, x ->
+                                     list_contains(['the','a','and','of','to'], x)))
+                                     * 1.0 / len(toks)
+                                ELSE 0.0 END) / 2.0)
+                 * 1000000 + 0.5) / 1000000 AS quality
+    FROM t
+    """
+    )
+    return f"""
+    SELECT cc.doc_id, cc.cluster_id, q.quality,
+           (row_number() OVER (PARTITION BY cc.cluster_id
+                               ORDER BY q.quality DESC, cc.doc_id) = 1)
+               AS keep_best
+    FROM ({closure}) cc JOIN ({quality}) q ON q.doc_id = cc.doc_id
+    """
+
+
+@register("dedup_cluster_best", _cluster_best_sql())
+def q_dedup_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keep-one-per-cluster: same dup clusters as
+    dedup_cluster_cc, but each cluster keeps its HIGHEST-quality member
+    (floor-rounded quality; ties → lowest doc_id) instead of the min-id
+    one — the policy a production pipeline wants when near-dup variants
+    differ in cleanliness.  Ordering is on the ROUNDED quality so both
+    engines rank identical values."""
+    from .registry_ext import _augmented_docs
+    from ..operators import text as T
+
+    docs = _augmented_docs(spark, sf_dir)
+    pairs = D.minhash_lsh_verified(
+        docs, "text", "doc_id", num_hashes=8, bands=4, threshold=0.3
+    )
+    cc = D.connected_components(pairs.select("id_a", "id_b"))
+    scores = docs.select(
+        "doc_id",
+        (F.floor(T.quality_score("text") * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "quality"
+        ),
+    )
+    return D.cluster_best_decision(
+        cc.select("doc_id", "cluster_id"), scores, score_col="quality"
+    )
+
+
+_N_SHARDS = 8
+
+
+@register(
+    "corpus_shard_assign",
+    f"""
+    WITH b AS (
+        SELECT doc_id,
+               substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+        FROM documents),
+    s AS (SELECT doc_id, h,
+                 CAST(('0x' || h)::BIGINT % {_N_SHARDS} AS INTEGER) AS shard
+          FROM b)
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1
+                AS BIGINT) AS pos_in_shard
+    FROM s
+    """,
+)
+def q_corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard layout (operators/shards.py): seeded
+    md5 draw → shard id (mod 8) + exact position-in-shard via the
+    two-phase partition-offset prefix sum — a reproducible global shuffle
+    of the corpus into shards, never a single-task window."""
+    from ..operators.shards import assign_shards
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return assign_shards(docs, "doc_id", _N_SHARDS, seed=42)

@@ -352,3 +352,34 @@ def test_unigram_logprob_single_tokenize_and_equi_joins(spark, sf_small):
     assert "CartesianProduct" not in plan, plan
     # the only BNLJ permitted is the 1-row scalar total
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_shard_assign_no_single_task_data_window(spark, sf_small):
+    """Shard layout must compute pos_in_shard via the partition-offset
+    prefix sum: every window over data rows is keyed by the range-partition
+    id; only the ≤#partitions offset window is unpartitioned."""
+    plan = _plan(spark, sf_small, "corpus_shard_assign")
+    window_lines = [ln for ln in plan.splitlines() if re.search(r"[+:]- Window ", ln)]
+    assert window_lines, plan
+    for ln in window_lines:
+        assert "__pid" in ln or "__tot" in ln, f"single-task data window:\n{ln}"
+
+
+def test_substring_kgram_digest_equi_join(spark, sf_small):
+    """Exact-substring pairs must come from an equi self-join on the span
+    digest — never a nested loop — and the span relation must be computed
+    once (persisted, reused by the guard and both join sides)."""
+    plan = _plan(spark, sf_small, "dedup_substring_kgram")
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_tfidf_single_tokenize_equi_joins(spark, sf_small):
+    """TF-IDF must tokenize once (tf relation persisted and reused by the
+    df aggregate + scoring join); the only nested loop is the allowlisted
+    1-row corpus-size broadcast."""
+    plan = _plan(spark, sf_small, "corpus_tfidf_top_terms")
+    assert "InMemoryTableScan" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
