@@ -113,6 +113,12 @@ HEADLINE = [
     "tpch_late_order_priority",
     "tpch_promo_revenue",
     "tpch_trade_volume",
+    # r6 session-2 wave 2: exact-substring dedup, TF-IDF keywords, shard
+    # layout.  (dedup_cluster_best re-runs the whole LSH+CC fixpoint that
+    # dedup_cluster_cc already times — left out to avoid double-counting.)
+    "dedup_substring_kgram",
+    "corpus_tfidf_top_terms",
+    "corpus_shard_assign",
 ]
 
 

@@ -37,6 +37,11 @@ FLAG_ALLOWED = {
     "metric_average_precision",
     "metric_roc_curve",
     "metric_pr_curve",
+    # 1-row corpus-total / corpus-size scalar broadcast (same
+    # IdentityBroadcastMode pattern as the metric curves; plan tests pin
+    # BNLJ count <= 1 for both).
+    "corpus_unigram_logprob",
+    "corpus_tfidf_top_terms",
 }
 
 
