@@ -220,6 +220,9 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "tpch_late_order_priority",
         "tpch_promo_revenue",
         "tpch_trade_volume",
+        # r6 session 2 wave 2: Q11 scalar-HAVING + Q13 outer-join histogram
+        "tpch_important_parts",
+        "tpch_customer_distribution",
     ),
     # r6 diff: only the _chunk_sql() oracle helper changed (null-faithful,
     # ADVICE r5 #2) — mentioned solely by the corpus_chunk_documents block;

@@ -1618,3 +1618,102 @@ def q_tpch_trade_volume(spark, sf_dir):
             "revenue"
         )
     )
+
+
+@register(
+    "tpch_important_parts",
+    """
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                   + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM lineitem GROUP BY 1),
+    tot AS (SELECT sum(rev_cents) AS tot_cents,
+                   CAST(count(*) AS BIGINT) AS n_parts FROM rev)
+    SELECT l_partkey, rev_cents
+    FROM rev CROSS JOIN tot
+    WHERE rev_cents * n_parts * 4 > 5 * tot_cents
+    """,
+)
+def q_tpch_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (important stock): per-group sum kept only when it
+    exceeds a FRACTION OF THE GLOBAL TOTAL — the scalar-subquery-in-HAVING
+    pattern (fixture has no partsupp, so part revenue stands in for supply
+    value).  The cut is scale-free — parts above 1.25× the
+    mean part revenue (4·rev·n > 5·tot, all int64) — so the query returns
+    the upper ~decile at EVERY sf instead of going empty when the part
+    count grows (a fixed Q11-style fraction selects nothing on a uniform
+    fixture, and the fixture's max/mean ratio is only ~1.9).
+
+    Integer-exact: per-row revenue floors to cents BEFORE summing, so both
+    engines sum identical bigints and the > comparison can never flip on a
+    float ulp at the threshold boundary — the subtle failure mode of
+    fraction-of-total filters.
+
+    Scale notes: one fact shuffle for the per-part aggregate (map-side
+    combinable); the global total is a 1-row re-aggregate of the ALREADY
+    -reduced per-part relation (never a second fact scan) broadcast back as
+    the allowlisted scalar BNLJ."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(cents).cast("bigint").alias("rev_cents"))
+        .persist()
+    )
+    tot = rev.agg(
+        F.sum("rev_cents").alias("tot_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+    )
+    from ..operators.caching import scoped_persist
+
+    out = (
+        rev.crossJoin(F.broadcast(tot))
+        .filter(F.col("rev_cents") * F.col("n_parts") * 4 > 5 * F.col("tot_cents"))
+        .select("l_partkey", "rev_cents")
+    )
+    return scoped_persist(out, rev)
+
+
+@register(
+    "tpch_customer_distribution",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+          FROM customer
+          LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> 'URGENT'
+          GROUP BY c_custkey) per_cust
+    GROUP BY c_count
+    """,
+)
+def q_tpch_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape (customer distribution): how many customers placed
+    exactly k (non-urgent) orders — LEFT OUTER join so zero-order
+    customers land in the k=0 bucket, then a distribution-of-counts
+    double aggregation.
+
+    Scale notes: the join-side filter sits in the JOIN CONDITION (not a
+    WHERE, which would silently turn the outer join inner — the classic
+    Q13 bug); count(o_orderkey) counts matches only, so unmatched rows
+    produce 0.  One shuffle family on the customer key, then a tiny
+    re-aggregate over ≤ max-orders-per-customer distinct counts."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )

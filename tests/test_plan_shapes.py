@@ -383,3 +383,25 @@ def test_tfidf_single_tokenize_equi_joins(spark, sf_small):
     assert "InMemoryTableScan" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_tpch_q11_single_fact_scan(spark, sf_small):
+    """Q11 analogue: the global total must be a re-aggregate of the
+    already-reduced per-part relation (InMemoryTableScan — never a second
+    lineitem scan) broadcast back as the allowlisted 1-row BNLJ."""
+    plan = _plan(spark, sf_small, "tpch_important_parts")
+    # both consumers (the filter side and the 1-row total) read the CACHED
+    # per-part relation; the lineitem FileScan text appears only inside the
+    # shared InMemoryRelation definition, i.e. it materializes once
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_tpch_q13_outer_join_survives(spark, sf_small):
+    """Q13 analogue: the priority filter must live in the JOIN CONDITION —
+    the plan must keep a LeftOuter join (a WHERE would turn it inner and
+    silently drop zero-order customers)."""
+    plan = _plan(spark, sf_small, "tpch_customer_distribution")
+    assert "LeftOuter" in plan, plan
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, plan
