@@ -62,6 +62,9 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     "operators/prefix.py": 6,
     # r6 session 2 NEW module: deterministic shard assignment/writer.
     "operators/shards.py": 6,
+    # r6 session 2 NEW modules: single-pass column profiler + CDC merge.
+    "operators/profile.py": 6,
+    "operators/cdc.py": 6,
     # r6: retention-cohorts single-fact-scan rewrite (VERDICT r5 task 4),
     # _ivf_index_dir moved to mkdtemp (ADVICE r5 #3 — result-neutral, listed
     # anyway), TPC-H Q18/Q21-lite analogues ADDED.  (All r5-entry consumers
@@ -199,6 +202,8 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
     # r6 session 2 NEW module: deterministic shard assignment + sorted-shard
     # writer (consumes operators/prefix.py).
     "operators/shards.py": ("corpus_shard_assign",),
+    "operators/profile.py": ("profile_events",),
+    "operators/cdc.py": ("cdc_merge_upsert",),
     "operators/sampling.py": (
         "sample_hash_fraction",
         "sample_mixture_weights",
@@ -220,9 +225,12 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "tpch_late_order_priority",
         "tpch_promo_revenue",
         "tpch_trade_volume",
-        # r6 session 2 wave 2: Q11 scalar-HAVING + Q13 outer-join histogram
+        # r6 session 2 wave 2: Q11 scalar-HAVING + Q13 outer-join histogram,
+        # column profiler + CDC merge blocks
         "tpch_important_parts",
         "tpch_customer_distribution",
+        "profile_events",
+        "cdc_merge_upsert",
     ),
     # r6 diff: only the _chunk_sql() oracle helper changed (null-faithful,
     # ADVICE r5 #2) — mentioned solely by the corpus_chunk_documents block;

@@ -1717,3 +1717,105 @@ def q_tpch_customer_distribution(spark, sf_dir):
     return per_cust.groupBy("c_count").agg(
         F.count(F.lit(1)).cast("bigint").alias("custdist")
     )
+
+
+def _profile_events_sql() -> str:
+    num = ["event_id", "user_id", "value"]
+    stri = ["event_type"]
+    stats = ["CAST(count(*) AS BIGINT) AS n"]
+    for c in num + stri:
+        stats.append(f"CAST(count({c}) AS BIGINT) AS cnt_{c}")
+        stats.append(f"CAST(count(DISTINCT {c}) AS BIGINT) AS nd_{c}")
+    for c in num:
+        stats.append(
+            f"floor(CAST(min({c}) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mn_{c}"
+        )
+        stats.append(
+            f"floor(CAST(max({c}) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS mx_{c}"
+        )
+    for c in stri:
+        stats.append(f"min({c}) AS smn_{c}")
+        stats.append(f"max({c}) AS smx_{c}")
+    rows = []
+    for c in num:
+        rows.append(
+            f"SELECT '{c}' AS \"column\", n AS n_rows, n - cnt_{c} AS n_nulls, "
+            f"nd_{c} AS n_distinct, mn_{c} AS min_num, mx_{c} AS max_num, "
+            f"CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str "
+            f"FROM s"
+        )
+    for c in stri:
+        rows.append(
+            f"SELECT '{c}', n, n - cnt_{c}, nd_{c}, CAST(NULL AS DOUBLE), "
+            f"CAST(NULL AS DOUBLE), smn_{c}, smx_{c} FROM s"
+        )
+    return (
+        "WITH s AS (SELECT " + ", ".join(stats) + " FROM events) "
+        + " UNION ALL ".join(rows)
+    )
+
+
+@register("profile_events", _profile_events_sql())
+def q_profile_events(spark, sf_dir):
+    """Single-pass column profile of the events fact table (nulls, exact
+    distincts, min/max per column) — the data-quality report run before
+    and after every major transform.  ONE aggregate reads the table once
+    for all columns (plan-tested); the per-column reshape is a literal
+    explode of the 1-row result."""
+    from ..operators.profile import profile_columns
+
+    ev = load_table(spark, sf_dir, "events")
+    return profile_columns(
+        ev,
+        numeric_cols=["event_id", "user_id", "value"],
+        string_cols=["event_type"],
+    )
+
+
+_CDC_COLS = "c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment"
+
+
+@register(
+    "cdc_merge_upsert",
+    f"""
+    WITH delta AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 10 = 3
+        UNION ALL
+        SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
+               c_mktsegment
+        FROM customer WHERE c_custkey % 17 = 5)
+    SELECT coalesce(d.c_custkey, c.c_custkey) AS c_custkey,
+           CASE WHEN d.c_custkey IS NOT NULL THEN d.c_name
+                ELSE c.c_name END AS c_name,
+           CASE WHEN d.c_custkey IS NOT NULL THEN d.c_nationkey
+                ELSE c.c_nationkey END AS c_nationkey,
+           CASE WHEN d.c_custkey IS NOT NULL THEN d.c_acctbal
+                ELSE c.c_acctbal END AS c_acctbal,
+           CASE WHEN d.c_custkey IS NOT NULL THEN d.c_mktsegment
+                ELSE c.c_mktsegment END AS c_mktsegment,
+           CASE WHEN d.c_custkey IS NOT NULL AND c.c_custkey IS NOT NULL
+                THEN 'update'
+                WHEN d.c_custkey IS NOT NULL THEN 'insert'
+                ELSE 'keep' END AS action
+    FROM customer c FULL OUTER JOIN delta d ON c.c_custkey = d.c_custkey
+    """,
+)
+def q_cdc_merge_upsert(spark, sf_dir):
+    """Keyed merge of a synthetic correction delta into the customer
+    snapshot (the batch MERGE INTO shape): every 10th customer's balance
+    corrected (+100), every 17th re-crawled as a NEW key (+1M) — inserts,
+    updates and carried-forward rows all exercised and annotated.  One
+    shuffle join on the key; at 100 TB the snapshot is bucketed by key so
+    the (small) delta co-locates without reshuffling the store."""
+    from ..operators.cdc import merge_upsert
+
+    cust = load_table(spark, sf_dir, "customer")
+    upd = cust.filter(F.col("c_custkey") % 10 == 3).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100.0
+    )
+    ins = cust.filter(F.col("c_custkey") % 17 == 5).withColumn(
+        "c_custkey", F.col("c_custkey") + 1000000
+    )
+    return merge_upsert(cust, upd.unionByName(ins), ["c_custkey"])

@@ -405,3 +405,21 @@ def test_tpch_q13_outer_join_survives(spark, sf_small):
     assert "LeftOuter" in plan, plan
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert bad not in plan, plan
+
+
+def test_profile_events_single_scan(spark, sf_small):
+    """The profiler must compute every column's stats in ONE aggregate over
+    ONE scan of the table (Catalyst Expand for the multi-distinct), never
+    one scan per column."""
+    plan = _plan(spark, sf_small, "profile_events")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan, plan
+
+
+def test_cdc_merge_full_outer_no_nested_loop(spark, sf_small):
+    """The merge must plan as a keyed FullOuter join (sort-merge or hash),
+    never a nested loop."""
+    plan = _plan(spark, sf_small, "cdc_merge_upsert")
+    assert "FullOuter" in plan, plan
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, plan
