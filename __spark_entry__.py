@@ -62,9 +62,11 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     "operators/prefix.py": 6,
     # r6 session 2 NEW module: deterministic shard assignment/writer.
     "operators/shards.py": 6,
-    # r6 session 2 NEW modules: single-pass column profiler + CDC merge.
+    # r6 session 2 NEW modules: single-pass column profiler + CDC merge
+    # (batch op + foreachBatch streaming form).
     "operators/profile.py": 6,
     "operators/cdc.py": 6,
+    "streaming/cdc.py": 6,
     # r6: retention-cohorts single-fact-scan rewrite (VERDICT r5 task 4),
     # _ivf_index_dir moved to mkdtemp (ADVICE r5 #3 — result-neutral, listed
     # anyway), TPC-H Q18/Q21-lite analogues ADDED.  (All r5-entry consumers
@@ -203,7 +205,8 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
     # writer (consumes operators/prefix.py).
     "operators/shards.py": ("corpus_shard_assign",),
     "operators/profile.py": ("profile_events",),
-    "operators/cdc.py": ("cdc_merge_upsert",),
+    "operators/cdc.py": ("cdc_merge_upsert", "stream_cdc_upsert"),
+    "streaming/cdc.py": ("stream_cdc_upsert",),
     "operators/sampling.py": (
         "sample_hash_fraction",
         "sample_mixture_weights",
@@ -245,9 +248,14 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "corpus_tfidf_top_terms",
         "dedup_cluster_best",
         "corpus_shard_assign",
+        "pipeline_corpus_curation",
     ),
     "streaming/neardup.py": ("stream_dedup_incremental_near",),
-    "plans/registry_stream_ext.py": ("stream_dedup_incremental_near",),
+    "plans/registry_stream_ext.py": (
+        "stream_dedup_incremental_near",
+        # r6 session 2 additive block (never verified)
+        "stream_cdc_upsert",
+    ),
     "plans/registry.py": (),
     "plans/registry_ext.py": ("metric_calibration_curve",),
     "operators/relational.py": (),

@@ -119,6 +119,10 @@ HEADLINE = [
     "dedup_substring_kgram",
     "corpus_tfidf_top_terms",
     "corpus_shard_assign",
+    # the five-stage curation composite (quality → exact dedup → LSH+CC
+    # prune → packing as ONE lazy plan) — the corpus counterpart of
+    # pipeline_wastewater_ep1.
+    "pipeline_corpus_curation",
 ]
 
 

@@ -13,7 +13,7 @@ types (BIGINT len/row_number, HUGEINT sums) land on Spark's dtypes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import corpus as C
@@ -886,3 +886,109 @@ def q_corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return assign_shards(docs, "doc_id", _N_SHARDS, seed=42)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation composite (the corpus analogue of EP1's
+# pipeline_feature_engineering: the WHOLE curation chain as one lazy plan)
+# ---------------------------------------------------------------------------
+
+
+def _curation_sql() -> str:
+    from .registry_ext import _AUG_CTE
+    from .registry_scale import _lsh_verified_sql
+
+    # LSH-verified pairs over a CUSTOM base relation: reuse the exact
+    # sig/band/verify SQL by swapping the docs CTE (the helper is pinned to
+    # the augmented-docs CTE; slice it off and substitute).
+    full = _lsh_verified_sql()
+    assert full.startswith(_AUG_CTE), "helper layout changed"
+    lsh_body = full[len(_AUG_CTE):]
+    pairs_sql = "WITH docs AS (SELECT doc_id, text FROM ded)" + lsh_body
+    closure = _cc_closure_sql(pairs_sql)
+
+    norm = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+    toks = f"string_split({norm}, ' ')"
+    L = _PACK_LEN
+    return f"""
+    WITH aug AS (
+        SELECT doc_id, text, lang FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, concat(text, ' near dup tail'), lang
+        FROM documents WHERE doc_id % 5 = 0),
+    qual AS (
+        SELECT doc_id, text FROM aug
+        WHERE lang <> 'zh' AND len({toks}) >= 24),
+    ded AS (
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   row_number() OVER (PARTITION BY md5({norm})
+                                      ORDER BY doc_id) AS rn
+            FROM qual) WHERE rn = 1),
+    cc AS ({closure}),
+    kept AS (
+        SELECT d.doc_id, d.text FROM ded d
+        LEFT JOIN cc ON cc.doc_id = d.doc_id
+        WHERE cc.doc_id IS NULL OR cc.doc_id = cc.cluster_id),
+    t AS (SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n
+          FROM kept WHERE len({toks}) > 0),
+    cum AS (SELECT doc_id, n,
+            CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS strt
+            FROM t)
+    SELECT CAST(p.i AS BIGINT) AS pack_id, doc_id, n AS n_doc_tokens,
+           CAST(least((p.i + 1) * {L}, strt + n) - greatest(p.i * {L}, strt)
+                AS BIGINT) AS n_tokens_in_pack,
+           (strt >= p.i * {L}) AS begins_in_pack
+    FROM cum, unnest(range(strt // {L}, (strt + n - 1) // {L} + 1)) AS p(i)
+    """
+
+
+@register("pipeline_corpus_curation", _curation_sql())
+def q_pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE corpus-curation chain as ONE lazy plan — the corpus
+    analogue of the reference's EP1 composite: language+length quality
+    gate → exact dedup (keep-min per content fingerprint) → LSH-verified
+    near-dup clusters → keep-canonical prune → pack survivors into
+    512-token training windows.  Every stage is the already-verified
+    operator; the composite proves they compose without materialization
+    barriers.  Output is integer-exact pack spans, so the end-to-end
+    oracle hash is bit-clean through five stages including the recursive
+    -CTE closure.
+
+    Quality membership uses only integer/string predicates (token count,
+    lang) — a float-threshold gate could flip membership on an engine ulp
+    and cascade through packing.
+    """
+    from ..operators import text as T
+
+    d = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    )
+    mutated = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near dup tail")).alias("text"),
+        F.col("lang"),
+    )
+    base = d.unionByName(mutated)
+
+    qual = base.filter(
+        (F.col("lang") != "zh") & (T.token_count("text") >= 24)
+    ).select("doc_id", "text")
+
+    w = Window.partitionBy(T.fingerprint("text")).orderBy("doc_id")
+    ded = (
+        qual.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    pairs = D.minhash_lsh_verified(
+        ded, "text", "doc_id", num_hashes=8, bands=4, threshold=0.3
+    )
+    cc = D.connected_components(pairs.select("id_a", "id_b"))
+    dropped = cc.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    kept = ded.join(dropped, "doc_id", "left_anti")
+
+    return C.pack_token_stream(kept, "text", "doc_id", context_len=_PACK_LEN)

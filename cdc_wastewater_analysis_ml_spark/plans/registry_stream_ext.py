@@ -73,3 +73,64 @@ def q_stream_dedup_incremental_near(spark, sf_dir):
     )
     q.awaitTermination(300)
     return spark.read.parquet(sink_dir).select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC upsert (per-batch MERGE INTO behind foreachBatch)
+# ---------------------------------------------------------------------------
+
+
+def _cdc_stream_sql() -> str:
+    # Batch-equivalence oracle: with a static snapshot and stream-unique
+    # delta keys, the union of per-batch changed rows equals the one-shot
+    # merge restricted to delta keys (see streaming/cdc.py contract).
+    return """
+    WITH delta AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 10 = 3
+        UNION ALL
+        SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
+               c_mktsegment
+        FROM customer WHERE c_custkey % 17 = 5)
+    SELECT d.c_custkey, d.c_name, d.c_nationkey, d.c_acctbal, d.c_mktsegment,
+           CASE WHEN c.c_custkey IS NOT NULL THEN 'update'
+                ELSE 'insert' END AS action
+    FROM delta d LEFT JOIN customer c ON d.c_custkey = c.c_custkey
+    """
+
+
+@register("stream_cdc_upsert", _cdc_stream_sql())
+def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cdc_merge_upsert delta arriving as a STREAM: three correction
+    drops (maxFilesPerTrigger=1 → three micro-batches), each merged into
+    the static customer snapshot inside foreachBatch
+    (streaming/cdc.py) with changed rows landing retry-idempotently in
+    per-batch partitions.  Stream-unique delta keys + static snapshot ⇒
+    the per-batch union equals the one-shot batch merge restricted to
+    delta keys, so an engine-independent oracle gates the streaming form."""
+    from ..streaming.cdc import read_delta_stream, stream_merge_upsert
+
+    work = tempfile.mkdtemp(prefix=f"spark_graft_cdcstream_{next(_SEQ)}_")
+    src_dir, sink_dir, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
+    cust = load_table(spark, sf_dir, "customer")
+    upd = cust.filter(F.col("c_custkey") % 10 == 3).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100.0
+    )
+    ins = cust.filter(F.col("c_custkey") % 17 == 5).withColumn(
+        "c_custkey", F.col("c_custkey") + 1000000
+    )
+    delta = upd.unionByName(ins)
+    delta.repartition(3).write.mode("overwrite").parquet(src_dir)
+    q = stream_merge_upsert(
+        read_delta_stream(spark, src_dir, delta.schema, maxFilesPerTrigger=1),
+        cust,
+        ["c_custkey"],
+        sink_dir,
+        ckpt,
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(sink_dir).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+        "action",
+    )

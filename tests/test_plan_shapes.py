@@ -423,3 +423,19 @@ def test_cdc_merge_full_outer_no_nested_loop(spark, sf_small):
     assert "FullOuter" in plan, plan
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert bad not in plan, plan
+
+
+def test_corpus_curation_composite_plan(spark, sf_small):
+    """The five-stage curation composite must stay one lazy plan: keyed
+    equi joins only (no nested loops), and every window over data rows
+    keyed — by the range-partition id (packing prefix sum), the content
+    fingerprint (exact dedup), or the per-partition totals."""
+    plan = _plan(spark, sf_small, "pipeline_corpus_curation")
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, plan
+    window_lines = [ln for ln in plan.splitlines() if re.search(r"[+:]- Window ", ln)]
+    assert window_lines, plan
+    for ln in window_lines:
+        assert "__pid" in ln or "__tot" in ln or "md5" in ln, (
+            f"unkeyed data window:\n{ln}"
+        )
