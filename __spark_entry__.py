@@ -159,6 +159,8 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         # cluster representative (new functions, never verified).
         "dedup_substring_kgram",
         "dedup_cluster_best",
+        # routes through minhash_lsh_verified + connected_components
+        "pipeline_corpus_curation",
     ),
     "operators/windows.py": (
         "window_lag",
@@ -186,6 +188,7 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "corpus_shard_assign",
         "dedup_substring_kgram",
         "dedup_cluster_best",
+        "pipeline_corpus_curation",
     ),
     "operators/corpus.py": (
         "corpus_contamination",
@@ -197,10 +200,16 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "corpus_unigram_logprob",
         "corpus_pack_sequences",
         "corpus_pack_greedy",
-        # r6 session 2 additive: TF-IDF keyword extraction
+        # r6 session 2 additive: TF-IDF keyword extraction + the curation
+        # composite (routes through pack_token_stream)
         "corpus_tfidf_top_terms",
+        "pipeline_corpus_curation",
     ),
-    "operators/prefix.py": ("corpus_pack_sequences", "corpus_shard_assign"),
+    "operators/prefix.py": (
+        "corpus_pack_sequences",
+        "corpus_shard_assign",
+        "pipeline_corpus_curation",
+    ),
     # r6 session 2 NEW module: deterministic shard assignment + sorted-shard
     # writer (consumes operators/prefix.py).
     "operators/shards.py": ("corpus_shard_assign",),

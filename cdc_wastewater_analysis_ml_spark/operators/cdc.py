@@ -45,6 +45,10 @@ def merge_upsert(
         raise ValueError(
             f"schema mismatch: {sorted(current.columns)} vs {sorted(delta.columns)}"
         )
+    if action_col in current.columns:
+        raise ValueError(
+            f"action_col {action_col!r} collides with an input column"
+        )
     value_cols = [c for c in current.columns if c not in keys]
     cur = current.alias("cur")
     dlt = delta.alias("dlt")

@@ -221,6 +221,26 @@ def repetition_signals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _doc_term_freq(
+    df: DataFrame, text_col: str, id_col: str, term_alias: str, tf_alias: str
+) -> DataFrame:
+    """The shared per-(doc, token) term-frequency relation behind
+    :func:`unigram_logprob` and :func:`tfidf_top_terms` — ONE place owns
+    the tokenize/explode_outer/null-filter semantics their oracles mirror.
+    Returned PERSISTED; callers transfer release to their result via
+    ``scoped_persist``."""
+    return (
+        fan_out(df)
+        .select(
+            F.col(id_col), F.explode_outer(tokenize(text_col)).alias(term_alias)
+        )
+        .filter(F.col(term_alias).isNotNull())
+        .groupBy(id_col, term_alias)
+        .agg(F.count(F.lit(1)).alias(tf_alias))
+        .persist()
+    )
+
+
 def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-document mean unigram log-probability under the corpus's own
     unigram LM — the cheap perplexity proxy public pipelines (CCNet-style)
@@ -243,14 +263,7 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """
     from .caching import scoped_persist
 
-    doc_tf = (
-        fan_out(df)
-        .select(F.col(id_col), F.explode_outer(tokenize(text_col)).alias("__tok"))
-        .filter(F.col("__tok").isNotNull())
-        .groupBy(id_col, "__tok")
-        .agg(F.count(F.lit(1)).alias("__tf"))
-        .persist()
-    )
+    doc_tf = _doc_term_freq(df, text_col, id_col, "__tok", "__tf")
     vocab = doc_tf.groupBy("__tok").agg(F.sum("__tf").alias("__cnt"))
     total = vocab.agg(F.sum("__cnt").alias("__total"))
     vocab_lp = vocab.crossJoin(F.broadcast(total)).select(
@@ -358,8 +371,12 @@ def greedy_pack_by_key(
         F.col(key_col), F.col(id_col), token_count(text_col).alias("n_doc_tokens")
     ).filter(F.col("n_doc_tokens") > 0)
 
+    # derive key/id types from the input — the operator is generic over
+    # int/string keys, not pinned to the one registry call shape
+    key_t = counted.schema[key_col].dataType.simpleString()
+    id_t = counted.schema[id_col].dataType.simpleString()
     schema = (
-        f"{key_col} string, {id_col} long, n_doc_tokens long, "
+        f"{key_col} {key_t}, {id_col} {id_t}, n_doc_tokens long, "
         "pack_id long, pack_fill long"
     )
 
@@ -393,9 +410,13 @@ def tfidf_top_terms(
     cluster labeling over a curated corpus).
 
     ``tfidf = tf · ln(N / df)`` with N = #docs containing ≥1 token and
-    df = #docs containing the term; ranking is (tfidf DESC, term ASC) via
-    ``row_number`` so ties are deterministic; the reported score is
-    floor-rounded 1e-6 (house rule).
+    df = #docs containing the term, floor-rounded 1e-6 (house rule)
+    BEFORE ranking: ordering must be on values both engines reproduce
+    exactly — ranking the raw double would let a 1-ulp ``ln`` difference
+    between engines flip which term survives the top-k cut (two terms
+    with mathematically equal scores via different expressions, e.g.
+    1·ln 9 vs 2·ln 3, need not land on the same double).  Ranking is
+    (rounded tfidf DESC, term ASC) via ``row_number``.
 
     Scale shape: same backbone as :func:`unigram_logprob` — ONE
     tokenize+explode collapsed to the per-(doc, term) tf relation
@@ -407,21 +428,21 @@ def tfidf_top_terms(
     """
     from .caching import scoped_persist
 
-    doc_tf = (
-        fan_out(df)
-        .select(F.col(id_col), F.explode_outer(tokenize(text_col)).alias("term"))
-        .filter(F.col("term").isNotNull())
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
-    )
+    doc_tf = _doc_term_freq(df, text_col, id_col, "term", "tf")
     dfreq = doc_tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
     n_docs = doc_tf.agg(F.countDistinct(id_col).alias("__n"))
-    w = Window.partitionBy(id_col).orderBy(F.desc("__score"), F.asc("term"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
     out = (
         doc_tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
-        .withColumn("__score", F.col("tf") * F.log(F.col("__n") / F.col("__df")))
+        .withColumn(
+            "tfidf",
+            F.floor(
+                F.col("tf") * F.log(F.col("__n") / F.col("__df")) * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6,
+        )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
         .select(
@@ -429,7 +450,7 @@ def tfidf_top_terms(
             "rank",
             "term",
             F.col("tf").cast("bigint").alias("tf"),
-            (F.floor(F.col("__score") * 1e6 + F.lit(0.5)) / 1e6).alias("tfidf"),
+            "tfidf",
         )
     )
     return scoped_persist(out, doc_tf)

@@ -648,13 +648,18 @@ def q_corpus_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_LEN = 512
 
 
-def _pack_sequences_sql() -> str:
+def _pack_tail_sql(src: str) -> str:
+    """The packing cumsum+explode SQL over source CTE/table ``src`` (must
+    expose ``doc_id`` and ``text``) — ONE definition mirrors
+    ``pack_token_stream`` for both the standalone packing oracle and the
+    curation composite's tail.  Returned WITHOUT a leading WITH: prepend
+    ``"WITH "`` or splice after an existing CTE chain with ``", "``."""
     from .registry_ext import _TOKENS
 
     L = _PACK_LEN
     return f"""
-    WITH t AS (SELECT doc_id, CAST(len({_TOKENS}) AS BIGINT) AS n
-               FROM documents WHERE len({_TOKENS}) > 0),
+    t AS (SELECT doc_id, CAST(len({_TOKENS}) AS BIGINT) AS n
+          FROM {src} WHERE len({_TOKENS}) > 0),
     cum AS (SELECT doc_id, n,
             CAST(coalesce(sum(n) OVER (ORDER BY doc_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
@@ -667,6 +672,10 @@ def _pack_sequences_sql() -> str:
            (strt >= p.i * {L}) AS begins_in_pack
     FROM cum, unnest(range(strt // {L}, (strt + n - 1) // {L} + 1)) AS p(i)
     """
+
+
+def _pack_sequences_sql() -> str:
+    return "WITH " + _pack_tail_sql("documents")
 
 
 @register("corpus_pack_sequences", _pack_sequences_sql())
@@ -771,15 +780,19 @@ def _tfidf_sql() -> str:
     dfq AS (SELECT term, count(*) AS dfn FROM dt GROUP BY 1),
     n AS (SELECT count(DISTINCT doc_id) AS nd FROM dt),
     scored AS (
-        SELECT doc_id, term, tf, tf * ln(nd * 1.0 / dfn) AS score
+        -- rank by the ROUNDED score: ordering must be on values both
+        -- engines reproduce exactly (a raw-double rank can flip on a
+        -- 1-ulp ln() difference at the top-k cut)
+        SELECT doc_id, term, tf,
+               floor(tf * ln(nd * 1.0 / dfn) * 1000000 + 0.5) / 1000000
+                   AS tfidf
         FROM dt JOIN dfq USING (term) CROSS JOIN n),
     ranked AS (
-        SELECT doc_id, term, tf, score,
+        SELECT doc_id, term, tf, tfidf,
                row_number() OVER (PARTITION BY doc_id
-                                  ORDER BY score DESC, term) AS rnk
+                                  ORDER BY tfidf DESC, term) AS rnk
         FROM scored)
-    SELECT doc_id, CAST(rnk AS INTEGER) AS rank, term, tf,
-           floor(score * 1000000 + 0.5) / 1000000 AS tfidf
+    SELECT doc_id, CAST(rnk AS INTEGER) AS rank, term, tf, tfidf
     FROM ranked WHERE rnk <= 3
     """
 
@@ -909,7 +922,6 @@ def _curation_sql() -> str:
 
     norm = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
     toks = f"string_split({norm}, ' ')"
-    L = _PACK_LEN
     return f"""
     WITH aug AS (
         SELECT doc_id, text, lang FROM documents
@@ -930,18 +942,7 @@ def _curation_sql() -> str:
         SELECT d.doc_id, d.text FROM ded d
         LEFT JOIN cc ON cc.doc_id = d.doc_id
         WHERE cc.doc_id IS NULL OR cc.doc_id = cc.cluster_id),
-    t AS (SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n
-          FROM kept WHERE len({toks}) > 0),
-    cum AS (SELECT doc_id, n,
-            CAST(coalesce(sum(n) OVER (ORDER BY doc_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                 AS BIGINT) AS strt
-            FROM t)
-    SELECT CAST(p.i AS BIGINT) AS pack_id, doc_id, n AS n_doc_tokens,
-           CAST(least((p.i + 1) * {L}, strt + n) - greatest(p.i * {L}, strt)
-                AS BIGINT) AS n_tokens_in_pack,
-           (strt >= p.i * {L}) AS begins_in_pack
-    FROM cum, unnest(range(strt // {L}, (strt + n - 1) // {L} + 1)) AS p(i)
+    {_pack_tail_sql("kept")}
     """
 
 

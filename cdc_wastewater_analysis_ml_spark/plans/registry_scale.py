@@ -1772,13 +1772,13 @@ def q_profile_events(spark, sf_dir):
     )
 
 
-_CDC_COLS = "c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment"
-
-
-@register(
-    "cdc_merge_upsert",
-    f"""
-    WITH delta AS (
+#: ONE definition of the synthetic CDC correction delta — every 10th
+#: customer's balance corrected (+100), every 17th re-crawled as a NEW key
+#: (+1M).  stream_cdc_upsert's batch-equivalence oracle depends on ITS
+#: delta being this exact fixture (stream-unique keys), so both queries and
+#: both oracles must share these two definitions.
+_CDC_DELTA_CTE = """
+    delta AS (
         SELECT c_custkey, c_name, c_nationkey,
                c_acctbal + 100.0 AS c_acctbal, c_mktsegment
         FROM customer WHERE c_custkey % 10 = 3
@@ -1786,6 +1786,24 @@ _CDC_COLS = "c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment"
         SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
                c_mktsegment
         FROM customer WHERE c_custkey % 17 = 5)
+"""
+
+
+def _cdc_delta(cust):
+    """The same delta as :data:`_CDC_DELTA_CTE`, as a DataFrame."""
+    upd = cust.filter(F.col("c_custkey") % 10 == 3).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100.0
+    )
+    ins = cust.filter(F.col("c_custkey") % 17 == 5).withColumn(
+        "c_custkey", F.col("c_custkey") + 1000000
+    )
+    return upd.unionByName(ins)
+
+
+@register(
+    "cdc_merge_upsert",
+    f"""
+    WITH {_CDC_DELTA_CTE}
     SELECT coalesce(d.c_custkey, c.c_custkey) AS c_custkey,
            CASE WHEN d.c_custkey IS NOT NULL THEN d.c_name
                 ELSE c.c_name END AS c_name,
@@ -1812,10 +1830,4 @@ def q_cdc_merge_upsert(spark, sf_dir):
     from ..operators.cdc import merge_upsert
 
     cust = load_table(spark, sf_dir, "customer")
-    upd = cust.filter(F.col("c_custkey") % 10 == 3).withColumn(
-        "c_acctbal", F.col("c_acctbal") + 100.0
-    )
-    ins = cust.filter(F.col("c_custkey") % 17 == 5).withColumn(
-        "c_custkey", F.col("c_custkey") + 1000000
-    )
-    return merge_upsert(cust, upd.unionByName(ins), ["c_custkey"])
+    return merge_upsert(cust, _cdc_delta(cust), ["c_custkey"])

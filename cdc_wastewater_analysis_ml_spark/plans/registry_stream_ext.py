@@ -84,15 +84,12 @@ def _cdc_stream_sql() -> str:
     # Batch-equivalence oracle: with a static snapshot and stream-unique
     # delta keys, the union of per-batch changed rows equals the one-shot
     # merge restricted to delta keys (see streaming/cdc.py contract).
-    return """
-    WITH delta AS (
-        SELECT c_custkey, c_name, c_nationkey,
-               c_acctbal + 100.0 AS c_acctbal, c_mktsegment
-        FROM customer WHERE c_custkey % 10 = 3
-        UNION ALL
-        SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
-               c_mktsegment
-        FROM customer WHERE c_custkey % 17 = 5)
+    # The delta fixture is SHARED with cdc_merge_upsert (registry_scale) —
+    # the equivalence argument only holds for the identical delta.
+    from .registry_scale import _CDC_DELTA_CTE
+
+    return f"""
+    WITH {_CDC_DELTA_CTE}
     SELECT d.c_custkey, d.c_name, d.c_nationkey, d.c_acctbal, d.c_mktsegment,
            CASE WHEN c.c_custkey IS NOT NULL THEN 'update'
                 ELSE 'insert' END AS action
@@ -110,17 +107,12 @@ def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-batch union equals the one-shot batch merge restricted to
     delta keys, so an engine-independent oracle gates the streaming form."""
     from ..streaming.cdc import read_delta_stream, stream_merge_upsert
+    from .registry_scale import _cdc_delta
 
     work = tempfile.mkdtemp(prefix=f"spark_graft_cdcstream_{next(_SEQ)}_")
     src_dir, sink_dir, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
     cust = load_table(spark, sf_dir, "customer")
-    upd = cust.filter(F.col("c_custkey") % 10 == 3).withColumn(
-        "c_acctbal", F.col("c_acctbal") + 100.0
-    )
-    ins = cust.filter(F.col("c_custkey") % 17 == 5).withColumn(
-        "c_custkey", F.col("c_custkey") + 1000000
-    )
-    delta = upd.unionByName(ins)
+    delta = _cdc_delta(cust)
     delta.repartition(3).write.mode("overwrite").parquet(src_dir)
     q = stream_merge_upsert(
         read_delta_stream(spark, src_dir, delta.schema, maxFilesPerTrigger=1),

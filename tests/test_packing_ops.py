@@ -186,3 +186,17 @@ def test_unigram_logprob_hand_computed(spark):
     assert rows[2]["avg_logprob"] == pytest.approx(expect(["a", "c"]), abs=2e-6)
     # the common-word doc is "more natural" than the rare-word doc
     assert rows[1]["avg_logprob"] > rows[2]["avg_logprob"]
+
+
+def test_greedy_pack_generic_key_types(spark):
+    # int key + string id: the output schema is derived from the input,
+    # not pinned to the registry call's (string key, long id) shape
+    df = spark.createDataFrame(
+        [(1, "d1", "w w w"), (1, "d2", "w w"), (2, "d3", "w")],
+        "shard int, name string, text string",
+    )
+    out = greedy_pack_by_key(df, "text", "name", key_col="shard", context_len=4)
+    assert dict(out.dtypes)["shard"] == "int"
+    assert dict(out.dtypes)["name"] == "string"
+    rows = sorted(out.collect(), key=lambda r: r["name"])
+    assert [r["pack_id"] for r in rows] == [0, 1, 0]

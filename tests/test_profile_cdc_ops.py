@@ -82,3 +82,9 @@ def test_merge_upsert_schema_mismatch_raises(spark):
         merge_upsert(cur, bad, ["k"])
     with pytest.raises(ValueError):
         merge_upsert(cur, cur, [])
+
+
+def test_merge_upsert_action_collision_raises(spark):
+    cur = spark.createDataFrame([(1, "x")], "k long, action string")
+    with pytest.raises(ValueError):
+        merge_upsert(cur, cur, ["k"])

@@ -42,6 +42,7 @@ FLAG_ALLOWED = {
     # BNLJ count <= 1 for both).
     "corpus_unigram_logprob",
     "corpus_tfidf_top_terms",
+    "tpch_important_parts",
 }
 
 
