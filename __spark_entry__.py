@@ -243,6 +243,7 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "tpch_customer_distribution",
         "profile_events",
         "cdc_merge_upsert",
+        "agg_grouping_sets",
     ),
     # r6 diff: only the _chunk_sql() oracle helper changed (null-faithful,
     # ADVICE r5 #2) — mentioned solely by the corpus_chunk_documents block;

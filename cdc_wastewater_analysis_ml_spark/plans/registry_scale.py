@@ -1831,3 +1831,37 @@ def q_cdc_merge_upsert(spark, sf_dir):
 
     cust = load_table(spark, sf_dir, "customer")
     return merge_upsert(cust, _cdc_delta(cust), ["c_custkey"])
+
+
+@register(
+    "agg_grouping_sets",
+    """
+    WITH t AS (SELECT event_type, CAST(month(ts) AS INTEGER) AS month, value
+               FROM events)
+    SELECT event_type, month,
+           CAST(grouping_id(event_type, month) AS INTEGER) AS gid,
+           count(*) AS n, round(sum(value), 6) AS sum_value
+    FROM t GROUP BY GROUPING SETS ((event_type, month), (event_type), (month))
+    """,
+)
+def q_agg_grouping_sets(spark, sf_dir):
+    """ARBITRARY grouping sets — the form rollup/cube can't express:
+    (type, month) detail plus BOTH one-dimensional margins, without the
+    grand total.  Completes the grouping-set family (agg_rollup/agg_cube
+    are the hierarchical/powerset specializations).  Same scale shape:
+    Spark expands the sets map-side (Expand), so the fact table is read
+    and shuffled once; gid disambiguates margin rows from natural nulls."""
+    ev = _grouped_events(spark, sf_dir)
+    return (
+        ev.groupingSets(
+            [["event_type", "month"], ["event_type"], ["month"]],
+            "event_type",
+            "month",
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select("event_type", "month", "gid", "n", "sum_value")
+    )
