@@ -200,3 +200,19 @@ def test_greedy_pack_generic_key_types(spark):
     assert dict(out.dtypes)["name"] == "string"
     rows = sorted(out.collect(), key=lambda r: r["name"])
     assert [r["pack_id"] for r in rows] == [0, 1, 0]
+
+
+def test_global_prefix_sum_empty_input(spark):
+    df = spark.createDataFrame([], "k long, v long")
+    assert global_prefix_sum(df, ["k"], "v", out="ps").collect() == []
+
+
+def test_pack_token_stream_empty_and_null_text(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "")], "doc_id long, text string"
+    )
+    # null text and empty text both tokenize to zero countable spans > 0?
+    # "" tokenizes to [""] (1 token) per house semantics — it packs;
+    # NULL text has NULL count and is excluded by the > 0 filter.
+    out = pack_token_stream(df, "text", "doc_id", context_len=8).collect()
+    assert [(r["doc_id"], r["n_doc_tokens"]) for r in out] == [(2, 1)]

@@ -88,3 +88,13 @@ def test_merge_upsert_action_collision_raises(spark):
     cur = spark.createDataFrame([(1, "x")], "k long, action string")
     with pytest.raises(ValueError):
         merge_upsert(cur, cur, ["k"])
+
+
+def test_profile_all_null_column(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "k long, v double"
+    )
+    rows = {r["column"]: r for r in profile_columns(df, ["k", "v"]).collect()}
+    v = rows["v"]
+    assert (v["n_rows"], v["n_nulls"], v["n_distinct"]) == (2, 2, 0)
+    assert v["min_num"] is None and v["max_num"] is None

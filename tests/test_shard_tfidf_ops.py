@@ -218,3 +218,21 @@ def test_tfidf_rank_unique_and_bounded(spark):
         key = (r["doc_id"], r["rank"])
         assert key not in seen  # ranks are dense and unique per doc
         seen[key] = r["term"]
+
+
+def test_write_training_shards_max_records_per_file(spark, tmp_path):
+    import glob
+    import pyarrow.parquet as pq
+
+    df = spark.createDataFrame(
+        [(k, f"doc {k}") for k in range(100)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "chunked")
+    write_training_shards(df, path, "doc_id", 2, seed=3, max_records_per_file=10)
+    files = sorted(glob.glob(f"{path}/shard=*/*.parquet"))
+    assert len(files) >= 10  # 100 rows / 10-per-file across 2 shards
+    for f in files:
+        t = pq.read_table(f)
+        assert t.num_rows <= 10
+        pos = t.column("pos_in_shard").to_pylist()
+        assert pos == sorted(pos)  # order preserved within every chunk file
