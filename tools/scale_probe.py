@@ -31,8 +31,17 @@ DEFAULT_QUERIES = [
     "sim_ivf_index_persisted",
 ]
 
+import os
+
 SF01 = "/root/testdata/sf0.1"
 SF1 = "/tmp/spark_graft_sf1"
+#: Override the comparison pair, e.g. a 100× ladder rung:
+#:   SPARK_GRAFT_PROBE_BIG_LABEL=sf10 \
+#:   SPARK_GRAFT_PROBE_BIG_DIR=/tmp/spark_graft_sf10 \
+#:   SPARK_GRAFT_PROBE_FACTOR=100 python -m tools.scale_probe ...
+BIG_LABEL = os.environ.get("SPARK_GRAFT_PROBE_BIG_LABEL", "sf1")
+BIG_DIR = os.environ.get("SPARK_GRAFT_PROBE_BIG_DIR", SF1)
+FACTOR = float(os.environ.get("SPARK_GRAFT_PROBE_FACTOR", "10"))
 
 
 def _session() -> SparkSession:
@@ -76,7 +85,7 @@ def main() -> None:
     _force(QUERIES["sim_cosine_topk"](spark, "/root/testdata/sf0.001"))
 
     results: dict[str, dict] = {}
-    for sf_label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
+    for sf_label, sf_dir in (("sf0.1", SF01), (BIG_LABEL, BIG_DIR)):
         for name in names:
             runs = []
             for i in range(2):
@@ -100,14 +109,14 @@ def main() -> None:
             print(json.dumps({f"{name}@{sf_label}": runs}), flush=True)
 
     # scaling exponents from the 2nd (steady) run of each pair
-    print("\n== scaling (steady-state run 2, sf1 vs sf0.1) ==")
+    print(f"\n== scaling (steady-state run 2, {BIG_LABEL} vs sf0.1) ==")
     import math
 
     for name in names:
         a = results[f"{name}@sf0.1"][-1]
-        b = results[f"{name}@sf1"][-1]
+        b = results[f"{name}@{BIG_LABEL}"][-1]
         ratio = b["sec"] / max(a["sec"], 1e-9)
-        exp = math.log(ratio) / math.log(10)
+        exp = math.log(ratio) / math.log(FACTOR)
         print(
             f"{name}: {a['sec']}s -> {b['sec']}s (x{ratio:.1f}, exponent "
             f"{exp:.2f}); shuffle write {a['shuffle_write_mb']} -> "
