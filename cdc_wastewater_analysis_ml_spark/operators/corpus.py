@@ -309,7 +309,11 @@ def pack_token_stream(
     from .prefix import global_prefix_sum
 
     L = F.lit(context_len)
-    toks = df.select(
+    # fan_out BEFORE the count projection: the tokenize runs in the scan
+    # stage, and an under-split input (single-row-group local parquet)
+    # would otherwise put the whole corpus's tokenization on ONE task —
+    # measured 12 s of a 45 s wall at the 100× probe fixture.
+    toks = fan_out(df).select(
         F.col(id_col), token_count(text_col).alias("__n")
     ).filter(F.col("__n") > 0)
     laid = global_prefix_sum(
@@ -367,7 +371,7 @@ def greedy_pack_by_key(
         raise ValueError("context_len must be positive")
     import pandas as pd  # noqa: F401 — applyInPandas contract
 
-    counted = df.select(
+    counted = fan_out(df).select(
         F.col(key_col), F.col(id_col), token_count(text_col).alias("n_doc_tokens")
     ).filter(F.col("n_doc_tokens") > 0)
 
