@@ -862,13 +862,26 @@ def substring_kgram_pairs(
         .persist()
     )
     if max_bucket_size is not None:
-        ok = (
+        # Guard via ANTI join against the HOT spans, not an inner join
+        # against the allowed ones: the allowlist is O(distinct spans) —
+        # linear in the corpus and unbroadcastable at scale (the 100×
+        # probe OOMed broadcasting it) — while the hot set is usually
+        # tiny (boilerplate).  "Usually" is not a plan guarantee, and
+        # Catalyst's static size estimate for an aggregate-after-filter
+        # is guesswork (the 100× probe's saturated-vocab fixture grew a
+        # 4.3 GiB hot set and the planner still chose broadcast): hint
+        # MERGE so the join survives any hot-set size — it shuffles on
+        # the same __h the downstream self-join needs anyway, and AQE
+        # converts back to broadcast at runtime when the hot set's REAL
+        # size is small.
+        hot = (
             spans.groupBy("__h")
             .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") <= max_bucket_size)
+            .filter(F.col("__n") > max_bucket_size)
             .select("__h")
+            .hint("merge")
         )
-        joined_spans = spans.join(ok, "__h")
+        joined_spans = spans.join(hot, "__h", "left_anti")
     else:
         joined_spans = spans
     a, b = joined_spans.alias("a"), joined_spans.alias("b")
