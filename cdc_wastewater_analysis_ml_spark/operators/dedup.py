@@ -125,8 +125,16 @@ def _bucket_guard(
         return banded
     # skip: anti-join the oversized buckets out before the self-join — the
     # filter is keyed exactly like the join, no extra shuffle pattern.
+    # merge hint: Catalyst's size estimate for an aggregate-after-filter is
+    # guesswork, and on an adversarial (mass-duplicated) corpus the hot set
+    # is NOT small — a misestimated broadcast build here OOMs exactly when
+    # the guard matters most (the substring-kgram guard hit this at the
+    # 100× probe).  AQE re-promotes to broadcast at runtime when the real
+    # size is small.
     return banded.join(
-        hot.select("band_id", "band_key"), ["band_id", "band_key"], "left_anti"
+        hot.select("band_id", "band_key").hint("merge"),
+        ["band_id", "band_key"],
+        "left_anti",
     )
 
 
