@@ -205,6 +205,7 @@ def minhash_lsh_verified(
     threshold: float = 0.3,
     max_bucket_size: int | None = None,
     hot_bucket_action: str = "error",
+    merge_hint_verify: bool = False,
 ) -> DataFrame:
     """Fused candidates→verify near-dup pipeline over ONE shingle pass.
 
@@ -264,8 +265,20 @@ def minhash_lsh_verified(
         )
         .distinct()
     )
+    # merge_hint_verify: sa/sb carry the per-doc shingle ARRAYS — O(corpus)
+    # wide rows.  On the NORMAL execution path AQE picks the join strategy
+    # from real runtime sizes (broadcast at small scale, shuffle at large),
+    # so no hint is the right default.  But a consumer that materializes
+    # this plan through an RDD-path checkpoint (connected_components'
+    # localCheckpoint — the curation composite, cluster_best) gets NO AQE
+    # re-planning: static stats on a derived input misestimated sa/sb and
+    # a broadcast build OOMed the 100× composite probe.  Those consumers
+    # pass True to force the shuffle join (costs ~1 s at sf0.1, survives
+    # any scale).
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("__shs").alias("shs_a"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("__shs").alias("shs_b"))
+    if merge_hint_verify:
+        sa, sb = sa.hint("merge"), sb.hint("merge")
     joined = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")

@@ -857,7 +857,10 @@ def q_dedup_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _augmented_docs(spark, sf_dir)
     pairs = D.minhash_lsh_verified(
-        docs, "text", "doc_id", num_hashes=8, bands=4, threshold=0.3
+        docs, "text", "doc_id", num_hashes=8, bands=4, threshold=0.3,
+        # CC's localCheckpoint materializes the pairs plan on the RDD path
+        # where AQE cannot re-plan — force the shuffle verify join
+        merge_hint_verify=True,
     )
     cc = D.connected_components(pairs.select("id_a", "id_b"))
     scores = docs.select(
@@ -986,7 +989,9 @@ def q_pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pairs = D.minhash_lsh_verified(
-        ded, "text", "doc_id", num_hashes=8, bands=4, threshold=0.3
+        ded, "text", "doc_id", num_hashes=8, bands=4, threshold=0.3,
+        # checkpoint path: no AQE re-planning — see operator docstring
+        merge_hint_verify=True,
     )
     cc = D.connected_components(pairs.select("id_a", "id_b"))
     dropped = cc.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
