@@ -278,6 +278,8 @@ def minhash_lsh_verified(
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("__shs").alias("shs_a"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("__shs").alias("shs_b"))
     if merge_hint_verify:
+        # (shuffle_hash measured identical at sf0.1; merge is the safer
+        # extreme-scale choice — no per-partition hash-table build)
         sa, sb = sa.hint("merge"), sb.hint("merge")
     joined = (
         cand.join(sa, "id_a")
