@@ -154,6 +154,9 @@ def main() -> None:
     # shape's codegen/JIT compiles on tiny data, so its first TIMED run at
     # the benchmark sf measures the query, not compilation (the residual
     # ~25% first_run_total inflation after the r6 IVF-prebuild fix).
+    # The four explicit calls above deliberately overlap this loop: they
+    # pin the worker-pool spin-up ORDER (chained mapInPandas→UDF profile
+    # last) and fail loudly, where the loop tolerates errors.
     for _name in HEADLINE:
         try:
             _force(QUERIES[_name](spark, "/root/testdata/sf0.001"))

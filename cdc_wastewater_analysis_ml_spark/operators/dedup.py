@@ -129,8 +129,11 @@ def _bucket_guard(
     # guesswork, and on an adversarial (mass-duplicated) corpus the hot set
     # is NOT small — a misestimated broadcast build here OOMs exactly when
     # the guard matters most (the substring-kgram guard hit this at the
-    # 100× probe).  AQE re-promotes to broadcast at runtime when the real
-    # size is small.
+    # 100× probe).  NB the hint PINS sort-merge — Spark honors explicit
+    # join-strategy hints during AQE re-planning, so there is no runtime
+    # demotion back to broadcast; the cost is one extra sort of a relation
+    # already shuffled on these keys for the self-join, paid only when the
+    # cap is enabled.
     return banded.join(
         hot.select("band_id", "band_key").hint("merge"),
         ["band_id", "band_key"],
@@ -273,8 +276,9 @@ def minhash_lsh_verified(
     # localCheckpoint — the curation composite, cluster_best) gets NO AQE
     # re-planning: static stats on a derived input misestimated sa/sb and
     # a broadcast build OOMed the 100× composite probe.  Those consumers
-    # pass True to force the shuffle join (costs ~1 s at sf0.1, survives
-    # any scale).
+    # pass True to PIN the shuffle join (the hint is permanent — AQE
+    # honors explicit strategy hints, no demotion back to broadcast;
+    # costs ~2 s at sf0.1, survives any scale).
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("__shs").alias("shs_a"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("__shs").alias("shs_b"))
     if merge_hint_verify:
@@ -544,6 +548,7 @@ def jaccard_verify_pairs(
     id_col: str,
     shingle_n: int = 3,
     threshold: float = 0.3,
+    merge_hint_verify: bool = False,
 ) -> DataFrame:
     """Exact Jaccard restricted to a candidate-pair relation ``(id_a, id_b)``
     — the LSH verification stage.
@@ -573,6 +578,12 @@ def jaccard_verify_pairs(
     ).persist()
     a = sh.select(F.col(id_col).alias("id_a"), F.col("__shs").alias("shs_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("__shs").alias("shs_b"))
+    if merge_hint_verify:
+        # consumers that materialize this plan through an RDD-path
+        # checkpoint (connected_components) get no AQE re-planning; pin
+        # the shuffle join so a misestimated broadcast of the O(corpus)
+        # array relations can never OOM there (see minhash_lsh_verified)
+        a, b = a.hint("merge"), b.hint("merge")
     joined = (
         pairs.join(a, "id_a")
         .join(b, "id_b")
@@ -894,9 +905,10 @@ def substring_kgram_pairs(
         # is guesswork (the 100× probe's saturated-vocab fixture grew a
         # 4.3 GiB hot set and the planner still chose broadcast): hint
         # MERGE so the join survives any hot-set size — it shuffles on
-        # the same __h the downstream self-join needs anyway, and AQE
-        # converts back to broadcast at runtime when the hot set's REAL
-        # size is small.
+        # the same __h the downstream self-join needs anyway.  The hint
+        # PINS sort-merge (AQE honors explicit strategy hints; no runtime
+        # demotion to broadcast) — the extra sort on an already-__h-keyed
+        # exchange is the accepted price for never OOMing.
         hot = (
             spans.groupBy("__h")
             .agg(F.count(F.lit(1)).alias("__n"))

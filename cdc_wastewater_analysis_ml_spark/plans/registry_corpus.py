@@ -68,7 +68,11 @@ def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _augmented_docs(spark, sf_dir)
     pairs = D.minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=8, bands=4)
-    verified = D.jaccard_verify_pairs(docs, pairs, "text", "doc_id", threshold=0.3)
+    verified = D.jaccard_verify_pairs(
+        docs, pairs, "text", "doc_id", threshold=0.3,
+        # CC's localCheckpoint: no AQE re-planning — pin the shuffle join
+        merge_hint_verify=True,
+    )
     cc = D.connected_components(verified.select("id_a", "id_b"))
     return D.cluster_dedup_decision(cc)
 

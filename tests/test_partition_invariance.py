@@ -40,7 +40,8 @@ def test_global_prefix_sum_partition_invariant(spark):
     expected = None
     for v in _variants(base):
         got = _rows(global_prefix_sum(v, ["k"], "v", out="ps"))
-        expected = expected or got
+        if expected is None:
+            expected = got
         assert got == expected
 
 
@@ -54,7 +55,8 @@ def test_pack_token_stream_partition_invariant(spark):
     expected = None
     for v in _variants(base):
         got = _rows(pack_token_stream(v, "text", "doc_id", context_len=32))
-        expected = expected or got
+        if expected is None:
+            expected = got
         assert got == expected
 
 
@@ -63,7 +65,8 @@ def test_assign_shards_partition_invariant(spark):
     expected = None
     for v in _variants(base):
         got = _rows(assign_shards(v, "doc_id", 8, seed=5))
-        expected = expected or got
+        if expected is None:
+            expected = got
         assert got == expected
 
 
@@ -78,7 +81,9 @@ def test_tfidf_and_unigram_partition_invariant(spark):
     for v in _variants(base):
         got_t = _rows(tfidf_top_terms(v, "text", "doc_id", top_k=3))
         got_u = _rows(unigram_logprob(v, "text", "doc_id"))
-        exp_tfidf = exp_tfidf or got_t
-        exp_uni = exp_uni or got_u
+        if exp_tfidf is None:
+            exp_tfidf = got_t
+        if exp_uni is None:
+            exp_uni = got_u
         assert got_t == exp_tfidf
         assert got_u == exp_uni

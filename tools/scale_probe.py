@@ -42,6 +42,10 @@ SF1 = "/tmp/spark_graft_sf1"
 BIG_LABEL = os.environ.get("SPARK_GRAFT_PROBE_BIG_LABEL", "sf1")
 BIG_DIR = os.environ.get("SPARK_GRAFT_PROBE_BIG_DIR", SF1)
 FACTOR = float(os.environ.get("SPARK_GRAFT_PROBE_FACTOR", "10"))
+if FACTOR <= 1:
+    raise SystemExit("SPARK_GRAFT_PROBE_FACTOR must be > 1")
+if BIG_LABEL == "sf0.1":
+    raise SystemExit("SPARK_GRAFT_PROBE_BIG_LABEL must differ from sf0.1")
 
 
 def _session() -> SparkSession:
