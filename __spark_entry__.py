@@ -259,6 +259,8 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "dedup_cluster_best",
         "corpus_shard_assign",
         "pipeline_corpus_curation",
+        # r6 late: q block gained merge_hint_verify (checkpoint-path pin)
+        "dedup_cluster_cc",
     ),
     "streaming/neardup.py": ("stream_dedup_incremental_near",),
     "plans/registry_stream_ext.py": (
