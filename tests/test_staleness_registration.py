@@ -60,6 +60,47 @@ def test_changed_registry_files_list_all_ast_affected_queries(audit_ctx):
     )
 
 
+def test_current_round_survives_judge_seam(tmp_path):
+    """VERDICT r6 task 1: the driver drops CORRECTNESS_r{N}.json BEFORE the
+    ``round N:`` marker commit lands.  In that window the audit must still
+    say "round N" (the round the artifact just closed), not N+1 — otherwise
+    every round-N registration looks one round behind at exactly the moment
+    the judge runs pytest."""
+    subprocess.run(["git", "-C", str(tmp_path), "init", "-q"], check=True)
+    env_args = ["-c", "user.email=t@t", "-c", "user.name=t"]
+    (tmp_path / "f").write_text("x")
+    subprocess.run(
+        ["git", "-C", str(tmp_path), *env_args, "add", "."], check=True
+    )
+    subprocess.run(
+        ["git", "-C", str(tmp_path), *env_args, "commit", "-q", "-m",
+         "round 5: verdict/advice/correctness/bench"],
+        check=True,
+    )
+    # Judge seam: the round-6 artifact exists, the round-6 marker does not.
+    (tmp_path / "CORRECTNESS_r06.json").write_text("{}")
+    assert staleness.current_round(tmp_path) == 6
+    # Marker lands -> the epoch advances with the diff base, in lockstep.
+    subprocess.run(
+        ["git", "-C", str(tmp_path), *env_args, "add", "."], check=True
+    )
+    subprocess.run(
+        ["git", "-C", str(tmp_path), *env_args, "commit", "-q", "-m",
+         "round 6: verdict/advice/correctness/bench"],
+        check=True,
+    )
+    assert staleness.current_round(tmp_path) == 7
+    assert staleness.base_commit(tmp_path) is not None
+
+
+def test_current_round_fallback_without_marker(tmp_path):
+    """Round 1 (no driver marker yet): fall back to the artifact count."""
+    subprocess.run(["git", "-C", str(tmp_path), "init", "-q"], check=True)
+    assert staleness.current_round(tmp_path) == 1
+    (tmp_path / "CORRECTNESS_r01.json").write_text("{}")
+    assert staleness.current_round(tmp_path) == 2
+
+
 def test_consumer_lists_name_real_queries():
     """Guard against typos: every consumer name must exist in the registry
     (new not-yet-implemented names would silently invalidate nothing)."""

@@ -37,11 +37,35 @@ def repo_root() -> Path:
 
 
 def current_round(root: Path) -> int:
-    """Round currently being built = 1 + the latest driver-recorded round."""
+    """Round currently being built = 1 + the round of the latest ``round N:``
+    driver marker commit.
+
+    Derived from the MARKER, not from the ``CORRECTNESS_r*.json`` artifacts
+    (the r6 judge seam): the driver drops ``CORRECTNESS_r{N}.json`` BEFORE it
+    commits the ``round N:`` marker, so during that window an artifact-based
+    count demands round N+1 registration for round-N edits the round-N driver
+    run already re-verified green — a false positive exactly when the audit's
+    credibility matters.  The marker and the diff base (``base_commit``)
+    advance together, so marker-derived rounds keep "changed since base" and
+    "registered at current round" consistent at every commit, including the
+    judge seam (VERDICT r6 task 1).
+    """
+    try:
+        out = _git(
+            root, "log", "-E", "--grep", r"^round [0-9]+:", "-n", "1",
+            "--format=%s",
+        ).strip()
+    except subprocess.CalledProcessError:  # unborn branch: no commits at all
+        out = ""
+    m = re.match(r"round (\d+):", out)
+    if m:
+        return int(m.group(1)) + 1
+    # No marker yet (round 1, or a fresh clone without driver history):
+    # fall back to the artifact count so the audit still has an epoch.
     rounds = [
-        int(m.group(1))
+        int(g.group(1))
         for p in root.glob("CORRECTNESS_r*.json")
-        if (m := re.search(r"r(\d+)", p.name))
+        if (g := re.search(r"r(\d+)", p.name))
     ]
     return max(rounds, default=0) + 1
 
