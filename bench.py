@@ -135,6 +135,12 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
     spark = get_spark("bench")
+    # The driver's record keeps only the LAST ~2000 chars of output; a
+    # benign JVM WARN emitted during the timed runs (e.g. WindowExec's "No
+    # Partition Defined" from the two-phase offset plans, whose window input
+    # is the tiny per-partition-offset relation) would spend that budget on
+    # noise.  Errors still surface; warnings don't belong in the record.
+    spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM/code paths once on the smallest fixture so per-query times
     # measure execution, not first-call initialization: one pure-JVM query

@@ -45,10 +45,15 @@ def merge_upsert(
         raise ValueError(
             f"schema mismatch: {sorted(current.columns)} vs {sorted(delta.columns)}"
         )
-    if action_col in current.columns:
-        raise ValueError(
-            f"action_col {action_col!r} collides with an input column"
-        )
+    # The presence markers below are plain columns on the join inputs; an
+    # input that already carries one would be silently overwritten and
+    # corrupt side selection (r6 ADVICE) — same collision class as
+    # action_col, same loud failure.
+    for reserved in (action_col, "__in_cur", "__in_dlt"):
+        if reserved in current.columns:
+            raise ValueError(
+                f"column {reserved!r} collides with an input column"
+            )
     value_cols = [c for c in current.columns if c not in keys]
     cur = current.alias("cur")
     dlt = delta.alias("dlt")

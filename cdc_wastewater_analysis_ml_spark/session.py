@@ -30,6 +30,16 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let AQE change the OUTPUT partitioning of cached plans (default false
+    # for plan-reuse conservatism).  The dedup/similarity family persists
+    # its shingle/banded/edge intermediates, and with this off the cache-
+    # materialization stages keep the static shuffle-partition count while
+    # everything else coalesces — measured on pipeline_corpus_curation at
+    # sf0.1: median 5.3 s (spikes to 10.9) → stable 4.5 s.  Results are
+    # partition-layout invariant by house rule (tests/
+    # test_partition_invariance.py), so the physical change is observable
+    # only as speed.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
 

@@ -90,6 +90,16 @@ def test_merge_upsert_action_collision_raises(spark):
         merge_upsert(cur, cur, ["k"])
 
 
+@pytest.mark.parametrize("marker", ["__in_cur", "__in_dlt"])
+def test_merge_upsert_marker_collision_raises(spark, marker):
+    """r6 ADVICE: an input column named like an internal presence marker
+    would be silently overwritten and corrupt side selection — reject it
+    as loudly as an action_col collision."""
+    cur = spark.createDataFrame([(1, True)], f"k long, {marker} boolean")
+    with pytest.raises(ValueError, match=marker):
+        merge_upsert(cur, cur, ["k"])
+
+
 def test_profile_all_null_column(spark):
     df = spark.createDataFrame(
         [(1, None), (2, None)], "k long, v double"

@@ -153,6 +153,33 @@ def test_substring_pairs_hot_span_guard(spark):
     assert guarded == []  # the span occurs in 6 > 3 docs: dropped
 
 
+def test_substring_guarded_spans_cached_once_and_scope_released(spark):
+    """r6 ADVICE: with max_bucket_size set, the GUARDED span relation must
+    be persisted too — the digest self-join reads it on both sides, and
+    with only the raw spans pinned the hot-set aggregate + anti join would
+    re-execute per side (the hot-set shuffle paid twice at scale).  Both
+    pins must release with the result handle."""
+    import gc
+
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    cache_mgr.clearCache()
+    texts = [f"{_SPAN} unique tail number {i}" for i in range(6)]
+    out = substring_kgram_pairs(
+        _docs(spark, texts), "text", "doc_id", k=8, max_bucket_size=3
+    )
+    assert cache_mgr.cachedData().size() == 2  # spans + guarded spans
+    out.count()
+    del out
+    gc.collect()
+    assert cache_mgr.isEmpty()
+    # unguarded path: exactly one pin (no dead second cache entry)
+    out = substring_kgram_pairs(_docs(spark, texts), "text", "doc_id", k=8)
+    assert cache_mgr.cachedData().size() == 1
+    del out
+    gc.collect()
+    assert cache_mgr.isEmpty()
+
+
 # ---------------------------------------------------------------------------
 # cluster_best_decision
 # ---------------------------------------------------------------------------

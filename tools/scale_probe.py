@@ -1,7 +1,10 @@
-"""10× scale probe (VERDICT r5 task 5): run the flagship scale-path
-families at sf0.1 and at a 10× synthetic fixture
-(``tools/gen_scale_fixture.py``) and record wall time + shuffle volume per
-query, so the 100 TB design claims get an empirical scaling datapoint.
+"""Scale-ladder probe (VERDICT r5 task 5; machine-readable per r6 task 2):
+run the flagship scale-path families at sf0.1 and at a bigger synthetic
+fixture (``tools/gen_scale_fixture.py``) and record wall time + shuffle
+volume per query, so the 100 TB design claims get an empirical scaling
+datapoint — and emit it as ``PROBE_r{N}.json`` at the repo root so a
+regression in a scaling exponent or shuffle volume is a diffable fact, not
+DEVNOTES prose.
 
 Shuffle bytes come from the Spark UI REST API (this probe builds its own
 session with the UI enabled; the engine default keeps it off), summed over
@@ -10,35 +13,45 @@ the stages that ran during each query — deltas between snapshots.
 Usage:
     python -m tools.gen_scale_fixture /tmp/spark_graft_sf1 10
     python -m tools.scale_probe [queries...]
+
+    # 100x rung:
+    SPARK_GRAFT_PROBE_BIG_LABEL=sf10 \
+    SPARK_GRAFT_PROBE_BIG_DIR=/tmp/spark_graft_sf10 \
+    SPARK_GRAFT_PROBE_FACTOR=100 python -m tools.scale_probe ...
 """
 
 from __future__ import annotations
 
 import gc
 import json
+import math
+import os
 import sys
 import time
 import urllib.request
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
 from cdc_wastewater_analysis_ml_spark.session import RUNTIME_CONFS
 
+#: The 9-family ladder recorded in DEVNOTES (r6) — the default probe set.
 DEFAULT_QUERIES = [
     "dedup_lsh_verified",
     "dedup_cluster_cc",
     "corpus_contamination",
     "sim_ivf_index_persisted",
+    "corpus_pack_sequences",
+    "corpus_pack_greedy",
+    "corpus_unigram_logprob",
+    "corpus_tfidf_top_terms",
+    "corpus_shard_assign",
+    "dedup_substring_kgram",
+    "pipeline_corpus_curation",
 ]
-
-import os
 
 SF01 = "/root/testdata/sf0.1"
 SF1 = "/tmp/spark_graft_sf1"
-#: Override the comparison pair, e.g. a 100× ladder rung:
-#:   SPARK_GRAFT_PROBE_BIG_LABEL=sf10 \
-#:   SPARK_GRAFT_PROBE_BIG_DIR=/tmp/spark_graft_sf10 \
-#:   SPARK_GRAFT_PROBE_FACTOR=100 python -m tools.scale_probe ...
 BIG_LABEL = os.environ.get("SPARK_GRAFT_PROBE_BIG_LABEL", "sf1")
 BIG_DIR = os.environ.get("SPARK_GRAFT_PROBE_BIG_DIR", SF1)
 FACTOR = float(os.environ.get("SPARK_GRAFT_PROBE_FACTOR", "10"))
@@ -77,6 +90,56 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def build_record(
+    results: dict[str, list[dict]],
+    names: list[str],
+    big_label: str,
+    factor: float,
+) -> dict:
+    """Pure assembly of the PROBE record from per-(query@sf) run lists.
+
+    ``results`` maps ``"{name}@sf0.1"`` / ``"{name}@{big_label}"`` to the
+    list of per-run dicts (``sec`` / ``shuffle_write_mb`` /
+    ``shuffle_read_mb``).  Exponents use the LAST (steady-state) run of
+    each pair: exponent = log(wall ratio) / log(factor); an exponent of 1
+    is linear scaling on fixed cores, < 1 sublinear.
+    """
+    record: dict = {
+        "small": "sf0.1",
+        "big": big_label,
+        "factor": factor,
+        "queries": {},
+    }
+    for name in names:
+        a_runs = results.get(f"{name}@sf0.1")
+        b_runs = results.get(f"{name}@{big_label}")
+        if not a_runs or not b_runs:
+            continue
+        a, b = a_runs[-1], b_runs[-1]
+        ratio = b["sec"] / max(a["sec"], 1e-9)
+        record["queries"][name] = {
+            "small_sec": a["sec"],
+            "big_sec": b["sec"],
+            "small_shuffle_write_mb": a["shuffle_write_mb"],
+            "big_shuffle_write_mb": b["shuffle_write_mb"],
+            "small_shuffle_read_mb": a["shuffle_read_mb"],
+            "big_shuffle_read_mb": b["shuffle_read_mb"],
+            "wall_ratio": round(ratio, 2),
+            "exponent": round(math.log(ratio) / math.log(factor), 3),
+            "runs_small": a_runs,
+            "runs_big": b_runs,
+        }
+    return record
+
+
+def probe_path(root: Path) -> Path:
+    """PROBE_r{N}.json for the round currently being built (marker-derived,
+    same epoch rule as the staleness audit)."""
+    from tools.staleness import current_round
+
+    return root / f"PROBE_r{current_round(root):02d}.json"
+
+
 def main() -> None:
     names = sys.argv[1:] or DEFAULT_QUERIES
     spark = _session()
@@ -88,7 +151,7 @@ def main() -> None:
     _force(QUERIES["flagship_weekly_detection_rate"](spark, "/root/testdata/sf0.001"))
     _force(QUERIES["sim_cosine_topk"](spark, "/root/testdata/sf0.001"))
 
-    results: dict[str, dict] = {}
+    results: dict[str, list[dict]] = {}
     for sf_label, sf_dir in (("sf0.1", SF01), (BIG_LABEL, BIG_DIR)):
         for name in names:
             runs = []
@@ -112,20 +175,29 @@ def main() -> None:
             results[f"{name}@{sf_label}"] = runs
             print(json.dumps({f"{name}@{sf_label}": runs}), flush=True)
 
-    # scaling exponents from the 2nd (steady) run of each pair
-    print(f"\n== scaling (steady-state run 2, {BIG_LABEL} vs sf0.1) ==")
-    import math
+    record = build_record(results, names, BIG_LABEL, FACTOR)
+    out = probe_path(Path(__file__).resolve().parent.parent)
+    # Merge-don't-clobber: partial probe invocations (one family at a time)
+    # accumulate into the same round file.
+    if out.exists():
+        prior = json.loads(out.read_text())
+        if (
+            isinstance(prior, dict)
+            and prior.get("big") == record["big"]
+            and prior.get("factor") == record["factor"]
+        ):
+            merged = dict(prior["queries"])
+            merged.update(record["queries"])
+            record["queries"] = merged
+    out.write_text(json.dumps(record, indent=1) + "\n")
 
-    for name in names:
-        a = results[f"{name}@sf0.1"][-1]
-        b = results[f"{name}@{BIG_LABEL}"][-1]
-        ratio = b["sec"] / max(a["sec"], 1e-9)
-        exp = math.log(ratio) / math.log(FACTOR)
+    print(f"\n== scaling (steady-state run 2, {BIG_LABEL} vs sf0.1) -> {out.name} ==")
+    for name, q in record["queries"].items():
         print(
-            f"{name}: {a['sec']}s -> {b['sec']}s (x{ratio:.1f}, exponent "
-            f"{exp:.2f}); shuffle write {a['shuffle_write_mb']} -> "
-            f"{b['shuffle_write_mb']} MB, read {a['shuffle_read_mb']} -> "
-            f"{b['shuffle_read_mb']} MB"
+            f"{name}: {q['small_sec']}s -> {q['big_sec']}s "
+            f"(x{q['wall_ratio']}, exponent {q['exponent']}); shuffle write "
+            f"{q['small_shuffle_write_mb']} -> {q['big_shuffle_write_mb']} MB, "
+            f"read {q['small_shuffle_read_mb']} -> {q['big_shuffle_read_mb']} MB"
         )
 
 
