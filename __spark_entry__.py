@@ -110,10 +110,13 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # foreachBatch incremental near-dedup + its registry file.
     "streaming/neardup.py": 6,
     "plans/registry_stream_ext.py": 6,
-    # r6: registry.py diff is the registry_stream_ext tail import ONLY — the
+    # r7: registry.py diff is the registry_quality tail import ONLY — the
     # AST audit derives an EMPTY affected-query set (no @register block or
     # helper changed); listed at file granularity per the mechanical rule.
-    "plans/registry.py": 6,
+    "plans/registry.py": 7,
+    # r7 NEW module: ANN recall-vs-cost sweep + fastText-style linear
+    # quality scorer (consumers = its two new queries, never verified).
+    "plans/registry_quality.py": 7,
 }
 # r6 onward: registration is MECHANICAL (VERDICT r5 task 3) — every .py
 # under the package touched since the previous round's driver commit MUST
@@ -276,6 +279,10 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "stream_cdc_upsert",
     ),
     "plans/registry.py": (),
+    "plans/registry_quality.py": (
+        "sim_recall_cost_sweep",
+        "quality_linear_score",
+    ),
     "session.py": (),
     "plans/registry_ext.py": ("metric_calibration_curve",),
     "operators/relational.py": (),

@@ -439,3 +439,51 @@ def test_corpus_curation_composite_plan(spark, sf_small):
         assert "__pid" in ln or "__tot" in ln or "md5" in ln, (
             f"unkeyed data window:\n{ln}"
         )
+
+
+def test_quality_linear_score_is_scan_stage_only(spark, sf_small):
+    """The fastText-style linear scorer must run entirely inside the scan
+    stage: weights inlined as a literal array, hashed-feature dot product
+    as transform/aggregate — NO shuffle, NO Python worker, NO explode.
+    At 100 TB this is the difference between scoring the corpus and
+    shuffling it."""
+    plan = _plan(spark, sf_small, "quality_linear_score")
+    for bad in (
+        "Exchange hashpartitioning",
+        "Exchange rangepartitioning",
+        "ArrowEvalPython",
+        "BatchEvalPython",
+        "Generate explode",
+    ):
+        assert bad not in plan, plan
+    # fan_out's explicit repartition is the only allowed exchange
+    assert plan.count("Exchange") <= 1, plan
+
+
+def test_recall_cost_sweep_invariants(spark, sf_small):
+    """Candidate sets are nested by construction (plane p0..p7 signatures
+    refine p0..p3; probes(1) is a prefix of probes(2)), so candidate
+    counts must be monotone and brute recall exactly 1.  A violation means
+    a bucketing bug, not a tuning choice."""
+    rows = {
+        (r["method"], r["param"]): r
+        for r in QUERIES["sim_recall_cost_sweep"](spark, sf_small).collect()
+    }
+    assert set(rows) == {
+        ("brute", 0), ("lsh", 4), ("lsh", 8), ("ivf", 1), ("ivf", 2)
+    }
+    brute = rows[("brute", 0)]
+    assert brute["recall"] == 1.0 and brute["hits"] == brute["truth_n"]
+    assert (
+        rows[("lsh", 8)]["candidates"]
+        <= rows[("lsh", 4)]["candidates"]
+        <= brute["candidates"]
+    )
+    assert (
+        rows[("ivf", 1)]["candidates"]
+        <= rows[("ivf", 2)]["candidates"]
+        <= brute["candidates"]
+    )
+    for r in rows.values():
+        assert 0.0 <= r["recall"] <= 1.0
+        assert r["hits"] <= r["truth_n"] == brute["truth_n"]
