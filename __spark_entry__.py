@@ -94,6 +94,9 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # heaviest cached-plan users (the whole dedup family) anyway via the
     # operators/dedup.py entry.
     "session.py": 7,
+    # r7: docstring-only (Pillow injection recipe, VERDICT r6 task 8) — no
+    # executable change, consumer set empty.
+    "operators/multimodal.py": 7,
     # r4: load_table gained _normalize_event_time — a real type-semantics
     # change on events.ts.  r4 listed only the new roundtrip queries as
     # consumers (local parity re-proof stood in for the rest); the r4 judge
@@ -284,6 +287,7 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "quality_linear_score",
     ),
     "session.py": (),
+    "operators/multimodal.py": (),
     "plans/registry_ext.py": ("metric_calibration_curve",),
     "operators/relational.py": (),
     "operators/similarity.py": ("sim_recall_at_k",),

@@ -83,6 +83,35 @@ def decode_images(
 
     ``decoder=None`` → deterministic fake; ``decoder="strict"`` → raise
     NotImplementedError (stub marker); callable → real codec.
+
+    **Real-codec injection recipe (JPEG/PNG via Pillow — not installable in
+    this container, so documented rather than defaulted; the stdlib-PNG
+    decoder in the tests proves the plumbing end-to-end):**
+
+    .. code-block:: python
+
+        def pillow_decode(payload: bytes, n_features: int = 8) -> dict:
+            import io
+            import PIL.Image  # import INSIDE the UDF: ships by reference,
+            img = PIL.Image.open(io.BytesIO(payload))   # workers just need
+            img.load()                                  # pillow installed
+            small = img.convert("L").resize((n_features, 1))
+            return {
+                "width": img.width,
+                "height": img.height,
+                "features": [p / 255.0 for p in small.getdata()],
+            }
+
+        decode_images(media, decoder=pillow_decode)
+
+    Cluster-side requirements: Pillow on every executor's Python (pip in
+    the image, ``--archives`` conda-pack, or a cluster-wide env) — the
+    closure itself is cloudpickled, only the ``PIL`` import resolves
+    worker-side.  The same pattern extends to audio (soundfile → PCM
+    stats) and video (PyAV → ``sample_video_frames``'s frame iterator);
+    keep per-batch decode bounded via
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` when payloads are
+    large (decoded frames are the memory spike, not the bytes column).
     """
     if decoder == "strict":
 
