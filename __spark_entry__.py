@@ -66,13 +66,16 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # markers (r6 ADVICE — additive guard; module-granularity rule).
     "operators/cdc.py": 7,
     "streaming/cdc.py": 6,
-    # r6: retention-cohorts single-fact-scan rewrite (VERDICT r5 task 4),
-    # _ivf_index_dir moved to mkdtemp (ADVICE r5 #3 — result-neutral, listed
-    # anyway), TPC-H Q18/Q21-lite analogues ADDED.  (All r5-entry consumers
-    # re-verified in the r5 prefix.)
-    "plans/registry_scale.py": 6,
-    # r5: metric_calibration_curve ADDED (additive @register block only).
-    "plans/registry_ext.py": 5,
+    # r7: TPC-H Q15/Q16-lite blocks APPENDED (AST-affected set = the two new
+    # queries only; every r6-entry consumer re-greened in the r6 prefix, so
+    # the list advances with the marker — dedup_lsh_verified/cdc_merge_upsert
+    # re-verify in r7 through their own operator-module entries).
+    "plans/registry_scale.py": 7,
+    # r7: _AUG_CTE/_augmented_docs id offset 100000 → 10^10 (the sf10 probe
+    # collided the old offset with real doc_ids — results of every
+    # augmented-corpus query change).  Cross-module consumers via the
+    # _augmented_docs/_lsh_verified_sql imports are listed here too.
+    "plans/registry_ext.py": 7,
     # r4: global_row_number added (operators/windows.py) and wired into
     # sort_rows_ranked; the pre-existing window ops are textually unchanged
     # but module-granularity staleness is the rule (r2 lesson).
@@ -112,7 +115,8 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # r6 NEW modules (consumers = their one new query, never verified):
     # foreachBatch incremental near-dedup + its registry file.
     "streaming/neardup.py": 6,
-    "plans/registry_stream_ext.py": 6,
+    # r7: _delta_docs id offsets follow the _AUG/_NOVEL constants.
+    "plans/registry_stream_ext.py": 7,
     # r7: registry.py diff is the registry_quality tail import ONLY — the
     # AST audit derives an EMPTY affected-query set (no @register block or
     # helper changed); listed at file granularity per the mechanical rule.
@@ -174,6 +178,8 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "dedup_cluster_best",
         # routes through minhash_lsh_verified + connected_components
         "pipeline_corpus_curation",
+        # r7: routes through dedup_incremental_near (array-free verify)
+        "stream_dedup_incremental_near",
     ),
     "operators/windows.py": (
         "window_lag",
@@ -236,27 +242,17 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "sample_resample_mixture",
         "stream_sample_fraction",
     ),
-    # r6 diff (AST block-diff, verified by tests/test_staleness_registration):
-    # q_agg_retention_cohorts rewritten (single fact scan); _ivf_index_dir
-    # helper changed (mkdtemp) → its sole mention is q_sim_ivf_index_persisted;
-    # TPC-H Q18/Q21-lite blocks ADDED (never verified).
+    # r7 diff (AST block-diff, verified by tests/test_staleness_registration):
+    # Q15/Q16-lite blocks APPENDED (never verified); id-offset fix changed
+    # the incremental-dedup and CDC-delta blocks (results change); the
+    # shared _CDC_DELTA_CTE also feeds stream_cdc_upsert.
     "plans/registry_scale.py": (
-        "agg_retention_cohorts",
-        "sim_ivf_index_persisted",
-        "tpch_top_spenders",
-        "tpch_dormant_customers",
-        "dedup_lsh_verified",  # switched to the fused operator (task 2)
-        # r6 session 2 additive: Q4/Q14/Q7 analogue blocks (never verified)
-        "tpch_late_order_priority",
-        "tpch_promo_revenue",
-        "tpch_trade_volume",
-        # r6 session 2 wave 2: Q11 scalar-HAVING + Q13 outer-join histogram,
-        # column profiler + CDC merge blocks
-        "tpch_important_parts",
-        "tpch_customer_distribution",
-        "profile_events",
+        "tpch_top_supplier",
+        "tpch_parts_supplier_count",
+        "dedup_incremental",
+        "dedup_incremental_near",
         "cdc_merge_upsert",
-        "agg_grouping_sets",
+        "stream_cdc_upsert",
     ),
     # r6 diff: only the _chunk_sql() oracle helper changed (null-faithful,
     # ADVICE r5 #2) — mentioned solely by the corpus_chunk_documents block;
@@ -288,7 +284,18 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
     ),
     "session.py": (),
     "operators/multimodal.py": (),
-    "plans/registry_ext.py": ("metric_calibration_curve",),
+    "plans/registry_ext.py": (
+        "dedup_minhash_signatures",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        # cross-module consumers of the changed _augmented_docs /
+        # _lsh_verified_sql (blocks live in registry_scale/registry_corpus)
+        "dedup_lsh_verified",
+        "dedup_cluster_cc",
+        "dedup_cluster_best",
+        "pipeline_corpus_curation",
+    ),
     "operators/relational.py": (),
     "operators/similarity.py": ("sim_recall_at_k",),
     "operators/text.py": (),

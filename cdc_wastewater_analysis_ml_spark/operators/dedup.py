@@ -198,6 +198,69 @@ def _bands_from_sig(
     )
 
 
+def _verify_jaccard_exploded(
+    sh: DataFrame, pairs: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs WITHOUT ever joining the shingle
+    ARRAYS: explode the (distinct) shingles to narrow ``(id, shingle)``
+    rows, count the shared shingles per pair with two equi joins, and
+    derive |A∪B| from the per-doc set sizes.
+
+    Why not ``array_intersect`` on joined arrays (the r6 design): the
+    array-carrying relations are O(corpus) WIDE rows whose in-memory size
+    explodes relative to their compressed shuffle stats (repetitive text
+    compresses extremely well), so ANY engine-chosen broadcast of them is
+    a latent OOM — the r7 100× probe killed exactly that (AQE saw a
+    ≤64 MB compressed side, built a ~GiB broadcast, died), and pinning a
+    merge join instead shuffled 3.9 GB of sorted arrays at sf10 (118 s).
+    Exploded rows are narrow, their size estimates honest, every join key
+    high-cardinality — nothing here is broadcast-temptable OR
+    sort-heavy, at any scale (the ``dedup_substring_kgram`` design,
+    applied to Jaccard verification).
+
+    ``threshold`` must be > 0: pairs sharing NO shingle are dropped by the
+    inner intersection join, which coincides with the threshold filter for
+    any positive threshold (and every genuine MinHash band collision
+    shares its argmin shingle, so LSH candidates always intersect).
+
+    ``sh`` = persisted ``(id_col, __shs array)``; read three times (two
+    explode sides + sizes) from cache.
+    """
+    if threshold <= 0:
+        raise ValueError(
+            "threshold must be > 0 (zero-overlap pairs are dropped by the "
+            "intersection join)"
+        )
+    # The exploded relation inherits the corpus' deceptive compressibility
+    # (same repetitive strings, just narrow rows): AQE's compressed runtime
+    # stats can still nominate it for broadcast at scale.  The guard is the
+    # engine-wide AQE broadcast cap (RUNTIME_CONFS
+    # spark.sql.adaptive.autoBroadcastJoinThreshold, sized for worst-case
+    # dictionary-compression expansion) — it keeps the small-scale
+    # broadcast-the-tiny-side plan AND forbids the compressed-but-huge
+    # build, without pinning a join strategy here (a merge pin costs ~1 s
+    # per query at sf0.1, measured).
+    ex = sh.select(F.col(id_col), F.explode(F.col("__shs")).alias("__h"))
+    sz = sh.select(F.col(id_col), F.size(F.col("__shs")).alias("__n"))
+    inter = (
+        pairs.join(ex.select(F.col(id_col).alias("id_a"), "__h"), "id_a")
+        .join(ex.select(F.col(id_col).alias("id_b"), "__h"), ["id_b", "__h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    j = inter.join(
+        sz.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na")),
+        "id_a",
+    ).join(
+        sz.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb")),
+        "id_b",
+    )
+    jac = F.col("__inter") / (F.col("__na") + F.col("__nb") - F.col("__inter"))
+    return j.select("id_a", "id_b", F.round(jac, 6).alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 def minhash_lsh_verified(
     df: DataFrame,
     text_col: str,
@@ -208,7 +271,6 @@ def minhash_lsh_verified(
     threshold: float = 0.3,
     max_bucket_size: int | None = None,
     hot_bucket_action: str = "error",
-    merge_hint_verify: bool = False,
 ) -> DataFrame:
     """Fused candidates→verify near-dup pipeline over ONE shingle pass.
 
@@ -217,11 +279,17 @@ def minhash_lsh_verified(
     min over all shingles, so the signatures are unchanged), but the
     composed form extracts the per-doc distinct-shingle sets ONCE: the
     staged (persisted) shingle relation feeds the MinHash signature
-    computation AND both sides of the verify join, where the two-operator
+    computation AND the verification stage, where the two-operator
     composition tokenizes + shingles the full corpus twice — at 100 TB that
     second text pass is a whole extra read of the corpus.  This is the
     "stage the shingle table, then everything derives from it" pipeline
     layout (measured ~25% faster at sf0.1: 2.7→2.0 s steady-state).
+
+    Verification is array-free (:func:`_verify_jaccard_exploded` — r7):
+    intersections are COUNTED over narrow exploded rows, never computed by
+    joining the shingle arrays, so no relation in the verify stage can be
+    mis-broadcast on deceptive compressed stats or drag gigabytes of
+    sorted arrays through an exchange.
 
     The banded relation is additionally persisted (as in
     :func:`minhash_lsh_candidates`): the self-join reads it twice, and
@@ -268,35 +336,7 @@ def minhash_lsh_verified(
         )
         .distinct()
     )
-    # merge_hint_verify: sa/sb carry the per-doc shingle ARRAYS — O(corpus)
-    # wide rows.  On the NORMAL execution path AQE picks the join strategy
-    # from real runtime sizes (broadcast at small scale, shuffle at large),
-    # so no hint is the right default.  A consumer that executed this plan
-    # through an RDD-path checkpoint (connected_components' localCheckpoint)
-    # used to get NO AQE re-planning — static stats on a derived input
-    # misestimated sa/sb and a broadcast build OOMed the 100× composite
-    # probe; r6 pinned those call sites with this hint at a ~2 s/any-scale
-    # price.  connected_components now pre-materializes its edge input under
-    # a normal AQE-planned action before checkpointing (r6 judge task 3), so
-    # no caller needs the pin anymore; it remains as a safety valve for
-    # consumers that feed this plan into other AQE-blind paths (.rdd,
-    # df.checkpoint on a raw plan).
-    sa = sh.select(F.col(id_col).alias("id_a"), F.col("__shs").alias("shs_a"))
-    sb = sh.select(F.col(id_col).alias("id_b"), F.col("__shs").alias("shs_b"))
-    if merge_hint_verify:
-        # (shuffle_hash measured identical at sf0.1; merge is the safer
-        # extreme-scale choice — no per-partition hash-table build)
-        sa, sb = sa.hint("merge"), sb.hint("merge")
-    joined = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("inter", F.size(F.array_intersect("shs_a", "shs_b")))
-    )
-    jac = F.col("inter") / (F.size("shs_a") + F.size("shs_b") - F.col("inter"))
-    out = (
-        joined.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    out = _verify_jaccard_exploded(sh, cand, id_col, threshold)
     return scoped_persist(out, sh, banded)
 
 
@@ -550,17 +590,20 @@ def jaccard_verify_pairs(
     id_col: str,
     shingle_n: int = 3,
     threshold: float = 0.3,
-    merge_hint_verify: bool = False,
 ) -> DataFrame:
     """Exact Jaccard restricted to a candidate-pair relation ``(id_a, id_b)``
     — the LSH verification stage.
 
     This is THE scale path for near-dup: :func:`ngram_jaccard_pairs` alone is
     quadratic in docs sharing a hot shingle (measured 15× superlinear on a
-    10× corpus with duplicated docs), while candidates→verify does |pairs|
-    array intersections.  Shingle arrays join to the pair relation by id, so
-    the shuffle carries each doc's digest once per candidate edge, never a
-    shingle-keyed cross product.
+    10× corpus with duplicated docs), while candidates→verify touches only
+    the candidate edges.  Intersections are counted over narrow exploded
+    shingle rows (:func:`_verify_jaccard_exploded`) — the shuffle carries
+    ``(id, shingle)`` pairs, never arrays, so no side is broadcast-temptable
+    on deceptive compressed stats and nothing sorts wide records.
+    ``threshold`` must be > 0 (zero-overlap pairs drop out of the
+    intersection join — equivalent to the threshold filter for any
+    positive threshold).
 
     If ``pairs`` came from a candidate generator that scoped-persisted its
     banded relation (:func:`minhash_lsh_candidates`), cache ownership is
@@ -569,32 +612,15 @@ def jaccard_verify_pairs(
     though the caller typically drops the intermediate ``pairs`` handle
     (the round-3 ``dedup_lsh_verified`` regression).
     """
-    # Persist the per-doc shingle arrays: the relation feeds BOTH sides of
-    # the pair join, and without the pin the expensive shingle projection
-    # runs twice (once per side) — the same double-compute shape the banded
-    # signatures had.  Scoped to the returned plan like the transferred
-    # candidate-cache pins.
+    # Persist the per-doc shingle arrays: the relation feeds the exploded
+    # intersection sides AND the size relation, and without the pin the
+    # expensive shingle projection re-runs per consumer.  Scoped to the
+    # returned plan like the transferred candidate-cache pins.
     sh = fan_out(df).select(
         F.col(id_col),
         F.array_distinct(word_shingles(text_col, shingle_n)).alias("__shs"),
     ).persist()
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("__shs").alias("shs_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("__shs").alias("shs_b"))
-    if merge_hint_verify:
-        # safety valve for AQE-blind consumers (see minhash_lsh_verified);
-        # connected_components no longer needs it — it pre-materializes its
-        # edge input under an AQE-planned action before checkpointing
-        a, b = a.hint("merge"), b.hint("merge")
-    joined = (
-        pairs.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("inter", F.size(F.array_intersect("shs_a", "shs_b")))
-    )
-    jac = F.col("inter") / (F.size("shs_a") + F.size("shs_b") - F.col("inter"))
-    out = (
-        joined.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    out = _verify_jaccard_exploded(sh, pairs, id_col, threshold)
     return scoped_persist(transfer_cache_scope(pairs, out), sh)
 
 
@@ -689,29 +715,32 @@ def dedup_incremental_near(
     cand = minhash_lsh_candidates_vs_store(
         new_df, store_df, text_col, id_col, num_hashes, bands, shingle_n
     )
-    sh_new = fan_out(new_df).select(
-        F.col(id_col).alias("id_new"),
-        F.array_distinct(word_shingles(text_col, shingle_n)).alias("shs_new"),
+    # Array-free verification (r7, same rationale as
+    # :func:`_verify_jaccard_exploded`): the STORE-side shingle arrays are
+    # O(corpus) and compress deceptively well — an engine-chosen broadcast
+    # of them is the same latent OOM the sf10 probe exposed on the
+    # self-verify path.  The delta/store id spaces are disjoint by contract,
+    # so one unioned shingle relation serves both exploded sides.
+    sh = (
+        fan_out(new_df.select(id_col, text_col))
+        .unionByName(fan_out(store_df.select(id_col, text_col)))
+        .select(
+            F.col(id_col),
+            F.array_distinct(word_shingles(text_col, shingle_n)).alias("__shs"),
+        )
+        .persist()
     )
-    sh_store = fan_out(store_df).select(
-        F.col(id_col).alias("id_store"),
-        F.array_distinct(word_shingles(text_col, shingle_n)).alias("shs_store"),
+    verified = _verify_jaccard_exploded(
+        sh,
+        cand.select(
+            F.col("id_new").alias("id_a"), F.col("id_store").alias("id_b")
+        ),
+        id_col,
+        threshold,
     )
-    joined = (
-        cand.join(sh_new, "id_new")
-        .join(sh_store, "id_store")
-        .withColumn("inter", F.size(F.array_intersect("shs_new", "shs_store")))
-    )
-    jac = F.col("inter") / (
-        F.size("shs_new") + F.size("shs_store") - F.col("inter")
-    )
-    matched = (
-        joined.filter(F.round(jac, 6) >= threshold)
-        .select(F.col("id_new").alias(id_col))
-        .distinct()
-    )
+    matched = verified.select(F.col("id_a").alias(id_col)).distinct()
     out = new_df.join(matched, id_col, "left_anti")
-    return transfer_cache_scope(cand, out)
+    return scoped_persist(transfer_cache_scope(cand, out), sh)
 
 
 def connected_components(

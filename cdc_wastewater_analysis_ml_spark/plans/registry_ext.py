@@ -389,13 +389,21 @@ def q_fingerprint(spark, sf_dir):
 # Dedup family (SURVEY §7 phase 4)
 # ---------------------------------------------------------------------------
 
-#: Corpus with injected near-duplicates: docs with doc_id % 5 = 0 get a mutated
-#: copy (3 extra tokens, doc_id + 100000) so near-dup ops have real positives.
-_AUG_CTE = """
+#: Synthetic-id offsets for fixture augmentation (mutated near-dup copies,
+#: injected novel docs).  Must clear ANY plausible fixture id space: the r7
+#: sf10 probe (500k docs) collided the old +100000 offset with REAL doc_ids,
+#: which silently corrupted near-dup inputs at scale (duplicate ids made the
+#: exploded-intersection Jaccard's denominator hit zero — caught by ANSI
+#: division).  10^10 is beyond any test corpus while int64 keeps 9 orders of
+#: headroom.  Keep the SQL and Spark sides in lockstep.
+_AUG_OFFSET = 10_000_000_000
+_NOVEL_OFFSET = 20_000_000_000
+
+_AUG_CTE = f"""
 WITH docs AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 100000 AS doc_id, concat(text, ' near dup tail') AS text
+  SELECT doc_id + {_AUG_OFFSET} AS doc_id, concat(text, ' near dup tail') AS text
   FROM documents WHERE doc_id % 5 = 0)
 """
 
@@ -405,7 +413,7 @@ def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # downstream shingle/hash expression to one task (see sources.fan_out).
     d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     mutated = d.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (F.col("doc_id") + F.lit(_AUG_OFFSET)).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" near dup tail")).alias("text"),
     )
     return d.unionByName(mutated)

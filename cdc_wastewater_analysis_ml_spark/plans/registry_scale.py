@@ -19,7 +19,7 @@ from ..operators import relational as R
 from ..operators import similarity as SIM
 from ..sources import fan_out, load_table
 from .registry import register
-from .registry_ext import _cos_sql, _rhp_sig_sql
+from .registry_ext import _AUG_OFFSET, _NOVEL_OFFSET, _cos_sql, _rhp_sig_sql
 
 # ---------------------------------------------------------------------------
 # Temporal joins (SURVEY §2.3 extension backlog)
@@ -1243,7 +1243,7 @@ def q_topk_approx_freqitems(spark, sf_dir):
         SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS n
         FROM documents WHERE doc_id % 2 = 0
         UNION ALL
-        SELECT doc_id + 100000 AS doc_id,
+        SELECT doc_id + 10000000000 AS doc_id,
                regexp_replace(trim(lower(concat(text, ' fresh tail'))), '\s+', ' ', 'g')
                AS n
         FROM documents WHERE doc_id % 2 = 1)
@@ -1257,7 +1257,7 @@ def q_dedup_incremental(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     recrawl = docs.filter(F.col("doc_id") % 2 == 0)
     fresh = docs.filter(F.col("doc_id") % 2 == 1).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (F.col("doc_id") + F.lit(_AUG_OFFSET)).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" fresh tail")).alias("text"),
     )
     batch = recrawl.unionByName(fresh)
@@ -1350,10 +1350,10 @@ def _incremental_near_sql() -> str:
     return f"""
     WITH store AS (SELECT doc_id, text FROM documents),
       newb AS (
-        SELECT doc_id + 100000 AS doc_id, concat(text, ' near dup tail') AS text
+        SELECT doc_id + {_AUG_OFFSET} AS doc_id, concat(text, ' near dup tail') AS text
         FROM documents WHERE doc_id % 5 = 0
         UNION ALL
-        SELECT doc_id + 200000 AS doc_id,
+        SELECT doc_id + {_NOVEL_OFFSET} AS doc_id,
                concat('novel ', CAST(doc_id AS VARCHAR),
                       ' content unlike anything stored before now') AS text
         FROM documents WHERE doc_id % 5 = 1),
@@ -1390,11 +1390,11 @@ def q_dedup_incremental_near(spark, sf_dir):
     corpus × corpus; the completing near-dup half of ``dedup_incremental``."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     near = docs.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (F.col("doc_id") + F.lit(_AUG_OFFSET)).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" near dup tail")).alias("text"),
     )
     fresh = docs.filter(F.col("doc_id") % 5 == 1).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
+        (F.col("doc_id") + F.lit(_NOVEL_OFFSET)).alias("doc_id"),
         F.concat(
             F.lit("novel "),
             F.col("doc_id").cast("string"),
@@ -1783,7 +1783,7 @@ _CDC_DELTA_CTE = """
                c_acctbal + 100.0 AS c_acctbal, c_mktsegment
         FROM customer WHERE c_custkey % 10 = 3
         UNION ALL
-        SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
+        SELECT c_custkey + 10000000000, c_name, c_nationkey, c_acctbal,
                c_mktsegment
         FROM customer WHERE c_custkey % 17 = 5)
 """
@@ -1795,7 +1795,7 @@ def _cdc_delta(cust):
         "c_acctbal", F.col("c_acctbal") + 100.0
     )
     ins = cust.filter(F.col("c_custkey") % 17 == 5).withColumn(
-        "c_custkey", F.col("c_custkey") + 1000000
+        "c_custkey", F.col("c_custkey") + F.lit(10_000_000_000)
     )
     return upd.unionByName(ins)
 
@@ -1864,4 +1864,116 @@ def q_agg_grouping_sets(spark, sf_dir):
             F.round(F.sum("value"), 6).alias("sum_value"),
         )
         .select("event_type", "month", "gid", "n", "sum_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 / Q16 lite analogues (r7 — the scalar-max-HAVING and
+# distinct-count-with-exclusion join shapes the earlier analogues miss)
+# ---------------------------------------------------------------------------
+
+_CENTS = "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)"
+
+
+@register(
+    "tpch_top_supplier",
+    f"""
+    WITH srev AS (
+      SELECT l_suppkey,
+             CAST(sum({_CENTS}) AS BIGINT) AS total_rev_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey),
+    mx AS (SELECT max(total_rev_cents) AS m FROM srev)
+    SELECT s.s_suppkey, s.s_name, r.total_rev_cents
+    FROM supplier s
+    JOIN srev r ON s.s_suppkey = r.l_suppkey
+    JOIN mx ON r.total_rev_cents = mx.m
+    """,
+)
+def q_tpch_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): per-supplier quarterly revenue, keep
+    the supplier(s) equal to the scalar MAX — the aggregate-then-compare-
+    to-scalar-aggregate pattern (Q15's view + correlated max).
+
+    Scale notes: the date filter pushes into the fact scan; ONE map-side-
+    combinable shuffle on l_suppkey builds srev; the max is a 1-row
+    relation Catalyst broadcasts into the equality join (plan: broadcast
+    nested loop on a single row — constant cost); supplier is a broadcast
+    dim.  Money is summed as row-level INTEGER cents (house rule): the
+    max-EQUALITY membership can never flip on a last-ulp sum difference
+    between engines, which a double-sum max would risk at every scale."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("bigint")
+    # srev feeds BOTH the scalar max and the equality join; without the pin
+    # Catalyst plans TWO full fact scans + shuffles (plan-tested).  The
+    # cached relation is (suppkey, cents) — tiny at any scale; scoped
+    # release with the result handle.
+    from ..operators.caching import scoped_persist
+
+    srev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(cents).cast("bigint").alias("total_rev_cents"))
+        .persist()
+    )
+    mx = srev.agg(F.max("total_rev_cents").alias("m"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    out = (
+        srev.join(F.broadcast(mx), F.col("total_rev_cents") == F.col("m"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev_cents")
+    )
+    return scoped_persist(out, srev)
+
+
+@register(
+    "tpch_parts_supplier_count",
+    """
+    WITH excl AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0),
+    pairs AS (
+      SELECT DISTINCT p.p_brand, p.p_size, l.l_suppkey
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_size <= 25
+        AND l.l_suppkey NOT IN (SELECT s_suppkey FROM excl))
+    SELECT p_brand, p_size, CAST(count(*) AS BIGINT) AS supplier_cnt
+    FROM pairs GROUP BY p_brand, p_size
+    """,
+)
+def q_tpch_parts_supplier_count(spark, sf_dir):
+    """TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    count per part attribute, EXCLUDING a supplier blacklist — the
+    distinct-aggregate + anti-join combination (Q16's NOT IN + count
+    distinct), blacklist-lite = negative account balance.
+
+    Scale notes: the p_size predicate pushes into the part scan and part
+    broadcasts into the fact join; the blacklist is an anti join (never a
+    collected NOT-IN list — at 100 TB the blacklist is a relation, not a
+    literal); DISTINCT pre-aggregates map-side on (brand, size, suppkey)
+    before the count shuffle, the standard two-phase distinct-count."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 25)
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    excl = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    pairs = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(excl), "l_suppkey", "left_anti")
+        .select("p_brand", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return pairs.groupBy("p_brand", "p_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("supplier_cnt")
     )

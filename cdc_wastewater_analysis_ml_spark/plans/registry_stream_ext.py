@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..sources import load_table
 from ..streaming import read_docs_stream, stream_dedup_incremental_near
 from .registry import register
+from .registry_ext import _AUG_OFFSET, _NOVEL_OFFSET
 
 _SEQ = itertools.count()
 
@@ -31,11 +32,11 @@ def _delta_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (3-token tail appended), half genuinely novel text."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     near = docs.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (F.col("doc_id") + F.lit(_AUG_OFFSET)).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" near dup tail")).alias("text"),
     )
     fresh = docs.filter(F.col("doc_id") % 5 == 1).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
+        (F.col("doc_id") + F.lit(_NOVEL_OFFSET)).alias("doc_id"),
         F.concat(
             F.lit("novel "),
             F.col("doc_id").cast("string"),

@@ -40,6 +40,22 @@ RUNTIME_CONFS: dict[str, str] = {
     # test_partition_invariance.py), so the physical change is observable
     # only as speed.
     "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+    # Conservative AUTO-broadcast thresholds, both static and AQE-runtime.
+    # Every size signal Spark's automatic decisions read is COMPRESSED —
+    # parquet file stats for the static planner, shuffle block sizes for
+    # AQE — and text-derived relations (docs, shingles, token arrays,
+    # exploded or not) dictionary-compress 20-40×, so a "≤64 MB" side can
+    # be a multi-GB in-memory build.  The r7 sf10 probe OOMed exactly this
+    # way THREE times: static plan broadcasting a 58 MB-on-disk corpus
+    # derivation, AQE broadcasting a 51 MB-compressed array relation, AQE
+    # broadcasting the exploded verify rows.  4 MB × ~40× worst-case
+    # expansion ≈ 160 MB build — safe on any sane executor.  Known-small
+    # dimension joins are UNAFFECTED: the house rule broadcasts dims with
+    # an explicit F.broadcast() hint (plan-tested), which ignores both
+    # thresholds; genuinely tiny unhinted sides (≤4 MB compressed) still
+    # auto-broadcast.
+    "spark.sql.autoBroadcastJoinThreshold": str(4 * 1024 * 1024),
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": str(4 * 1024 * 1024),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
 
@@ -61,7 +77,6 @@ def get_spark(
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.parquet.filterPushdown", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -487,3 +487,18 @@ def test_recall_cost_sweep_invariants(spark, sf_small):
     for r in rows.values():
         assert 0.0 <= r["recall"] <= 1.0
         assert r["hits"] <= r["truth_n"] == brute["truth_n"]
+
+
+def test_lsh_verify_never_joins_shingle_arrays(spark, sf_small):
+    """r7: the Jaccard verify stage must count intersections over narrow
+    exploded (id, shingle) rows — shingle ARRAYS must never be a join
+    input.  Array-carrying relations compress deceptively well, so any
+    engine-chosen broadcast of them is a latent OOM (the sf10 probe killed
+    exactly that), and a pinned merge join sorts gigabytes of wide records
+    instead.  Mechanically: no array_intersect in the plan, and a
+    Generate/explode feeds the verify joins."""
+    plan = _plan(spark, sf_small, "dedup_lsh_verified")
+    assert "array_intersect" not in plan, plan
+    assert "Generate explode" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

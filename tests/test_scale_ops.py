@@ -372,9 +372,13 @@ def test_incremental_near_registry_recall(spark, sf_small):
     docs = load_table(spark, sf_small, "documents")
     n_near = docs.filter(F.col("doc_id") % 5 == 0).count()
     n_fresh = docs.filter(F.col("doc_id") % 5 == 1).count()
+    from cdc_wastewater_analysis_ml_spark.plans.registry_ext import (
+        _NOVEL_OFFSET,
+    )
+
     out = QUERIES["dedup_incremental_near"](spark, sf_small).toPandas()
-    assert (out.doc_id >= 200000).sum() == n_fresh  # novel docs all survive
-    survivors_near = (out.doc_id < 200000).sum()
+    assert (out.doc_id >= _NOVEL_OFFSET).sum() == n_fresh  # novel all survive
+    survivors_near = (out.doc_id < _NOVEL_OFFSET).sum()
     assert survivors_near <= 0.05 * n_near, (survivors_near, n_near)
 
 

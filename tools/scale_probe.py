@@ -66,7 +66,6 @@ def _session() -> SparkSession:
         SparkSession.builder.appName("scale_probe")
         .master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", "8g")
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", "4049")
