@@ -651,6 +651,8 @@ def minhash_lsh_candidates_vs_store(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
+    hot_bucket_action: str = "error",
 ) -> DataFrame:
     """Candidate near-dup pairs of a NEW batch against an existing corpus:
     ``(id_new, id_store)`` sharing ≥1 MinHash band bucket.
@@ -664,6 +666,15 @@ def minhash_lsh_candidates_vs_store(
     fixtures are small.  No ``id <`` constraint — the two relations are
     disjoint id spaces by contract (same-id re-crawls are the EXACT dedup
     pass's job, :func:`dedup_incremental_exact`).
+
+    ``max_bucket_size`` caps the STORE side's bucket sizes (same guard as
+    the self-join family, :func:`_bucket_guard`): a hot store bucket makes
+    every matching delta doc pay |bucket| candidates, so a boilerplate-
+    heavy store turns the "delta-driven" join quadratic-ish — the r7 sf10
+    probe measured exactly this on the saturated-vocab fixture
+    (dedup_incremental_near exponent 0.89 vs 0.6-0.79 for the self-join
+    family; 486 s at 100×).  Default off to preserve exact recall;
+    production ingest should set it.
     """
     banded_new = banded_minhash(
         new_df, text_col, id_col, num_hashes, bands, shingle_n
@@ -671,10 +682,17 @@ def minhash_lsh_candidates_vs_store(
     banded_store = banded_minhash(
         store_df, text_col, id_col, num_hashes, bands, shingle_n
     ).persist()
+    guarded_store = _bucket_guard(
+        banded_store,
+        id_col,
+        max_bucket_size,
+        hot_bucket_action,
+        "minhash_lsh_candidates_vs_store",
+    )
     out = (
         banded_new.alias("a")
         .join(
-            banded_store.alias("b"),
+            guarded_store.alias("b"),
             on=[
                 F.col("a.band_id") == F.col("b.band_id"),
                 F.col("a.band_key") == F.col("b.band_key"),
@@ -698,6 +716,8 @@ def dedup_incremental_near(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket_size: int | None = None,
+    hot_bucket_action: str = "error",
 ) -> DataFrame:
     """Incremental NEAR-dup dedup: rows of ``new_df`` whose text is not a
     near-duplicate (shingle Jaccard ≥ ``threshold``) of ANY store document —
@@ -713,7 +733,8 @@ def dedup_incremental_near(
     the delta itself may contain them.
     """
     cand = minhash_lsh_candidates_vs_store(
-        new_df, store_df, text_col, id_col, num_hashes, bands, shingle_n
+        new_df, store_df, text_col, id_col, num_hashes, bands, shingle_n,
+        max_bucket_size, hot_bucket_action,
     )
     # Array-free verification (r7, same rationale as
     # :func:`_verify_jaccard_exploded`): the STORE-side shingle arrays are

@@ -425,3 +425,43 @@ def test_funnel_conversion_requires_ordered_steps(spark):
     # B's purchase follows its post-view click?  B: click(0) view(1)
     # purchase(2) — t1=1, click>=1? none (click at 0) → correctly excluded
     # from n_view_click even though all three types are present.
+
+
+def test_vs_store_hot_bucket_guard(spark):
+    """r7 (probe-motivated): a boilerplate-heavy STORE makes every matching
+    delta doc pay |bucket| candidates — the vs-store generator takes the
+    same hot-bucket cap as the self-join family, applied to the store side."""
+    from cdc_wastewater_analysis_ml_spark.operators import dedup as D
+
+    store = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.lit(
+            "the same boilerplate text repeated across the corpus every time"
+        ).alias("text"),
+    )
+    delta = spark.range(5).select(
+        (F.col("id") + 10_000_000_000).alias("doc_id"),
+        F.lit(
+            "the same boilerplate text repeated across the corpus every time"
+        ).alias("text"),
+    )
+    with pytest.raises(ValueError, match="exceed max_bucket_size=50"):
+        D.minhash_lsh_candidates_vs_store(
+            delta, store, "text", "doc_id",
+            max_bucket_size=50, hot_bucket_action="error",
+        ).count()
+    # skip: the hot store bucket drops out -> no candidates, and the
+    # end-to-end incremental dedup then KEEPS the delta (recall tradeoff
+    # belongs to exact dedup, which collapses boilerplate anyway)
+    skipped = D.minhash_lsh_candidates_vs_store(
+        delta, store, "text", "doc_id",
+        max_bucket_size=50, hot_bucket_action="skip",
+    )
+    assert skipped.count() == 0
+    out = D.dedup_incremental_near(
+        delta, store, "text", "doc_id",
+        max_bucket_size=50, hot_bucket_action="skip",
+    )
+    assert out.count() == 5
+    # default (no cap): all 5 delta docs match the store and are removed
+    assert D.dedup_incremental_near(delta, store, "text", "doc_id").count() == 0
