@@ -48,6 +48,9 @@ DEFAULT_QUERIES = [
     "corpus_shard_assign",
     "dedup_substring_kgram",
     "pipeline_corpus_curation",
+    # r7: the delta-vs-store ingest shape — the ladder's worst scaler on
+    # saturated vocab (store-side hot buckets; guard added), keep it probed.
+    "dedup_incremental_near",
 ]
 
 SF01 = "/root/testdata/sf0.1"
