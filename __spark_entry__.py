@@ -38,10 +38,16 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     "plans/metrics.py": 4,
     # r4: two-phase partition-offset stratified split (plans/ml.py).
     "plans/ml.py": 4,
-    # r7: connected_components pre-materializes its edge input under an
-    # AQE-planned action before the RDD-path localCheckpoint (r6 judge
-    # task 3); module-granularity rule → the whole dedup family re-verifies.
-    "operators/dedup.py": 7,
+    # r8: jaccard_verify_pairs gains assume_distinct (default False →
+    # pairs de-duplicated inside the operator, r7 ADVICE #2) and
+    # dedup_incremental_near gains the default-off check_disjoint_ids
+    # eager guard (r7 ADVICE #3).  Both changes are result-neutral for
+    # every in-repo caller (candidates are distinct by construction; the
+    # one registry call site pins assume_distinct=True so its plan is
+    # byte-identical to r7), proven by test_advice_fixes; the consumer set
+    # below still re-verifies every query whose call path textually
+    # changed rather than arguing full neutrality.
+    "operators/dedup.py": 8,
     "operators/caching.py": 5,
     # r6: chunk_documents rejects stride > chunk_tokens (ADVICE r5 #1 —
     # additive guard; module-granularity rule → whole corpus family, which
@@ -50,10 +56,13 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # r5: fraction_to_hex_threshold(1.0) keeps the 'ffffffff' draw
     # (r4 ADVICE #1).
     "operators/sampling.py": 5,
-    # r7: the three CC-consuming q blocks dropped merge_hint_verify=True
-    # (plan-only change riding the operators/dedup.py r7 entry; results
-    # identical by construction, re-verified anyway per the mechanical rule).
-    "plans/registry_corpus.py": 7,
+    # r8: three stale merge_hint_verify comments rewritten (r7 judge task
+    # 5 — comment-only, AST-neutral) and the q_dedup_cluster_cc call site
+    # pins assume_distinct=True on jaccard_verify_pairs (plan identical to
+    # r7 by construction; AST-affected block = dedup_cluster_cc only, per
+    # the mechanical audit).  Prior consumer list trimmed: every r6/r7
+    # consumer re-greened in the r7 prefix with code unchanged since.
+    "plans/registry_corpus.py": 8,
     # r6 session 2 NEW module: two-phase partition-offset global prefix sum
     # (consumed by the new corpus_pack_sequences + corpus_shard_assign).
     "operators/prefix.py": 6,
@@ -157,28 +166,15 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "ml_gbt_pca_metrics",
         "ml_linear_probability_pca_metrics",
     ),
+    # r8 diff = jaccard_verify_pairs (assume_distinct) +
+    # dedup_incremental_near (check_disjoint_ids): consumers = every query
+    # whose call path routes through either changed function.  The rest of
+    # the r7 family (minhash_lsh_verified-based queries bypass
+    # jaccard_verify_pairs entirely) re-greened in the r7 prefix with those
+    # functions unchanged since.
     "operators/dedup.py": (
-        "dedup_exact_text",
-        "dedup_minhash_signatures",
-        "dedup_minhash_lsh",
-        "dedup_ngram_jaccard",
-        "dedup_simhash",
-        "dedup_embedding_cosine",
-        "dedup_embedding_cosine_lsh",
-        "dedup_lsh_verified",
-        "dedup_incremental",
-        "dedup_incremental_near",
-        # r4 additive: connected_components/cluster_dedup_decision are new
-        # functions consumed only by the new (never-verified) queries below.
         "dedup_cluster_cc",
-        "dedup_embedding_clusters",
-        # r6 session 2 additive: exact-substring pairs + quality-aware
-        # cluster representative (new functions, never verified).
-        "dedup_substring_kgram",
-        "dedup_cluster_best",
-        # routes through minhash_lsh_verified + connected_components
-        "pipeline_corpus_curation",
-        # r7: routes through dedup_incremental_near (array-free verify)
+        "dedup_incremental_near",
         "stream_dedup_incremental_near",
     ),
     "operators/windows.py": (
@@ -257,20 +253,9 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
     # r6 diff: only the _chunk_sql() oracle helper changed (null-faithful,
     # ADVICE r5 #2) — mentioned solely by the corpus_chunk_documents block;
     # session 2 ADDS the unigram-LM + packing blocks (never verified).
-    "plans/registry_corpus.py": (
-        "corpus_chunk_documents",
-        "corpus_unigram_logprob",
-        "corpus_pack_sequences",
-        "corpus_pack_greedy",
-        # r6 session 2 additive blocks (never verified)
-        "dedup_substring_kgram",
-        "corpus_tfidf_top_terms",
-        "dedup_cluster_best",
-        "corpus_shard_assign",
-        "pipeline_corpus_curation",
-        # r6 late: q block gained merge_hint_verify (checkpoint-path pin)
-        "dedup_cluster_cc",
-    ),
+    # r8: AST-affected block = dedup_cluster_cc (assume_distinct=True call
+    # pin); everything else comment-only.
+    "plans/registry_corpus.py": ("dedup_cluster_cc",),
     "streaming/neardup.py": ("stream_dedup_incremental_near",),
     "plans/registry_stream_ext.py": (
         "stream_dedup_incremental_near",

@@ -590,6 +590,7 @@ def jaccard_verify_pairs(
     id_col: str,
     shingle_n: int = 3,
     threshold: float = 0.3,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Exact Jaccard restricted to a candidate-pair relation ``(id_a, id_b)``
     — the LSH verification stage.
@@ -611,7 +612,24 @@ def jaccard_verify_pairs(
     self-join reuse the cached signatures when THIS result executes, even
     though the caller typically drops the intermediate ``pairs`` handle
     (the round-3 ``dedup_lsh_verified`` regression).
+
+    ``assume_distinct``: the exploded-row verify COUNTS shared shingles per
+    (id_a, id_b) group, so duplicate candidate rows would multiply the
+    intersection count (r7 ADVICE).  The default therefore de-duplicates
+    the pair relation first — one extra same-keyed hash aggregate, no extra
+    exchange when the generator already grouped on the pair key.  Callers
+    whose candidate relation is distinct BY CONSTRUCTION (everything from
+    :func:`minhash_lsh_candidates`, which ends in ``.distinct()``) pass
+    ``True`` to keep the verify plan identical to r7's.
     """
+    if not assume_distinct:
+        # Re-home any scoped cache pins onto the rebound handle: the
+        # original `pairs` object dies at this rebind, and without the
+        # transfer its weakref finalizer would unpersist the generator's
+        # banded/shingle caches before the verify plan ever executes.
+        pairs = transfer_cache_scope(
+            pairs, pairs.select("id_a", "id_b").distinct()
+        )
     # Persist the per-doc shingle arrays: the relation feeds the exploded
     # intersection sides AND the size relation, and without the pin the
     # expensive shingle projection re-runs per consumer.  Scoped to the
@@ -718,12 +736,24 @@ def dedup_incremental_near(
     shingle_n: int = 3,
     max_bucket_size: int | None = None,
     hot_bucket_action: str = "error",
+    check_disjoint_ids: bool = False,
 ) -> DataFrame:
     """Incremental NEAR-dup dedup: rows of ``new_df`` whose text is not a
     near-duplicate (shingle Jaccard ≥ ``threshold``) of ANY store document —
     the daily-ingest production shape for a training corpus, completing
     :func:`dedup_incremental_exact` (which only rejects byte-identical
     re-crawls).
+
+    **Contract: the delta and store id spaces must be disjoint** — the
+    verify stage unions both sides into ONE shingle relation keyed on
+    ``id_col``, so a delta id colliding with a store id would merge two
+    documents' shingle sets and corrupt both the intersection and size
+    counts (r7 ADVICE).  Same-id re-crawls belong to the EXACT pass
+    (:func:`dedup_incremental_exact`), which handles them by content
+    fingerprint.  ``check_disjoint_ids=True`` enforces the contract with an
+    eager left-semi emptiness probe (one bounded action — keep it on in
+    ingest jobs where id provenance is uncertain; off by default so the
+    operator stays a single lazy plan).
 
     candidates→verify, both stages delta-driven: banded-LSH candidates
     against the store (:func:`minhash_lsh_candidates_vs_store`), exact
@@ -732,6 +762,20 @@ def dedup_incremental_near(
     run :func:`minhash_lsh_candidates` + verify within the batch first if
     the delta itself may contain them.
     """
+    if check_disjoint_ids:
+        colliding = (
+            new_df.select(id_col)
+            .join(store_df.select(id_col), id_col, "left_semi")
+            .limit(5)
+            .collect()
+        )
+        if colliding:
+            raise ValueError(
+                "dedup_incremental_near: delta/store id spaces must be "
+                f"disjoint, found colliding {id_col}s "
+                f"{[r[id_col] for r in colliding]} — route same-id "
+                "re-crawls through dedup_incremental_exact instead"
+            )
     cand = minhash_lsh_candidates_vs_store(
         new_df, store_df, text_col, id_col, num_hashes, bands, shingle_n,
         max_bucket_size, hot_bucket_action,

@@ -69,10 +69,14 @@ def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _augmented_docs(spark, sf_dir)
     pairs = D.minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=8, bands=4)
-    # merge_hint_verify defaults ON (r7): the probe showed AQE's compressed-
-    # stats broadcast of the shingle-array sides OOMs at 100× even with
-    # CC's edge input materialized under a fully AQE-planned action
-    verified = D.jaccard_verify_pairs(docs, pairs, "text", "doc_id", threshold=0.3)
+    # Verification is array-free (r7: _verify_jaccard_exploded counts
+    # intersections over narrow exploded (id, shingle) rows) and the
+    # engine-wide 4 MB RUNTIME_CONFS broadcast caps stop any compressed-
+    # stats mis-broadcast — no per-call-site join hint exists or is needed.
+    # assume_distinct: minhash_lsh_candidates ends in .distinct() (r8).
+    verified = D.jaccard_verify_pairs(
+        docs, pairs, "text", "doc_id", threshold=0.3, assume_distinct=True
+    )
     cc = D.connected_components(verified.select("id_a", "id_b"))
     return D.cluster_dedup_decision(cc)
 
@@ -860,7 +864,8 @@ def q_dedup_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import text as T
 
     docs = _augmented_docs(spark, sf_dir)
-    # merge_hint_verify defaults ON (r7) — see pipeline_corpus_curation
+    # Array-free verify + engine-wide 4 MB broadcast caps (r7) — no
+    # per-call-site join hint; see pipeline_corpus_curation.
     pairs = D.minhash_lsh_verified(
         docs, "text", "doc_id", num_hashes=8, bands=4, threshold=0.3
     )
@@ -996,12 +1001,12 @@ def q_pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__rn")
     )
 
-    # merge_hint_verify defaults ON (r7): the judge's r6-task-3 "let AQE
-    # decide" fix was implemented (CC materializes edges under an
-    # AQE-planned action) and then REFUTED by the 100× probe — AQE's
-    # broadcast decision reads compressed runtime stats, which structurally
-    # underestimate the shingle arrays' in-memory size; the pinned shuffle
-    # join is free at small scale under cached-plan coalescing
+    # r7 design note: the r6 per-call-site merge hint was DELETED.  The
+    # verify stage joins narrow exploded (id, shingle) rows (never shingle
+    # arrays), and the engine-wide RUNTIME_CONFS 4 MB caps on both
+    # autoBroadcastJoinThreshold confs forbid compressed-stats
+    # mis-broadcasts — the 100× probe showed every automatic size signal
+    # Spark reads is compressed while text expands 20-40× in memory.
     pairs = D.minhash_lsh_verified(
         ded, "text", "doc_id", num_hashes=8, bands=4, threshold=0.3
     )

@@ -192,3 +192,55 @@ def test_recall_at_k_rejects_empty_approx(spark):
     t = spark.createDataFrame([(1, 2)], "query_id long, neighbor_id long")
     with pytest.raises(ValueError, match="non-empty"):
         SIM.recall_at_k(t, {})
+
+
+def test_jaccard_verify_pairs_default_dedups_candidate_rows(spark, sf_small):
+    """r7 ADVICE: the exploded verify COUNTS shared shingles per pair group,
+    so duplicate (id_a, id_b) candidate rows used to multiply the
+    intersection and inflate Jaccard.  The default now de-duplicates the
+    pair relation inside the operator; assume_distinct=True preserves the
+    r7 hot-path plan for generators that are distinct by construction."""
+    docs = load_table(spark, sf_small, "documents").limit(200)
+    pairs = D.minhash_lsh_candidates(docs, "text", "doc_id")
+    clean = sorted(
+        map(
+            tuple,
+            D.jaccard_verify_pairs(
+                docs, pairs, "text", "doc_id", threshold=0.3,
+                assume_distinct=True,
+            ).collect(),
+        )
+    )
+    assert clean  # fixture has near-dups; empty would make the test vacuous
+    dup_pairs = D.minhash_lsh_candidates(docs, "text", "doc_id")
+    tripled = dup_pairs.unionAll(dup_pairs).unionAll(dup_pairs)
+    got = sorted(
+        map(
+            tuple,
+            D.jaccard_verify_pairs(
+                docs, tripled, "text", "doc_id", threshold=0.3
+            ).collect(),
+        )
+    )
+    assert got == clean
+
+
+def test_dedup_incremental_near_check_disjoint_ids(spark, sf_small):
+    """r7 ADVICE: the unioned shingle relation keys both sides on one id
+    column, so a delta id equal to a store id silently corrupts both
+    documents' counts.  check_disjoint_ids=True must fail loudly instead."""
+    docs = load_table(spark, sf_small, "documents").limit(50)
+    delta = docs.filter(F.col("doc_id") < 10)
+    store = docs.filter(F.col("doc_id") >= 5)  # ids 5..9 collide
+    with pytest.raises(ValueError, match="disjoint"):
+        D.dedup_incremental_near(
+            delta, store, "text", "doc_id", check_disjoint_ids=True
+        )
+    disjoint_store = docs.filter(F.col("doc_id") >= 10)
+    out = D.dedup_incremental_near(
+        delta, disjoint_store, "text", "doc_id", check_disjoint_ids=True
+    )
+    want = D.dedup_incremental_near(delta, disjoint_store, "text", "doc_id")
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, want.collect())
+    )

@@ -188,7 +188,7 @@ def main() -> None:
             and prior.get("big") == record["big"]
             and prior.get("factor") == record["factor"]
         ):
-            merged = dict(prior["queries"])
+            merged = dict(prior.get("queries", {}))
             merged.update(record["queries"])
             record["queries"] = merged
     out.write_text(json.dumps(record, indent=1) + "\n")
