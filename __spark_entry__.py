@@ -133,6 +133,15 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # r7 NEW module: ANN recall-vs-cost sweep + fastText-style linear
     # quality scorer (consumers = its two new queries, never verified).
     "plans/registry_quality.py": 7,
+    # r8: operators/analytic.py WIRED (r7 judge task 1 — landed in the r7
+    # snapshot with zero consumers): top_bigrams negative-slice crash fixed
+    # (greatest(n-1, 0)); all six ops now gated by the new
+    # plans/registry_analytic.py oracle queries + edge tests.
+    "operators/analytic.py": 8,
+    "plans/registry_analytic.py": 8,
+    # r8: registry.py diff is the registry_analytic tail import ONLY —
+    # empty AST-affected query set, file-granularity listing per the rule.
+    "plans/registry.py": 8,
 }
 # r6 onward: registration is MECHANICAL (VERDICT r5 task 3) — every .py
 # under the package touched since the previous round's driver commit MUST
@@ -263,6 +272,22 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "stream_cdc_upsert",
     ),
     "plans/registry.py": (),
+    "operators/analytic.py": (
+        "analytic_locf_fill",
+        "analytic_ntile",
+        "analytic_histogram",
+        "analytic_date_spine",
+        "analytic_top_bigrams",
+        "analytic_edit_distance",
+    ),
+    "plans/registry_analytic.py": (
+        "analytic_locf_fill",
+        "analytic_ntile",
+        "analytic_histogram",
+        "analytic_date_spine",
+        "analytic_top_bigrams",
+        "analytic_edit_distance",
+    ),
     "plans/registry_quality.py": (
         "sim_recall_cost_sweep",
         "quality_linear_score",

@@ -146,10 +146,15 @@ def top_bigrams(df: DataFrame, tokens: Column, k: int) -> DataFrame:
     Catalyst expressions in the scan stage; the only shuffle is the count
     aggregate, and the top-k is ``TakeOrderedAndProject`` (per-partition
     heads merged at the driver — never a global sort of all bigrams)."""
-    n = F.size(tokens)
+    # size(NULL) is -1 with ANSI off and an empty array gives 0, so the raw
+    # n-1 slice length would be -2 / -1 — Spark's slice rejects negative
+    # lengths at runtime (r7 ADVICE).  greatest(n-1, 0) makes both cases a
+    # zero-length slice; zip_with over NULL yields NULL and explode drops
+    # NULL/empty arrays, so empty and null documents contribute no bigrams.
+    m = F.greatest(F.size(tokens) - 1, F.lit(0))
     bigrams = F.zip_with(
-        F.slice(tokens, 1, n - 1),
-        F.slice(tokens, 2, n - 1),
+        F.slice(tokens, 1, m),
+        F.slice(tokens, 2, m),
         lambda a, b: F.concat_ws(" ", a, b),
     )
     return (
