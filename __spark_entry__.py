@@ -96,7 +96,11 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # (docstring + unreachable empty-iterator guard).  Consumer sets are
     # empty where no query's result multiset can change.
     "operators/relational.py": 4,
-    "operators/similarity.py": 4,
+    # r8: multi-table OR-amplified RHP-LSH ADDED (rhp_signature_arrow /
+    # lsh_multi_scored / cosine_topk_lsh_multi — pure function additions,
+    # every pre-existing op textually unchanged); consumers = the new query
+    # + the sweep that now calls the new path.
+    "operators/similarity.py": 8,
     "operators/text.py": 4,
     # r7: RUNTIME_CONFS gained canChangeCachedPlanOutputPartitioning=true —
     # a PHYSICAL-layout conf (AQE may coalesce cached-plan output
@@ -130,9 +134,10 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # AST audit derives an EMPTY affected-query set (no @register block or
     # helper changed); listed at file granularity per the mechanical rule.
     "plans/registry.py": 7,
-    # r7 NEW module: ANN recall-vs-cost sweep + fastText-style linear
-    # quality scorer (consumers = its two new queries, never verified).
-    "plans/registry_quality.py": 7,
+    # r8: sim_recall_cost_sweep gains the lshm (multi-table) row and the
+    # new sim_cosine_lsh_multi block lands (AST-affected set = these two;
+    # quality_linear_score untouched, re-greened r7).
+    "plans/registry_quality.py": 8,
     # r8: operators/analytic.py WIRED (r7 judge task 1 — landed in the r7
     # snapshot with zero consumers): top_bigrams negative-slice crash fixed
     # (greatest(n-1, 0)); all six ops now gated by the new
@@ -290,7 +295,7 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
     ),
     "plans/registry_quality.py": (
         "sim_recall_cost_sweep",
-        "quality_linear_score",
+        "sim_cosine_lsh_multi",
     ),
     "session.py": (),
     "operators/multimodal.py": (),
@@ -307,7 +312,10 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "pipeline_corpus_curation",
     ),
     "operators/relational.py": (),
-    "operators/similarity.py": ("sim_recall_at_k",),
+    "operators/similarity.py": (
+        "sim_recall_cost_sweep",
+        "sim_cosine_lsh_multi",
+    ),
     "operators/text.py": (),
     # r4 additive: scan_json/scan_orc (+ sinks) are new functions consumed
     # only by the NEW roundtrip queries (never verified before); load_table/

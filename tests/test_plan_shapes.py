@@ -470,7 +470,8 @@ def test_recall_cost_sweep_invariants(spark, sf_small):
         for r in QUERIES["sim_recall_cost_sweep"](spark, sf_small).collect()
     }
     assert set(rows) == {
-        ("brute", 0), ("lsh", 4), ("lsh", 8), ("ivf", 1), ("ivf", 2)
+        ("brute", 0), ("lsh", 4), ("lsh", 8), ("ivf", 1), ("ivf", 2),
+        ("lshm", 9),
     }
     brute = rows[("brute", 0)]
     assert brute["recall"] == 1.0 and brute["hits"] == brute["truth_n"]
@@ -487,6 +488,14 @@ def test_recall_cost_sweep_invariants(spark, sf_small):
     for r in rows.values():
         assert 0.0 <= r["recall"] <= 1.0
         assert r["hits"] <= r["truth_n"] == brute["truth_n"]
+    # r8: the multi-table point exists to FIX the single-table collapse —
+    # it must beat both single-table configs on recall while paying less
+    # than brute (the OR-amplification trade the operator promises).
+    lshm = rows[("lshm", 9)]
+    assert lshm["recall"] > max(
+        rows[("lsh", 4)]["recall"], rows[("lsh", 8)]["recall"]
+    )
+    assert lshm["candidates"] < brute["candidates"]
 
 
 def test_lsh_verify_never_joins_shingle_arrays(spark, sf_small):

@@ -15,7 +15,10 @@ explosion that measures nothing):
   ~0.16% exact-duplicate rows (8 per 5000, as observed);
 - embeddings: unit-normalized 64-dim gaussian float32, labels 0-9.
 
-Usage: python -m tools.gen_scale_fixture OUT_DIR [multiplier]   (default 10)
+Usage: python -m tools.gen_scale_fixture OUT_DIR [multiplier] [vocab_size]
+(multiplier default 10; vocab_size default = the 31-word fixture vocab;
+pass a vocab_size to generate the OPEN-vocabulary variant for Heaps-law
+scale experiments — scale it ~ n_docs^0.6 across rungs)
 Deterministic (seed 43); ~7 MB parquet at 10×, regenerate at will — the
 output is intentionally NOT committed.
 """
@@ -39,12 +42,34 @@ LANGS = ["en", "de", "es", "fr", "zh"]
 LANG_P = [0.41, 0.1475, 0.1475, 0.1475, 0.1475]
 
 
-def gen_documents(n_docs: int, rng: np.random.Generator) -> pa.Table:
+def _zipf_vocab(size: int) -> tuple[np.ndarray, np.ndarray]:
+    """Synthetic open vocabulary: ``size`` words with a Zipf-Mandelbrot
+    frequency law p(r) ∝ 1/(r + 2.7) — the realistic shape where head
+    words stay hot (so hot LSH buckets don't vanish by construction) while
+    the tail keeps the shingle space growing with the corpus."""
+    words = np.array([f"w{i:05d}" for i in range(size)])
+    w = 1.0 / (np.arange(size) + 2.7)
+    return words, w / w.sum()
+
+
+def gen_documents(
+    n_docs: int, rng: np.random.Generator, vocab_size: int | None = None
+) -> pa.Table:
+    """``vocab_size=None`` reproduces the original 31-word saturated-vocab
+    fixture bit-for-bit (same RNG call sequence).  A vocab_size opens the
+    vocabulary (Heaps-law experiments: scale it ~ n_docs^0.6 across rungs
+    so the shingle space grows the way a real crawl's does)."""
     lengths = rng.integers(10, 101, n_docs)
-    vocab = np.array(VOCAB)
-    texts = [
-        " ".join(vocab[rng.integers(0, len(vocab), k)]) for k in lengths
-    ]
+    if vocab_size is None:
+        vocab = np.array(VOCAB)
+        texts = [
+            " ".join(vocab[rng.integers(0, len(vocab), k)]) for k in lengths
+        ]
+    else:
+        words, p = _zipf_vocab(vocab_size)
+        texts = [
+            " ".join(words[rng.choice(vocab_size, k, p=p)]) for k in lengths
+        ]
     # exact-dup rate as observed at sf0.1: 8 dup pairs per 5000 docs
     n_dups = max(1, round(n_docs * 8 / 5000))
     src_idx = rng.integers(0, n_docs, n_dups)
@@ -84,9 +109,10 @@ def gen_embeddings(n_vecs: int, rng: np.random.Generator) -> pa.Table:
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
     mult = float(sys.argv[2]) if len(sys.argv) > 2 else 10.0
+    vocab_size = int(sys.argv[3]) if len(sys.argv) > 3 else None
     os.makedirs(out, exist_ok=True)
     rng = np.random.default_rng(43)
-    docs = gen_documents(int(5000 * mult), rng)
+    docs = gen_documents(int(5000 * mult), rng, vocab_size)
     pq.write_table(docs, f"{out}/documents.parquet")
     emb = gen_embeddings(int(2000 * mult), rng)
     pq.write_table(emb, f"{out}/embeddings.parquet")

@@ -57,11 +57,22 @@ SF01 = "/root/testdata/sf0.1"
 SF1 = "/tmp/spark_graft_sf1"
 BIG_LABEL = os.environ.get("SPARK_GRAFT_PROBE_BIG_LABEL", "sf1")
 BIG_DIR = os.environ.get("SPARK_GRAFT_PROBE_BIG_DIR", SF1)
+#: Non-default small rungs (e.g. the open-vocab experiment pairs ov1 with
+#: ov100) MUST also override SPARK_GRAFT_PROBE_OUT: the round's canonical
+#: PROBE_r{N}.json is contract-bound to small == "sf0.1".
+SMALL_LABEL = os.environ.get("SPARK_GRAFT_PROBE_SMALL_LABEL", "sf0.1")
+SMALL_DIR = os.environ.get("SPARK_GRAFT_PROBE_SMALL_DIR", SF01)
+OUT_NAME = os.environ.get("SPARK_GRAFT_PROBE_OUT")
 FACTOR = float(os.environ.get("SPARK_GRAFT_PROBE_FACTOR", "10"))
 if FACTOR <= 1:
     raise SystemExit("SPARK_GRAFT_PROBE_FACTOR must be > 1")
-if BIG_LABEL == "sf0.1":
-    raise SystemExit("SPARK_GRAFT_PROBE_BIG_LABEL must differ from sf0.1")
+if BIG_LABEL == SMALL_LABEL:
+    raise SystemExit("SPARK_GRAFT_PROBE_BIG_LABEL must differ from the small label")
+if SMALL_LABEL != "sf0.1" and not OUT_NAME:
+    raise SystemExit(
+        "a non-sf0.1 small rung needs SPARK_GRAFT_PROBE_OUT (the canonical "
+        "PROBE_r{N}.json record is contract-bound to small == sf0.1)"
+    )
 
 
 def _session() -> SparkSession:
@@ -97,6 +108,7 @@ def build_record(
     names: list[str],
     big_label: str,
     factor: float,
+    small_label: str = "sf0.1",
 ) -> dict:
     """Pure assembly of the PROBE record from per-(query@sf) run lists.
 
@@ -107,13 +119,13 @@ def build_record(
     is linear scaling on fixed cores, < 1 sublinear.
     """
     record: dict = {
-        "small": "sf0.1",
+        "small": small_label,
         "big": big_label,
         "factor": factor,
         "queries": {},
     }
     for name in names:
-        a_runs = results.get(f"{name}@sf0.1")
+        a_runs = results.get(f"{name}@{small_label}")
         b_runs = results.get(f"{name}@{big_label}")
         if not a_runs or not b_runs:
             continue
@@ -154,7 +166,7 @@ def main() -> None:
     _force(QUERIES["sim_cosine_topk"](spark, "/root/testdata/sf0.001"))
 
     results: dict[str, list[dict]] = {}
-    for sf_label, sf_dir in (("sf0.1", SF01), (BIG_LABEL, BIG_DIR)):
+    for sf_label, sf_dir in ((SMALL_LABEL, SMALL_DIR), (BIG_LABEL, BIG_DIR)):
         for name in names:
             runs = []
             for i in range(2):
@@ -177,14 +189,16 @@ def main() -> None:
             results[f"{name}@{sf_label}"] = runs
             print(json.dumps({f"{name}@{sf_label}": runs}), flush=True)
 
-    record = build_record(results, names, BIG_LABEL, FACTOR)
-    out = probe_path(Path(__file__).resolve().parent.parent)
+    record = build_record(results, names, BIG_LABEL, FACTOR, SMALL_LABEL)
+    root = Path(__file__).resolve().parent.parent
+    out = root / OUT_NAME if OUT_NAME else probe_path(root)
     # Merge-don't-clobber: partial probe invocations (one family at a time)
     # accumulate into the same round file.
     if out.exists():
         prior = json.loads(out.read_text())
         if (
             isinstance(prior, dict)
+            and prior.get("small") == record["small"]
             and prior.get("big") == record["big"]
             and prior.get("factor") == record["factor"]
         ):
@@ -193,7 +207,10 @@ def main() -> None:
             record["queries"] = merged
     out.write_text(json.dumps(record, indent=1) + "\n")
 
-    print(f"\n== scaling (steady-state run 2, {BIG_LABEL} vs sf0.1) -> {out.name} ==")
+    print(
+        f"\n== scaling (steady-state run 2, {BIG_LABEL} vs {SMALL_LABEL})"
+        f" -> {out.name} =="
+    )
     for name, q in record["queries"].items():
         print(
             f"{name}: {q['small_sec']}s -> {q['big_sec']}s "
