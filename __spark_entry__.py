@@ -75,11 +75,12 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # markers (r6 ADVICE — additive guard; module-granularity rule).
     "operators/cdc.py": 7,
     "streaming/cdc.py": 6,
-    # r7: TPC-H Q15/Q16-lite blocks APPENDED (AST-affected set = the two new
-    # queries only; every r6-entry consumer re-greened in the r6 prefix, so
-    # the list advances with the marker — dedup_lsh_verified/cdc_merge_upsert
-    # re-verify in r7 through their own operator-module entries).
-    "plans/registry_scale.py": 7,
+    # r8: the q_dedup_incremental_near block now transfers the operator's
+    # cache scope onto its projection (scale-killer fix — the dropped
+    # handle used to unpersist the shingle cache before the driver's
+    # action; results identical, plan identical, only cache lifetime
+    # changes).  AST-affected set = that one block.
+    "plans/registry_scale.py": 8,
     # r7: _AUG_CTE/_augmented_docs id offset 100000 → 10^10 (the sf10 probe
     # collided the old offset with real doc_ids — results of every
     # augmented-corpus query change).  Cross-module consumers via the
@@ -252,18 +253,9 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "sample_resample_mixture",
         "stream_sample_fraction",
     ),
-    # r7 diff (AST block-diff, verified by tests/test_staleness_registration):
-    # Q15/Q16-lite blocks APPENDED (never verified); id-offset fix changed
-    # the incremental-dedup and CDC-delta blocks (results change); the
-    # shared _CDC_DELTA_CTE also feeds stream_cdc_upsert.
-    "plans/registry_scale.py": (
-        "tpch_top_supplier",
-        "tpch_parts_supplier_count",
-        "dedup_incremental",
-        "dedup_incremental_near",
-        "cdc_merge_upsert",
-        "stream_cdc_upsert",
-    ),
+    # r8 diff: only the q_dedup_incremental_near block changed (cache-scope
+    # transfer on the returned projection).
+    "plans/registry_scale.py": ("dedup_incremental_near",),
     # r6 diff: only the _chunk_sql() oracle helper changed (null-faithful,
     # ADVICE r5 #2) — mentioned solely by the corpus_chunk_documents block;
     # session 2 ADDS the unigram-LM + packing blocks (never verified).

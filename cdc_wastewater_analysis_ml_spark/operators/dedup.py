@@ -693,13 +693,26 @@ def minhash_lsh_candidates_vs_store(
     (dedup_incremental_near exponent 0.89 vs 0.6-0.79 for the self-join
     family; 486 s at 100×).  Default off to preserve exact recall;
     production ingest should set it.
+
+    r8 persist policy: UNLIKE the self-join family, each banded relation
+    here feeds the join exactly ONCE, so the r7-era ``persist()`` on both
+    sides paid full materialization for zero reuse — and worse, under a
+    single action the unmaterialized caches made concurrent AQE stages
+    race/block on the block-store (measured on the ov100 fixture as part
+    of the 530 s pathology; see dedup_incremental_near).  The store side
+    is persisted ONLY when the bucket guard is active (the guard's size
+    aggregate is then a genuine second consumer).
     """
     banded_new = banded_minhash(
         new_df, text_col, id_col, num_hashes, bands, shingle_n
-    ).persist()
+    )
     banded_store = banded_minhash(
         store_df, text_col, id_col, num_hashes, bands, shingle_n
-    ).persist()
+    )
+    pins: list[DataFrame] = []
+    if max_bucket_size is not None:
+        banded_store = banded_store.persist()
+        pins.append(banded_store)
     guarded_store = _bucket_guard(
         banded_store,
         id_col,
@@ -722,7 +735,7 @@ def minhash_lsh_candidates_vs_store(
         )
         .distinct()
     )
-    return scoped_persist(out, banded_new, banded_store)
+    return scoped_persist(out, *pins) if pins else out
 
 
 def dedup_incremental_near(
@@ -795,6 +808,17 @@ def dedup_incremental_near(
         )
         .persist()
     )
+    # Materialization barrier (r8): the verify reads `sh` from FOUR stages
+    # (two exploded join sides + two size joins) that AQE submits
+    # concurrently.  Left lazy, those stages race the unmaterialized cache
+    # — per-partition block locks serialize the racers while their tasks
+    # HOLD executor slots, collapsing parallelism: measured 530 s cold on
+    # the ov100 fixture (500k-doc store) vs 121 s with the cache
+    # materialized under this one barrier action first (the whole 4.3×
+    # r7→r8 win on this operator; PROBE_OPENVOCAB_r08).  The count is one
+    # cheap agg over the cache being built anyway; the operator is
+    # therefore deliberately EAGER about its shingle cache.
+    sh.count()
     verified = _verify_jaccard_exploded(
         sh,
         cand.select(

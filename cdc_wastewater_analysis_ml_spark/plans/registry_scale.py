@@ -1403,7 +1403,17 @@ def q_dedup_incremental_near(spark, sf_dir):
     )
     batch = near.unionByName(fresh)
     out = D.dedup_incremental_near(batch, docs, "text", "doc_id", threshold=0.3)
-    return out.select("doc_id")
+    # r8 scale-killer fix: `out` carries the operator's shingle-cache scope;
+    # deriving the projection and DROPPING the handle used to fire the
+    # weakref finalizer and unpersist the cache BEFORE the driver's action
+    # ran — all four verify consumers then recomputed the full shingle
+    # pipeline (measured 503 s cold at ov100 vs 121 s with the scope kept;
+    # the round-3 dedup_lsh_verified regression pattern re-introduced at
+    # the registry layer).  transfer_cache_scope moves the pins onto the
+    # DataFrame the caller will actually execute.
+    from ..operators.caching import transfer_cache_scope
+
+    return transfer_cache_scope(out, out.select("doc_id"))
 
 
 @register(

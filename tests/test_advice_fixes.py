@@ -244,3 +244,27 @@ def test_dedup_incremental_near_check_disjoint_ids(spark, sf_small):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_incremental_near_registry_query_keeps_cache_scope(spark, sf_small):
+    """r8 scale-killer: the registry block derived .select('doc_id') from
+    the scoped operator result and dropped the handle — the weakref
+    finalizer unpersisted the shingle cache BEFORE the driver's action ran,
+    and the verify's four consumers each recomputed the full shingle
+    pipeline (503 s vs 121 s cold at ov100).  The returned DataFrame must
+    now own the scope, keeping the cache pinned until the caller drops it."""
+    from cdc_wastewater_analysis_ml_spark.operators.caching import _SCOPE_ATTR
+    from cdc_wastewater_analysis_ml_spark.plans.registry import QUERIES
+
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    cache_mgr.clearCache()
+    df = QUERIES["dedup_incremental_near"](spark, sf_small)
+    gc.collect()
+    assert hasattr(df, _SCOPE_ATTR)
+    # the shingle cache is still registered (materialized eagerly by the
+    # operator's r8 barrier) and survives the construction-site gc
+    assert not cache_mgr.isEmpty()
+    df.count()
+    del df
+    gc.collect()
+    assert cache_mgr.isEmpty()
