@@ -48,9 +48,14 @@ DEFAULT_QUERIES = [
     "corpus_shard_assign",
     "dedup_substring_kgram",
     "pipeline_corpus_curation",
-    # r7: the delta-vs-store ingest shape — the ladder's worst scaler on
-    # saturated vocab (store-side hot buckets; guard added), keep it probed.
+    # r7: the delta-vs-store ingest shape — r7's worst scaler (exponent
+    # 0.89/0.90 both vocab regimes).  r8 diagnosed the real causes
+    # (registry-layer cache-scope drop + zero-reuse persists + cache-race)
+    # and fixed them: exponent 0.56-0.59, walls 6.3-6.7x lower.  Keep
+    # probed as the regression guard for exactly that class of bug.
     "dedup_incremental_near",
+    # r8: multi-table OR-amplified RHP-LSH (the repaired ANN-LSH knob).
+    "sim_cosine_lsh_multi",
 ]
 
 SF01 = "/root/testdata/sf0.1"
