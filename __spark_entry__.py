@@ -148,6 +148,12 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # r8: registry.py diff is the registry_analytic tail import ONLY —
     # empty AST-affected query set, file-granularity listing per the rule.
     "plans/registry.py": 8,
+    # r8 session 2 NEW module: Z-order clustering key + clustered write +
+    # file min/max manifest (consumers = the one new key-computation query;
+    # the write/prune halves are value-free layout effects, gated by
+    # tests/test_layout.py).
+    "operators/layout.py": 8,
+    "plans/registry_layout.py": 8,
 }
 # r6 onward: registration is MECHANICAL (VERDICT r5 task 3) — every .py
 # under the package touched since the previous round's driver commit MUST
@@ -289,6 +295,8 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "sim_recall_cost_sweep",
         "sim_cosine_lsh_multi",
     ),
+    "operators/layout.py": ("layout_zorder_key",),
+    "plans/registry_layout.py": ("layout_zorder_key",),
     "session.py": (),
     "operators/multimodal.py": (),
     "plans/registry_ext.py": (

@@ -1,0 +1,197 @@
+"""Data-layout operators: multi-dimensional clustering keys (Z-order),
+clustered parquet writes, and file-level min/max manifests for scan pruning.
+
+The reference reads one CSV into one pandas frame (codes.py:21-26) — data
+layout is a non-problem at that scale.  At 100 TB it is THE problem: a
+parquet scan prunes row groups / files by their min-max stats, and those
+stats are only selective if rows with nearby key values are physically
+co-located.  Sorting by one column makes that column's stats tight and every
+other column's stats useless; interleaving the bits of several bucketed
+columns (a Z-order / Morton curve) makes EVERY participating column's
+per-file span ~n_files^(-1/k) of its range, so a selective predicate on any
+of the k dimensions skips most of the data.  This is the clustering layout
+Delta's OPTIMIZE ZORDER BY and Iceberg's sort orders implement; here it is
+expressed as plain Catalyst integer arithmetic + ``repartitionByRange``, so
+it works on vanilla parquet with no table format.
+
+Everything stays JVM-side: the bucket/interleave math is shiftleft/OR
+expressions inside whole-stage codegen (no UDF), the global min/max ranges
+join back as one broadcast row, and the only shuffle is the range partition
+that any clustered write needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "zorder_key",
+    "cluster_write",
+    "file_minmax_stats",
+    "files_touched",
+]
+
+
+def _bucket(col: Column, cmin: Column, cmax: Column, cells: int) -> Column:
+    """Width-bucket ``col`` into ``[0, cells)`` over the ``[cmin, cmax]``
+    range: ``floor((v - min) * cells / span)`` clamped to the top cell (the
+    max value itself lands in cells-1) and to 0 for a degenerate span.
+    Nulls map to cell 0 (they sort first, same as a null-first sort key).
+    The arithmetic order — subtract, multiply, divide — is pinned because
+    the DuckDB oracle mirrors it term for term (IEEE doubles agree across
+    engines only for identically-ordered operations).
+    """
+    span = cmax - cmin
+    raw = F.floor((col.cast("double") - cmin) * F.lit(float(cells)) / span)
+    # Null guard must come BEFORE the clamp: F.least SKIPS nulls (it returns
+    # the smallest non-null operand), so least(null_raw, cells-1) would send
+    # null values to the TOP cell instead of cell 0.
+    cell = F.when(col.isNull() | (span <= F.lit(0.0)), F.lit(0)).otherwise(
+        F.least(raw, F.lit(cells - 1))
+    )
+    return cell.cast("long")
+
+
+def _interleave(buckets: list[Column], bits: int) -> Column:
+    """Morton-interleave ``k`` bucket columns of ``bits`` bits each into one
+    LONG: bit ``j`` of bucket ``i`` lands at position ``j*k + (k-1-i)``, so
+    column 0 owns the most significant bit of every group.  2*bits*k shift/
+    mask terms, all whole-stage-codegen integer ops.
+    """
+    k = len(buckets)
+    z = F.lit(0).cast("long")
+    for i, b in enumerate(buckets):
+        for j in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(b, j).bitwiseAND(F.lit(1)), j * k + (k - 1 - i))
+            )
+    return z
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    key_col: str = "__z",
+    ranges: dict[str, tuple[float, float]] | None = None,
+) -> DataFrame:
+    """Append a Z-order clustering key over ``cols`` (each width-bucketed
+    into ``2**bits`` cells over its global [min, max], bits interleaved).
+
+    ``ranges`` inlines known per-column (min, max) bounds as literals —
+    the production shape, where the ingest pipeline knows its domains and
+    the key needs no extra pass.  Without it the ranges come from one tiny
+    global aggregate joined back as a broadcast single-row relation, so the
+    plan stays lazy and the data is still read once (the agg reads only the
+    key columns — column-pruned at the scan).
+
+    At most ``63 // len(cols)`` bits per column (the key is one signed
+    LONG).
+    """
+    if not cols:
+        raise ValueError("zorder_key needs at least one column")
+    if bits < 1 or bits * len(cols) > 63:
+        raise ValueError(
+            f"bits={bits} with {len(cols)} columns overflows a signed long "
+            f"(max {63 // len(cols)} bits per column)"
+        )
+    cells = 1 << bits
+    if ranges is not None:
+        missing = [c for c in cols if c not in ranges]
+        if missing:
+            raise ValueError(f"ranges missing for columns: {missing}")
+        buckets = [
+            _bucket(
+                F.col(c),
+                F.lit(float(ranges[c][0])),
+                F.lit(float(ranges[c][1])),
+                cells,
+            )
+            for c in cols
+        ]
+        return df.withColumn(key_col, _interleave(buckets, bits))
+    agg = df.agg(
+        *[
+            stat
+            for c in cols
+            for stat in (
+                F.min(F.col(c).cast("double")).alias(f"__min_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"__max_{c}"),
+            )
+        ]
+    )
+    joined = df.crossJoin(F.broadcast(agg))
+    buckets = [
+        _bucket(F.col(c), F.col(f"__min_{c}"), F.col(f"__max_{c}"), cells)
+        for c in cols
+    ]
+    out = joined.withColumn(key_col, _interleave(buckets, bits))
+    return out.drop(*[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols])
+
+
+def cluster_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    num_files: int = 16,
+    bits: int = 8,
+    ranges: dict[str, tuple[float, float]] | None = None,
+) -> None:
+    """Write ``df`` as parquet clustered on the Z-order of ``cols``:
+    range-partition by the key (→ ``num_files`` files covering disjoint
+    z-ranges, i.e. compact spatial tiles) and sort within each partition so
+    ROW-GROUP stats inside each file are tight too.  The key column itself
+    is dropped before the write — the layout, not the value, is the product.
+
+    One shuffle (the range partition — unavoidable for any clustered
+    layout), one pass; at 100 TB this is the nightly OPTIMIZE job whose
+    cost is repaid by every subsequent selective scan.
+    """
+    keyed = zorder_key(df, cols, bits=bits, ranges=ranges)
+    (
+        keyed.repartitionByRange(num_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def file_minmax_stats(
+    spark: SparkSession, path: str, cols: list[str]
+) -> DataFrame:
+    """Per-file min/max/count manifest for a parquet directory — the
+    pruning index a table format (Delta/Iceberg) keeps in metadata, built
+    distributedly from the data itself via ``input_file_name()``.
+
+    One scan reading only ``cols``, one groupBy on the file name (cardinality
+    = number of files, trivially small relative to the data).  Consulting
+    this manifest before planning a box query is file-level pruning for
+    plain parquet directories; Spark's own parquet reader applies the same
+    stats per ROW GROUP once the files are opened (PushedFilters — plan-
+    tested in tests/test_layout.py).
+    """
+    df = spark.read.parquet(path).select(*cols).withColumn(
+        "__file", F.input_file_name()
+    )
+    aggs = [F.count(F.lit(1)).alias("rows")]
+    for c in cols:
+        aggs.append(F.min(c).alias(f"{c}_min"))
+        aggs.append(F.max(c).alias(f"{c}_max"))
+    return df.groupBy("__file").agg(*aggs)
+
+
+def files_touched(
+    stats: DataFrame, box: dict[str, tuple[float, float]]
+) -> int:
+    """How many files a box predicate must read, per the min/max manifest:
+    a file is touched iff its [min, max] interval overlaps the query range
+    on EVERY predicated column (stats can only prove absence).  Driver
+    scalar by design — the manifest is O(files)."""
+    cond = F.lit(True)
+    for c, (lo, hi) in box.items():
+        cond = cond & (F.col(f"{c}_max") >= F.lit(lo)) & (
+            F.col(f"{c}_min") <= F.lit(hi)
+        )
+    return stats.filter(cond).count()

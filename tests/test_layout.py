@@ -1,0 +1,153 @@
+"""Data-layout operators (operators/layout.py): Z-order key math, clustered
+writes, file min/max manifests, and the pruning they buy.
+
+The registry gate (layout_zorder_key) hash-verifies the key computation vs
+DuckDB; these tests pin the parts a value hash can't see — the bit layout
+itself, null/degenerate handling, and the actual file-skipping effect of the
+clustered layout vs a single-column sort.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_wastewater_analysis_ml_spark.operators.layout import (
+    cluster_write,
+    file_minmax_stats,
+    files_touched,
+    zorder_key,
+)
+
+
+def _morton2(bx: int, by: int, bits: int) -> int:
+    """Reference interleave: bit j of col 0 (x) → position 2j+1, col 1 (y)
+    → 2j (mirrors layout._interleave's j*k + (k-1-i) map)."""
+    z = 0
+    for j in range(bits):
+        z |= ((bx >> j) & 1) << (2 * j + 1)
+        z |= ((by >> j) & 1) << (2 * j)
+    return z
+
+
+def test_zorder_key_known_grid(spark):
+    """4×4 grid with pinned ranges: every cell's key equals the hand-computed
+    Morton code (mid-cell values so bucketing is unambiguous)."""
+    rows = [(x + 0.5, y + 0.5) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = zorder_key(df, ["x", "y"], bits=2, ranges={"x": (0, 4), "y": (0, 4)})
+    got = {(r.x, r.y): r["__z"] for r in out.collect()}
+    for x in range(4):
+        for y in range(4):
+            assert got[(x + 0.5, y + 0.5)] == _morton2(x, y, 2)
+
+
+def test_zorder_key_max_value_lands_in_top_cell(spark):
+    """v == max must clamp into cells-1, not overflow into a new cell."""
+    df = spark.createDataFrame([(0.0, 0.0), (10.0, 10.0)], "x double, y double")
+    out = zorder_key(df, ["x", "y"], bits=2)  # auto ranges from the data
+    vals = {r.x: r["__z"] for r in out.collect()}
+    assert vals[0.0] == _morton2(0, 0, 2)
+    assert vals[10.0] == _morton2(3, 3, 2)
+
+
+def test_zorder_key_null_and_degenerate_span(spark):
+    """Nulls bucket to cell 0; a constant column (span 0) buckets to 0 for
+    every row instead of dividing by zero."""
+    df = spark.createDataFrame(
+        [(None, 5.0), (3.0, 5.0), (9.0, 5.0)], "x double, y double"
+    )
+    out = zorder_key(df, ["x", "y"], bits=2, ranges={"x": (0, 9), "y": (5, 5)})
+    got = {r.x: r["__z"] for r in out.collect()}
+    assert got[None] == _morton2(0, 0, 2)
+    assert got[3.0] == _morton2(1, 0, 2)
+    assert got[9.0] == _morton2(3, 0, 2)
+
+
+def test_zorder_key_validation(spark):
+    df = spark.createDataFrame([(1.0, 2.0)], "x double, y double")
+    with pytest.raises(ValueError, match="overflows"):
+        zorder_key(df, ["x", "y"], bits=32)
+    with pytest.raises(ValueError, match="at least one"):
+        zorder_key(df, [])
+    with pytest.raises(ValueError, match="ranges missing"):
+        zorder_key(df, ["x", "y"], ranges={"x": (0, 1)})
+
+
+def test_zorder_key_stays_jvm_side(spark):
+    """The key is pure Catalyst integer arithmetic — no Python evaluation
+    node may appear in the plan (the 100 TB hot path must stay codegen'd)."""
+    df = spark.range(100).select(
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") % 10).cast("double").alias("y"),
+    )
+    plan = zorder_key(df, ["x", "y"], bits=4)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_files_touched_interval_logic(spark):
+    """A file is touched iff its [min,max] overlaps the box on EVERY column."""
+    stats = spark.createDataFrame(
+        [
+            ("f1", 0.0, 10.0, 0.0, 10.0),   # overlaps both
+            ("f2", 0.0, 10.0, 50.0, 60.0),  # y disjoint
+            ("f3", 90.0, 99.0, 0.0, 10.0),  # x disjoint
+        ],
+        "__file string, x_min double, x_max double, y_min double, y_max double",
+    )
+    assert files_touched(stats, {"x": (5, 6), "y": (5, 6)}) == 1
+    assert files_touched(stats, {"x": (5, 6)}) == 2
+
+
+@pytest.fixture(scope="module")
+def _grid_layouts(spark, tmp_path_factory):
+    """64×64 uniform grid written two ways: Z-ordered on (x, y) vs linearly
+    sorted on x only — both 16 files."""
+    base = tmp_path_factory.mktemp("layout")
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).cast("double").alias("x"),
+        (F.col("id") / 64).cast("long").cast("double").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    zpath = str(base / "zorder")
+    lpath = str(base / "linear")
+    cluster_write(grid, zpath, ["x", "y"], num_files=16, bits=8)
+    (
+        grid.repartitionByRange(16, F.col("x"))
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+    return zpath, lpath
+
+
+def test_cluster_write_prunes_nonleading_dim(spark, _grid_layouts):
+    """A thin slab on y: the x-sorted layout must read EVERY file (y spans
+    the full range in each), the Z-ordered layout only the bottom tile row
+    (~4 of 16; ≤8 allows for range-boundary slop)."""
+    zpath, lpath = _grid_layouts
+    box = {"y": (0.0, 3.9)}
+    zs = file_minmax_stats(spark, zpath, ["x", "y"])
+    ls = file_minmax_stats(spark, lpath, ["x", "y"])
+    assert zs.count() == 16 and ls.count() == 16
+    z_touch = files_touched(zs, box)
+    l_touch = files_touched(ls, box)
+    assert l_touch == 16
+    assert z_touch <= 8
+    # and the layout still prunes the OTHER dimension too (the point of
+    # interleaving over single-column sorting):
+    assert files_touched(zs, {"x": (0.0, 3.9)}) <= 8
+
+
+def test_cluster_write_roundtrip_and_pushdown(spark, _grid_layouts):
+    """The clustered write preserves the data exactly (the key column is
+    layout-only) and a box filter reaches the parquet scan as PushedFilters
+    — Spark's row-group-level pruning inside each surviving file."""
+    zpath, _ = _grid_layouts
+    back = spark.read.parquet(zpath)
+    assert back.count() == 64 * 64
+    assert set(back.columns) == {"x", "y", "payload"}
+    filtered = back.filter((F.col("x") < 4.0) & (F.col("y") < 4.0))
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "LessThan(x,4.0)" in plan
+    assert filtered.count() == 16
