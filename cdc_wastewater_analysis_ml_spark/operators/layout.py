@@ -30,6 +30,7 @@ __all__ = [
     "cluster_write",
     "file_minmax_stats",
     "files_touched",
+    "compact_small_files",
 ]
 
 
@@ -180,6 +181,50 @@ def file_minmax_stats(
         aggs.append(F.min(c).alias(f"{c}_min"))
         aggs.append(F.max(c).alias(f"{c}_max"))
     return df.groupBy("__file").agg(*aggs)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_mb: int = 128,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet directory into ≤ ``ceil(total_bytes/target)`` files
+    of roughly ``target_mb`` each; returns the output file count.
+
+    Why an operator: incremental ingest (streaming sinks, CDC micro-batches,
+    per-delta dedup outputs) accretes thousands of KB-sized files, and at
+    100 TB the scan's task-scheduling overhead and the namenode/listing cost
+    come to dominate actual I/O — periodic compaction is the standard
+    counter-move (Delta OPTIMIZE / Iceberg rewrite_data_files; here for
+    plain parquet directories).
+
+    Sizing reads the filesystem METADATA (O(files), driver-side by design —
+    the same listing any scan does), never the data; the rewrite is one
+    ``repartition``-and-write pass.  ``sort_cols`` re-sorts while
+    compacting (``repartitionByRange`` + in-partition sort), folding a
+    clustering pass into the rewrite for free.  Writes to ``out_path`` —
+    atomically swapping directories is the caller's (or table format's)
+    job; compact-in-place on a live directory is how readers see partial
+    data.
+    """
+    if target_mb < 1:
+        raise ValueError("target_mb must be >= 1")
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(jpath).getLength()
+    n_out = max(1, -(-total // (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if sort_cols:
+        shaped = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        shaped = df.repartition(n_out)
+    shaped.write.mode("overwrite").parquet(out_path)
+    return int(n_out)
 
 
 def files_touched(

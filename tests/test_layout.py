@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from cdc_wastewater_analysis_ml_spark.operators.layout import (
     cluster_write,
+    compact_small_files,
     file_minmax_stats,
     files_touched,
     zorder_key,
@@ -151,3 +152,40 @@ def test_cluster_write_roundtrip_and_pushdown(spark, _grid_layouts):
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "LessThan(x,4.0)" in plan
     assert filtered.count() == 16
+
+
+def _part_files(path) -> list[str]:
+    import os
+
+    return [f for f in os.listdir(path) if f.startswith("part-")]
+
+
+def test_compact_small_files_collapses_fragments(spark, tmp_path):
+    """64 KB-sized fragments → one target-sized file; data intact."""
+    src = str(tmp_path / "frag")
+    out = str(tmp_path / "compact")
+    spark.range(10_000).repartition(64).write.parquet(src)
+    assert len(_part_files(src)) == 64
+    n_out = compact_small_files(spark, src, out, target_mb=128)
+    assert n_out == 1
+    assert len(_part_files(out)) == 1
+    assert spark.read.parquet(out).count() == 10_000
+
+
+def test_compact_small_files_respects_target_size(spark, tmp_path):
+    """High-entropy payload big enough to need several target-size files:
+    the sizing math must split, and a sort_cols compaction leaves per-file
+    ranges disjoint (clustering folded into the rewrite)."""
+    src = str(tmp_path / "frag2")
+    out = str(tmp_path / "compact2")
+    spark.range(200_000).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("payload")
+    ).repartition(32).write.parquet(src)
+    n_out = compact_small_files(spark, src, out, target_mb=1, sort_cols=["id"])
+    assert n_out >= 2
+    assert len(_part_files(out)) == n_out
+    stats = file_minmax_stats(spark, out, ["id"]).collect()
+    assert sum(r.rows for r in stats) == 200_000
+    spans = sorted((r["id_min"], r["id_max"]) for r in stats)
+    for (_, prev_max), (nxt_min, _) in zip(spans, spans[1:]):
+        assert prev_max < nxt_min  # disjoint sorted ranges across files

@@ -70,3 +70,29 @@ def test_runtime_bloom_filter_injected_on_shuffle_join(
     )
     # and it still computes the right thing (20 dim keys × 50 fact rows each)
     assert joined.count() == 1000
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Hive-partitioned fact ⋈ (dim WHERE selective): the fact scan's
+    PartitionFilters must carry a dynamicpruning subquery — partitions whose
+    keys the filtered dim cannot match are never listed or read.  This is
+    the partition-level complement of the bloom filter's row-level
+    reduction, and the reason the shard/IVF layouts write hive-partitioned
+    directories."""
+    fact_path = str(tmp_path / "pfact")
+    spark.range(20_000).select(
+        (F.col("id") % 20).alias("pt"), F.col("id").alias("payload")
+    ).write.partitionBy("pt").parquet(fact_path)
+
+    fact = spark.read.parquet(fact_path)
+    dim = spark.range(20).select(
+        F.col("id").alias("pt"), (F.col("id") % 10).alias("grp")
+    ).filter(F.col("grp") == 3)  # keeps pt ∈ {3, 13}
+    joined = fact.join(dim, "pt")
+
+    physical = joined._jdf.queryExecution().executedPlan().toString().lower()
+    assert "dynamicpruning" in physical, (
+        "dynamic partition pruning was not planned — check "
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+    )
+    assert joined.count() == 2000
