@@ -154,6 +154,10 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # tests/test_layout.py).
     "operators/layout.py": 8,
     "plans/registry_layout.py": 8,
+    # r8 session 2 NEW module: CCNet-style line-level dedup (hot-line
+    # removal + occurrence diagnostic).
+    "operators/lines.py": 8,
+    "plans/registry_lines.py": 8,
 }
 # r6 onward: registration is MECHANICAL (VERDICT r5 task 3) — every .py
 # under the package touched since the previous round's driver commit MUST
@@ -297,6 +301,8 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
     ),
     "operators/layout.py": ("layout_zorder_key",),
     "plans/registry_layout.py": ("layout_zorder_key",),
+    "operators/lines.py": ("corpus_line_dedup", "corpus_hot_lines"),
+    "plans/registry_lines.py": ("corpus_line_dedup", "corpus_hot_lines"),
     "session.py": (),
     "operators/multimodal.py": (),
     "plans/registry_ext.py": (

@@ -792,3 +792,4 @@ from . import registry_stream_ext  # noqa: E402,F401  (intentional tail import)
 from . import registry_quality  # noqa: E402,F401  (intentional tail import)
 from . import registry_analytic  # noqa: E402,F401  (intentional tail import)
 from . import registry_layout  # noqa: E402,F401  (intentional tail import)
+from . import registry_lines  # noqa: E402,F401  (intentional tail import)

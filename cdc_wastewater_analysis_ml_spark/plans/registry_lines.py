@@ -1,0 +1,112 @@
+"""Registry part 11 (r8): line-level dedup queries (operators/lines.py).
+
+The documents fixture is one line per doc with no repeated text at sf0.01,
+so — following the ``corpus_pii_redact`` injection precedent — both engines
+construct the SAME multi-line corpus by wrapping every document in site
+boilerplate (a banner line, a blank line, a footer line).  The banner and
+footer then occur once per document (corpus-hot, must be stripped), the
+blank line is equally hot but exempted by the ``min_chars`` floor, and the
+document body is unique (must survive, byte-identical, via the
+pos-sorted reassembly).  This makes the gate exercise every branch of the
+operator rather than hash-matching a vacuous pass-through.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import lines as LN
+from ..sources import fan_out, load_table
+from .registry import register
+
+_BANNER = "accept cookies to continue reading this site"
+_FOOTER = "copyright example corp all rights reserved"
+
+#: Same string both engines: banner \n blank \n body \n footer.
+_LINED_CTE = (
+    "WITH base AS (SELECT doc_id, "
+    f"'{_BANNER}' || chr(10) || '' || chr(10) || text || chr(10) || "
+    f"'{_FOOTER}' AS text FROM documents) "
+)
+
+
+def _lined_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.lit(_BANNER), F.lit(""), F.col("text"), F.lit(_FOOTER)
+        ).alias("text"),
+    )
+
+
+@register(
+    "corpus_line_dedup",
+    _LINED_CTE
+    + """
+    , l AS (
+      SELECT doc_id, u.line, u.pos
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM base) d,
+           LATERAL (SELECT unnest(parts) AS line,
+                           generate_subscripts(parts, 1) AS pos) u
+    ), hot AS (
+      SELECT line FROM l WHERE length(line) >= 1
+      GROUP BY line HAVING count(*) > 2
+    ), kept AS (
+      SELECT doc_id, pos, line FROM l ANTI JOIN hot USING (line)
+    ), agg AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+             count(*) AS lines_kept
+      FROM kept GROUP BY doc_id
+    ), tot AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id)
+    SELECT t.doc_id,
+           coalesce(a.text_clean, '') AS text_clean,
+           CAST(coalesce(a.lines_kept, 0) AS BIGINT) AS lines_kept,
+           CAST(t.n_lines - coalesce(a.lines_kept, 0) AS BIGINT)
+             AS lines_removed
+    FROM tot t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style hot-line removal over the boilerplate-wrapped corpus:
+    banner/footer lines (one per doc, corpus-hot) are stripped, the blank
+    separator survives via the ``min_chars=1`` exemption, and each unique
+    body line survives byte-identically through the pos-ordered
+    reassembly.  Counting shuffles (digest, count) pairs, never line text;
+    the hot set is two digests — broadcast-sized by construction."""
+    return LN.remove_hot_lines(
+        _lined_docs(spark, sf_dir),
+        text_col="text",
+        id_col="doc_id",
+        max_occurrences=2,
+        min_chars=1,
+    )
+
+
+@register(
+    "corpus_hot_lines",
+    _LINED_CTE
+    + """
+    SELECT line,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+          FROM base) l
+    GROUP BY line HAVING count(*) > 2
+    """,
+)
+def q_corpus_hot_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boilerplate head of the line-occurrence distribution (the
+    diagnostic run before choosing a removal threshold): exactly the
+    injected banner, blank, and footer lines at one occurrence per doc.
+    No top-k LIMIT — the threshold predicate alone keeps the result set
+    deterministic (a LIMIT would tie-break at the boundary)."""
+    counts = LN.line_occurrence_counts(
+        _lined_docs(spark, sf_dir), text_col="text", id_col="doc_id"
+    )
+    return counts.filter(F.col("n_occurrences") > 2).select(
+        "line",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+    )

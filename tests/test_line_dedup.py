@@ -1,0 +1,116 @@
+"""Line-level dedup semantics (operators/lines.py) on crafted corpora —
+the registry gate checks engine parity on the wrapped fixture; these pin
+the contract edges a value hash can't isolate.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_wastewater_analysis_ml_spark.operators.lines import (
+    line_occurrence_counts,
+    remove_hot_lines,
+)
+
+
+def _corpus(spark, docs: dict[int, str]):
+    return spark.createDataFrame(
+        [(k, v) for k, v in docs.items()], "doc_id long, text string"
+    )
+
+
+def test_threshold_is_strictly_greater(spark):
+    """A line at EXACTLY max_occurrences survives; one above it is removed
+    everywhere it appears."""
+    df = _corpus(
+        spark,
+        {
+            1: "twice\nunique one",
+            2: "twice\nthrice",
+            3: "thrice\nunique three",
+            4: "thrice",
+        },
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_hot_lines(df, max_occurrences=2).collect()
+    }
+    assert out[1].text_clean == "twice\nunique one"
+    assert out[2].text_clean == "twice"  # 'thrice' (3 > 2) stripped
+    assert out[3].text_clean == "unique three"
+    assert out[4].text_clean == "" and out[4].lines_kept == 0
+    assert out[4].lines_removed == 1
+
+
+def test_occurrences_count_corpus_wide_including_within_doc(spark):
+    """Two occurrences inside ONE doc plus one elsewhere = 3 total: hot at
+    max_occurrences=2 even though only two documents carry the line."""
+    df = _corpus(spark, {1: "dup\nmiddle\ndup", 2: "dup\nother"})
+    out = {
+        r.doc_id: r
+        for r in remove_hot_lines(df, max_occurrences=2).collect()
+    }
+    assert out[1].text_clean == "middle" and out[1].lines_removed == 2
+    assert out[2].text_clean == "other"
+    counts = {
+        r.line: (r.n_docs, r.n_occurrences)
+        for r in line_occurrence_counts(df).collect()
+    }
+    assert counts["dup"] == (2, 3)  # n_docs vs n_occurrences distinction
+
+
+def test_min_chars_exempts_short_lines(spark):
+    """Blank/short lines repeat everywhere by nature; with a length floor
+    they are never counted as hot, without one they are."""
+    docs = {i: f"ab\n\nbody {i}" for i in range(5)}
+    df = _corpus(spark, docs)
+    floored = {
+        r.doc_id: r.text_clean
+        for r in remove_hot_lines(df, max_occurrences=2, min_chars=3).collect()
+    }
+    assert floored[0] == "ab\n\nbody 0"  # 'ab' and '' both exempt
+    raw = {
+        r.doc_id: r.text_clean
+        for r in remove_hot_lines(df, max_occurrences=2, min_chars=0).collect()
+    }
+    assert raw[0] == "body 0"  # both stripped as hot
+
+
+def test_order_preserved_across_interleaved_removals(spark):
+    """Surviving lines must come back in original order even when removals
+    interleave them (reassembly sorts by the original position)."""
+    hot = "hot"
+    docs = {1: f"a\n{hot}\nb\n{hot}\nc", 2: hot, 3: hot}
+    df = _corpus(spark, docs)
+    out = {
+        r.doc_id: r
+        for r in remove_hot_lines(df, max_occurrences=2).collect()
+    }
+    assert out[1].text_clean == "a\nb\nc"
+    assert out[1].lines_kept == 3 and out[1].lines_removed == 2
+    assert df.count() == 3  # input untouched
+
+
+def test_validation_and_plan_shape(spark):
+    df = _corpus(spark, {1: "x"})
+    with pytest.raises(ValueError, match="max_occurrences"):
+        remove_hot_lines(df, max_occurrences=0)
+    plan = (
+        remove_hot_lines(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_every_input_doc_keeps_a_row(spark):
+    """Even a fully-boilerplate document must come back (as an empty
+    string), or downstream joins silently drop corpus rows."""
+    docs = {i: "only boilerplate" for i in range(4)}
+    docs[99] = "real content"
+    out = remove_hot_lines(_corpus(spark, docs), max_occurrences=2)
+    assert out.count() == 5
+    empties = out.filter(F.col("text_clean") == "").count()
+    assert empties == 4
