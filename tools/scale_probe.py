@@ -56,6 +56,11 @@ DEFAULT_QUERIES = [
     "dedup_incremental_near",
     # r8: multi-table OR-amplified RHP-LSH (the repaired ANN-LSH knob).
     "sim_cosine_lsh_multi",
+    # r8 session 2: CCNet line-level dedup — the digest-keyed count +
+    # broadcast-anti-join + pos-sorted reassembly pipeline; probed because
+    # the reassembly shuffle is the only corpus-sized exchange and must
+    # stay the only one.
+    "corpus_line_dedup",
 ]
 
 SF01 = "/root/testdata/sf0.1"
