@@ -301,8 +301,18 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
     ),
     "operators/layout.py": ("layout_zorder_key",),
     "plans/registry_layout.py": ("layout_zorder_key",),
-    "operators/lines.py": ("corpus_line_dedup", "corpus_hot_lines"),
-    "plans/registry_lines.py": ("corpus_line_dedup", "corpus_hot_lines"),
+    "operators/lines.py": (
+        "corpus_line_dedup",
+        "corpus_hot_lines",
+        "corpus_line_dedup_incremental",
+        "corpus_line_store_merge",
+    ),
+    "plans/registry_lines.py": (
+        "corpus_line_dedup",
+        "corpus_hot_lines",
+        "corpus_line_dedup_incremental",
+        "corpus_line_store_merge",
+    ),
     "session.py": (),
     "operators/multimodal.py": (),
     "plans/registry_ext.py": (

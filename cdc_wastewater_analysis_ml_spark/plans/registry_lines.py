@@ -110,3 +110,114 @@ def q_corpus_hot_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").cast("long").alias("n_docs"),
         F.col("n_occurrences").cast("long").alias("n_occurrences"),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental ingest: clean a delta against the historical line store
+# ---------------------------------------------------------------------------
+
+#: Delta derivation shared with the document-dedup incremental family
+#: (registry_scale._incremental_near_sql newb CTE): near-dup re-crawls +
+#: genuinely novel docs, wrapped in the same boilerplate as the store.
+_DELTA_LINED_CTE = (
+    _LINED_CTE
+    + f""", delta0 AS (
+      SELECT doc_id + 10000000000 AS doc_id,
+             concat(text, ' near dup tail') AS text
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 20000000000 AS doc_id,
+             concat('novel ', CAST(doc_id AS VARCHAR),
+                    ' content unlike anything stored before now') AS text
+      FROM documents WHERE doc_id % 5 = 1
+    ), delta AS (
+      SELECT doc_id, '{_BANNER}' || chr(10) || '' || chr(10) || text ||
+             chr(10) || '{_FOOTER}' AS text FROM delta0
+    ) """
+)
+
+
+def _lined_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry_stream_ext import _delta_docs
+
+    d = _delta_docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.lit(_BANNER), F.lit(""), F.col("text"), F.lit(_FOOTER)
+        ).alias("text"),
+    )
+
+
+@register(
+    "corpus_line_dedup_incremental",
+    _DELTA_LINED_CTE
+    + """
+    , sc AS (
+      SELECT line, count(*) AS n
+      FROM (SELECT unnest(string_split(text, chr(10))) AS line FROM base) s
+      GROUP BY line
+    ), dl AS (
+      SELECT doc_id, u.line, u.pos
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM delta) d,
+           LATERAL (SELECT unnest(parts) AS line,
+                           generate_subscripts(parts, 1) AS pos) u
+    ), dc AS (
+      SELECT line, count(*) AS nd FROM dl WHERE length(line) >= 1
+      GROUP BY line
+    ), hot AS (
+      SELECT dc.line FROM dc LEFT JOIN sc USING (line)
+      WHERE dc.nd + coalesce(sc.n, 0) > 2
+    ), kept AS (
+      SELECT doc_id, pos, line FROM dl ANTI JOIN hot USING (line)
+    ), agg AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+             count(*) AS lines_kept
+      FROM kept GROUP BY doc_id
+    ), tot AS (SELECT doc_id, count(*) AS n_lines FROM dl GROUP BY doc_id)
+    SELECT t.doc_id,
+           coalesce(a.text_clean, '') AS text_clean,
+           CAST(coalesce(a.lines_kept, 0) AS BIGINT) AS lines_kept,
+           CAST(t.n_lines - coalesce(a.lines_kept, 0) AS BIGINT)
+             AS lines_removed
+    FROM tot t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_corpus_line_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest line cleaning: the delta (near-dup re-crawls + novel
+    docs, boilerplate-wrapped like the store) is cleaned against
+    store+delta occurrence counts — banner/footer are hot purely from the
+    STORE side (one delta occurrence suffices to strip them), the blank
+    separator stays exempt, and each unique body survives byte-exact.
+    The store side joins only against the delta's distinct-line digests,
+    so a 100 TB store never shuffles more than the delta vocabulary."""
+    store = LN.build_line_store(_lined_docs(spark, sf_dir))
+    return LN.remove_hot_lines_vs_store(
+        _lined_delta(spark, sf_dir),
+        store,
+        max_occurrences=2,
+        min_chars=1,
+    )
+
+
+@register(
+    "corpus_line_store_merge",
+    _DELTA_LINED_CTE
+    + """
+    SELECT md5(line) AS line_dig, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT unnest(string_split(text, chr(10))) AS line FROM base
+      UNION ALL
+      SELECT unnest(string_split(text, chr(10))) AS line FROM delta
+    ) l
+    GROUP BY md5(line)
+    """,
+)
+def q_corpus_line_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store evolution after an ingest: the delta's counts folded into the
+    historical digest store (union of two pre-aggregated relations,
+    re-summed on the 16-byte key — never touches line text).  Equals a
+    from-scratch count of store ∪ delta, which is exactly what the oracle
+    computes."""
+    store = LN.build_line_store(_lined_docs(spark, sf_dir))
+    return LN.merge_line_counts(store, _lined_delta(spark, sf_dir))

@@ -9,8 +9,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from cdc_wastewater_analysis_ml_spark.operators.lines import (
+    build_line_store,
     line_occurrence_counts,
+    merge_line_counts,
     remove_hot_lines,
+    remove_hot_lines_vs_store,
 )
 
 
@@ -103,6 +106,59 @@ def test_validation_and_plan_shape(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_vs_store_counts_combine_store_and_delta(spark):
+    """Hotness on the ingest path = delta-internal + store occurrences:
+    a line the store already knows 3× is stripped from its FIRST delta
+    occurrence; store 1 + delta 1 = 2 stays (threshold is strict >)."""
+    store = build_line_store(
+        _corpus(spark, {1: "known\nknown", 2: "known\nborder"})
+    )
+    delta = _corpus(spark, {10: "known\nborder\nfresh"})
+    out = remove_hot_lines_vs_store(delta, store, max_occurrences=2).collect()
+    assert out[0].text_clean == "border\nfresh"  # known: 3+1>2; border: 1+1=2
+    assert out[0].lines_removed == 1
+
+
+def test_vs_store_catches_delta_internal_flood(spark):
+    """A brand-new banner flooding a single delta is hot WITHOUT any store
+    evidence — delta-internal counts alone cross the threshold."""
+    store = build_line_store(_corpus(spark, {1: "old content"}))
+    delta = _corpus(
+        spark, {10: "new banner\nbody a", 11: "new banner\nbody b",
+                12: "new banner\nbody c"}
+    )
+    out = {
+        r.doc_id: r.text_clean
+        for r in remove_hot_lines_vs_store(
+            delta, store, max_occurrences=2
+        ).collect()
+    }
+    assert out == {10: "body a", 11: "body b", 12: "body c"}
+
+
+def test_vs_store_min_chars_exemption(spark):
+    store = build_line_store(_corpus(spark, {1: "ab\nab\nab"}))
+    delta = _corpus(spark, {10: "ab\nreal body"})
+    out = remove_hot_lines_vs_store(
+        delta, store, max_occurrences=2, min_chars=3
+    ).collect()
+    assert out[0].text_clean == "ab\nreal body"  # short line exempt
+
+
+def test_merge_line_counts_equals_from_scratch(spark):
+    """Incremental store evolution must converge to the batch count: store
+    built on corpus A then merged with delta B == store built on A ∪ B."""
+    a = _corpus(spark, {1: "x\ny", 2: "x\nz"})
+    b = _corpus(spark, {10: "x\nw", 11: "y"})
+    both = a.unionByName(b)
+    merged = {
+        r.line_dig: r.n
+        for r in merge_line_counts(build_line_store(a), b).collect()
+    }
+    scratch = {r.line_dig: r.n for r in build_line_store(both).collect()}
+    assert merged == scratch
 
 
 def test_every_input_doc_keeps_a_row(spark):

@@ -96,3 +96,62 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
         "spark.sql.optimizer.dynamicPartitionPruning.enabled"
     )
     assert joined.count() == 2000
+
+
+@pytest.fixture()
+def _skew_confs(spark):
+    """Shrink the skew thresholds so a local fixture qualifies (production
+    defaults are 256 MB partitions); forbid broadcast so the join actually
+    shuffles.  Restored afterwards."""
+    keys = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
+    yield
+    for k, v in saved.items():
+        spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partitions(spark, _skew_confs):
+    """One hot key owning ~90% of the fact side: AQE must re-plan the sort
+    merge join with the skewed partition SPLIT (skew=true in the final
+    adaptive plan) instead of letting one task carry the hot key — the
+    engine-level backstop behind the explicit join_salted operator.
+
+    Two traps this fixture had to dodge, both worth remembering:
+    - the aggregate is GLOBAL, not a groupBy on the join key —
+      OptimizeSkewedJoin bails out when a downstream operator would reuse
+      the join's hash partitioning (splitting would force a new shuffle);
+    - the high-entropy payload must SURVIVE the shuffle (min(pay) keeps it
+      alive past column pruning): skew detection reads COMPRESSED map
+      output sizes, and a hot partition of 500k identical 8-byte keys
+      compresses below any threshold — the same compressed-stats
+      deception behind the engine's 4 MB broadcast caps.
+    """
+    hot = spark.range(500_000).select(
+        F.lit(0).alias("k"), F.md5(F.col("id").cast("string")).alias("pay")
+    )
+    tail = spark.range(50_000).select(
+        (F.col("id") % 100 + 1).alias("k"),
+        F.md5((F.col("id") + 7).cast("string")).alias("pay"),
+    )
+    fact = hot.unionAll(tail)
+    dim = spark.range(101).select(F.col("id").alias("k"), F.col("id").alias("attr"))
+    joined = fact.join(dim, "k").agg(
+        F.min("pay").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    joined.collect()  # AQE finalizes the plan only on execution
+    final = joined._jdf.queryExecution().executedPlan().toString().lower()
+    assert "isfinalplan=true" in final
+    assert "skew=true" in final, (
+        "AQE did not split the skewed partition — check "
+        "spark.sql.adaptive.skewJoin.* confs"
+    )
+    assert joined.collect()[0].n == 550_000
