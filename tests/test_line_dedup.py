@@ -161,6 +161,19 @@ def test_merge_line_counts_equals_from_scratch(spark):
     assert merged == scratch
 
 
+def test_hot_set_anti_join_broadcasts(spark):
+    """The removal anti-join's build side is the hot digest set — the tiny
+    head of the line distribution.  AQE must plan it as a BROADCAST anti
+    join (the corpus-sized exploded side never shuffles for the removal);
+    this is the plan shape the 100× probe exponent (0.234) rests on."""
+    docs = {i: f"boilerplate banner\nunique body {i}" for i in range(200)}
+    out = remove_hot_lines(_corpus(spark, docs), max_occurrences=2)
+    out.collect()  # AQE finalizes on execution
+    plan = out._jdf.queryExecution().executedPlan().toString().lower()
+    assert "isfinalplan=true" in plan
+    assert "broadcasthashjoin" in plan and "leftanti" in plan, plan[:2000]
+
+
 def test_every_input_doc_keeps_a_row(spark):
     """Even a fully-boilerplate document must come back (as an empty
     string), or downstream joins silently drop corpus rows."""
