@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from ..operators import lines as LN
 from ..sources import fan_out, load_table
 from .registry import register
+from .registry_ext import _AUG_OFFSET, _NOVEL_OFFSET
 
 _BANNER = "accept cookies to continue reading this site"
 _FOOTER = "copyright example corp all rights reserved"
@@ -122,11 +123,11 @@ def q_corpus_hot_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DELTA_LINED_CTE = (
     _LINED_CTE
     + f""", delta0 AS (
-      SELECT doc_id + 10000000000 AS doc_id,
+      SELECT doc_id + {_AUG_OFFSET} AS doc_id,
              concat(text, ' near dup tail') AS text
       FROM documents WHERE doc_id % 5 = 0
       UNION ALL
-      SELECT doc_id + 20000000000 AS doc_id,
+      SELECT doc_id + {_NOVEL_OFFSET} AS doc_id,
              concat('novel ', CAST(doc_id AS VARCHAR),
                     ' content unlike anything stored before now') AS text
       FROM documents WHERE doc_id % 5 = 1
