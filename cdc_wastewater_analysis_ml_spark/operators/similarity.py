@@ -481,6 +481,10 @@ def _probe_keys(key: Column, band_bits: int, multiprobe: int) -> Column:
     query-side multiprobe: neighbor collision probability rises by the full
     binomial Hamming-1 term while random collisions only gain
     (1+b)/2^b, so recall climbs much faster than candidate cost."""
+    if multiprobe > 1:
+        # Hamming-≥2 probing is quadratic in band_bits and unimplemented;
+        # failing loudly beats silently probing a smaller radius than asked.
+        raise ValueError("multiprobe > 1 (Hamming-≥2) is not implemented")
     keys = [key]
     if multiprobe >= 1:
         for i in range(1, band_bits + 1):

@@ -109,3 +109,18 @@ def test_lsh_multi_multiprobe_widens_candidates(spark, sf_small):
     s0 = {(r["query_id"], r["neighbor_id"]) for r in c0.collect()}
     s1 = {(r["query_id"], r["neighbor_id"]) for r in c1.collect()}
     assert s0 <= s1 and len(s1) > len(s0)
+
+
+def test_lsh_multi_rejects_unimplemented_probe_radius(spark, sf_small):
+    """multiprobe > 1 (Hamming-≥2) is unimplemented: asking for it must
+    fail loudly, not silently probe a smaller radius than requested."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from cdc_wastewater_analysis_ml_spark.operators import similarity as SIM
+    from cdc_wastewater_analysis_ml_spark.sources import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    q = emb.filter(F.col("vec_id") < 2)
+    with _pytest.raises(ValueError, match="multiprobe"):
+        SIM.lsh_multi_scored(q, emb, bands=4, band_bits=6, multiprobe=2)
