@@ -189,6 +189,7 @@ def compact_small_files(
     out_path: str,
     target_mb: int = 128,
     sort_cols: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Rewrite a parquet directory into ≤ ``ceil(total_bytes/target)`` files
     of roughly ``target_mb`` each; returns the output file count.
@@ -208,6 +209,12 @@ def compact_small_files(
     atomically swapping directories is the caller's (or table format's)
     job; compact-in-place on a live directory is how readers see partial
     data.
+
+    Compacting a hive-partitioned directory REQUIRES ``partition_by``
+    (the reader surfaces partition values as ordinary columns, so an
+    unpartitioned rewrite would silently flatten the layout and break
+    every downstream partition-pruned scan); ``n_out`` then applies per
+    written partition directory.
     """
     if target_mb < 1:
         raise ValueError("target_mb must be >= 1")
@@ -221,9 +228,17 @@ def compact_small_files(
         shaped = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
             *sort_cols
         )
+    elif partition_by:
+        # one file per (output slot, partition value): cluster rows of the
+        # same partition value together so each hive directory gets ~n_out
+        # files, not n_out fragments per in-memory partition
+        shaped = df.repartition(n_out, *partition_by)
     else:
         shaped = df.repartition(n_out)
-    shaped.write.mode("overwrite").parquet(out_path)
+    writer = shaped.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(out_path)
     return int(n_out)
 
 

@@ -172,6 +172,32 @@ def test_compact_small_files_collapses_fragments(spark, tmp_path):
     assert spark.read.parquet(out).count() == 10_000
 
 
+def test_compact_small_files_preserves_hive_partitions(spark, tmp_path):
+    """Compacting a hive-partitioned directory with partition_by keeps the
+    pt=K/ layout (an unpartitioned rewrite would silently flatten it and
+    break downstream partition pruning)."""
+    import os
+
+    src = str(tmp_path / "pfrag")
+    out = str(tmp_path / "pcompact")
+    (
+        spark.range(8_000)
+        .select((F.col("id") % 4).alias("pt"), F.col("id").alias("v"))
+        .repartition(16)
+        .write.partitionBy("pt")
+        .parquet(src)
+    )
+    assert len(_part_files(os.path.join(src, "pt=0"))) >= 8
+    compact_small_files(spark, src, out, target_mb=512, partition_by=["pt"])
+    pdirs = sorted(d for d in os.listdir(out) if d.startswith("pt="))
+    assert pdirs == ["pt=0", "pt=1", "pt=2", "pt=3"]
+    for d in pdirs:
+        assert len(_part_files(os.path.join(out, d))) == 1
+    back = spark.read.parquet(out)
+    assert back.count() == 8_000
+    assert back.filter(F.col("pt") == 2).count() == 2_000
+
+
 def test_compact_small_files_respects_target_size(spark, tmp_path):
     """High-entropy payload big enough to need several target-size files:
     the sizing math must split, and a sort_cols compaction leaves per-file
