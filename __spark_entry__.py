@@ -148,16 +148,34 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # r8: registry.py diff is the registry_analytic tail import ONLY —
     # empty AST-affected query set, file-granularity listing per the rule.
     "plans/registry.py": 8,
-    # r8 session 2 NEW module: Z-order clustering key + clustered write +
-    # file min/max manifest (consumers = the one new key-computation query;
-    # the write/prune halves are value-free layout effects, gated by
-    # tests/test_layout.py).
-    "operators/layout.py": 8,
-    "plans/registry_layout.py": 8,
-    # r8 session 2 NEW module: CCNet-style line-level dedup (hot-line
-    # removal + occurrence diagnostic).
-    "operators/lines.py": 8,
-    "plans/registry_lines.py": 8,
+    # r9: _bucket clamps the LOW end too (r8 ADVICE #1 — out-of-domain
+    # values under caller-supplied ranges no longer sign-extend garbage
+    # into the Z-key; vacuous under the registry query's global-min path
+    # but the key expression changed), compact_small_files gets the
+    # sort_cols×partition_by range-key fix + salt-split sizing + the
+    # Connect-safe _dir_bytes fallback (r8 VERDICT task 3 / ADVICE #2-#3;
+    # write-path only, no registry consumer).
+    "operators/layout.py": 9,
+    # r9: _bucket_sql mirrors the greatest(…, 0) clamp term for term.
+    "plans/registry_layout.py": 9,
+    # r9: build_line_store/merge_line_counts drop the never-used id_col
+    # parameter (r8 ADVICE #4 — occurrence-based counts need no document
+    # identity; no in-repo caller passed it, so results are byte-identical).
+    # Call-path granularity per the r8 dedup.py precedent: the two changed
+    # functions are reached only by the incremental/merge queries —
+    # corpus_line_dedup (remove_hot_lines) and corpus_hot_lines
+    # (line_occurrence_counts) route through untouched functions and keep
+    # their r8 rows.
+    "operators/lines.py": 9,
+    # r9: the incremental-clean oracle SQL moves into the shared
+    # _INCR_CLEAN_SQL constant (byte-identical text; the @register call
+    # expression changed, so the block counts as AST-affected) and the new
+    # stream_line_dedup block lands (r8 VERDICT task 4).
+    "plans/registry_lines.py": 9,
+    # r9 NEW module: foreachBatch streaming twin of the line-dedup ingest
+    # (clean-vs-static-store per micro-batch + per-batch counts side-output
+    # for the order-independent store refresh).
+    "streaming/lines.py": 9,
 }
 # r6 onward: registration is MECHANICAL (VERDICT r5 task 3) — every .py
 # under the package touched since the previous round's driver commit MUST
@@ -301,18 +319,19 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
     ),
     "operators/layout.py": ("layout_zorder_key",),
     "plans/registry_layout.py": ("layout_zorder_key",),
+    # r9 diff = build_line_store/merge_line_counts signatures only (id_col
+    # dropped): consumers = the queries routing through those functions.
     "operators/lines.py": (
-        "corpus_line_dedup",
-        "corpus_hot_lines",
         "corpus_line_dedup_incremental",
         "corpus_line_store_merge",
     ),
+    # r9 AST-affected blocks: corpus_line_dedup_incremental (oracle SQL
+    # extracted to the shared constant) + the new stream_line_dedup.
     "plans/registry_lines.py": (
-        "corpus_line_dedup",
-        "corpus_hot_lines",
         "corpus_line_dedup_incremental",
-        "corpus_line_store_merge",
+        "stream_line_dedup",
     ),
+    "streaming/lines.py": ("stream_line_dedup",),
     "session.py": (),
     "operators/multimodal.py": (),
     "plans/registry_ext.py": (

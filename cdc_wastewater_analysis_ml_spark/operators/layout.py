@@ -22,6 +22,8 @@ that any clustered write needs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -36,20 +38,25 @@ __all__ = [
 
 def _bucket(col: Column, cmin: Column, cmax: Column, cells: int) -> Column:
     """Width-bucket ``col`` into ``[0, cells)`` over the ``[cmin, cmax]``
-    range: ``floor((v - min) * cells / span)`` clamped to the top cell (the
-    max value itself lands in cells-1) and to 0 for a degenerate span.
-    Nulls map to cell 0 (they sort first, same as a null-first sort key).
-    The arithmetic order — subtract, multiply, divide — is pinned because
-    the DuckDB oracle mirrors it term for term (IEEE doubles agree across
-    engines only for identically-ordered operations).
+    range: ``floor((v - min) * cells / span)`` clamped at BOTH ends — the
+    max value itself lands in cells-1, anything below the declared min in
+    cell 0 (with caller-supplied ``ranges`` an out-of-domain value yields a
+    negative raw bucket, and shiftright on a negative long sign-extends, so
+    an unclamped low end would OR garbage high bits into the Z-key) — and
+    to 0 for a degenerate span.  Nulls map to cell 0 (they sort first, same
+    as a null-first sort key).  The arithmetic order — subtract, multiply,
+    divide — is pinned because the DuckDB oracle mirrors it term for term
+    (IEEE doubles agree across engines only for identically-ordered
+    operations).
     """
     span = cmax - cmin
     raw = F.floor((col.cast("double") - cmin) * F.lit(float(cells)) / span)
-    # Null guard must come BEFORE the clamp: F.least SKIPS nulls (it returns
-    # the smallest non-null operand), so least(null_raw, cells-1) would send
-    # null values to the TOP cell instead of cell 0.
+    # Null guard must come BEFORE the clamp: F.least/F.greatest SKIP nulls
+    # (they return the extreme of the non-null operands), so
+    # least(null_raw, cells-1) would send null values to the TOP cell
+    # instead of cell 0.
     cell = F.when(col.isNull() | (span <= F.lit(0.0)), F.lit(0)).otherwise(
-        F.least(raw, F.lit(cells - 1))
+        F.least(F.greatest(raw, F.lit(0)), F.lit(cells - 1))
     )
     return cell.cast("long")
 
@@ -183,6 +190,35 @@ def file_minmax_stats(
     return df.groupBy("__file").agg(*aggs)
 
 
+def _dir_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes under ``path`` from filesystem METADATA (O(files),
+    driver-side by design — the same listing any scan does).  Prefers the
+    JVM Hadoop FileSystem (works for any hadoop-supported scheme); under
+    Spark Connect there is no ``_jvm`` gateway, so degrade to best-effort
+    local ``os.walk`` sizing for ``file://`` / bare paths (mirroring the
+    release_local_checkpoint best-effort pattern)."""
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return int(fs.getContentSummary(jpath).getLength())
+    except Exception:
+        local = path[len("file://"):] if path.startswith("file://") else path
+        if not os.path.isdir(local):
+            raise ValueError(
+                f"cannot size {path!r}: no JVM filesystem gateway (Spark "
+                "Connect?) and the path is not a local directory"
+            )
+        # skip dotfiles: the Hadoop ChecksumFileSystem hides its .crc
+        # sidecars from listings, so getContentSummary never counts them
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _dirs, files in os.walk(local)
+            for f in files
+            if not f.startswith(".")
+        )
+
+
 def compact_small_files(
     spark: SparkSession,
     path: str,
@@ -191,8 +227,9 @@ def compact_small_files(
     sort_cols: list[str] | None = None,
     partition_by: list[str] | None = None,
 ) -> int:
-    """Rewrite a parquet directory into ≤ ``ceil(total_bytes/target)`` files
-    of roughly ``target_mb`` each; returns the output file count.
+    """Rewrite a parquet directory into ~``ceil(total_bytes/target)`` files
+    of roughly ``target_mb`` each; returns ``n_out``, the output slot count
+    the sizing chose.
 
     Why an operator: incremental ingest (streaming sinks, CDC micro-batches,
     per-delta dedup outputs) accretes thousands of KB-sized files, and at
@@ -201,38 +238,54 @@ def compact_small_files(
     counter-move (Delta OPTIMIZE / Iceberg rewrite_data_files; here for
     plain parquet directories).
 
-    Sizing reads the filesystem METADATA (O(files), driver-side by design —
-    the same listing any scan does), never the data; the rewrite is one
-    ``repartition``-and-write pass.  ``sort_cols`` re-sorts while
-    compacting (``repartitionByRange`` + in-partition sort), folding a
-    clustering pass into the rewrite for free.  Writes to ``out_path`` —
-    atomically swapping directories is the caller's (or table format's)
-    job; compact-in-place on a live directory is how readers see partial
-    data.
+    Sizing reads the filesystem metadata (:func:`_dir_bytes`), never the
+    data; the rewrite is one ``repartition``-and-write pass.  ``sort_cols``
+    re-sorts while compacting (``repartitionByRange`` + in-partition sort),
+    folding a clustering pass into the rewrite for free.  Writes to
+    ``out_path`` — atomically swapping directories is the caller's (or
+    table format's) job; compact-in-place on a live directory is how
+    readers see partial data.
 
     Compacting a hive-partitioned directory REQUIRES ``partition_by``
     (the reader surfaces partition values as ordinary columns, so an
     unpartitioned rewrite would silently flatten the layout and break
-    every downstream partition-pruned scan); ``n_out`` then applies per
-    written partition directory.
+    every downstream partition-pruned scan).  Each hive directory then
+    receives ≤ ``ceil(n_out / n_partition_values)`` files: rows are hashed
+    on (partition value, salt), where the salt fans a partition value
+    bigger than ``target_mb`` out over several slots instead of collapsing
+    it into one oversized single-task file.  With ``sort_cols`` too, the
+    range key is (partition columns, then sort columns) — clustering by
+    partition value FIRST, so each range task spans at most a couple of
+    hive values and the directories stay compact; sorting by ``sort_cols``
+    alone would hand every task rows of every partition value, and
+    ``partitionBy`` would then fragment each directory into up to
+    ``n_out`` files — the exact pathology compaction exists to remove.
     """
     if target_mb < 1:
         raise ValueError("target_mb must be >= 1")
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    total = fs.getContentSummary(jpath).getLength()
+    total = _dir_bytes(spark, path)
     n_out = max(1, -(-total // (target_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
-    if sort_cols:
+    if sort_cols and partition_by:
+        key = [*partition_by, *sort_cols]
+        shaped = df.repartitionByRange(n_out, *key).sortWithinPartitions(*key)
+    elif sort_cols:
         shaped = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
             *sort_cols
         )
     elif partition_by:
-        # one file per (output slot, partition value): cluster rows of the
-        # same partition value together so each hive directory gets ~n_out
-        # files, not n_out fragments per in-memory partition
-        shaped = df.repartition(n_out, *partition_by)
+        # salt slots per hive directory: a (value, salt) pair lands wholly
+        # in one task, so each directory gets ≤ per_dir files and large
+        # partitions still split toward target_mb.  The distinct-count is
+        # a partition-columns-only scan (no data columns read).
+        n_parts = df.select(*partition_by).distinct().count()
+        per_dir = max(1, -(-n_out // max(1, n_parts)))
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(per_dir)
+        )
+        shaped = df.repartition(
+            n_out, *[F.col(c) for c in partition_by], salt
+        )
     else:
         shaped = df.repartition(n_out)
     writer = shaped.write.mode("overwrite")

@@ -53,6 +53,7 @@ __all__ = [
     "remove_hot_lines",
     "build_line_store",
     "merge_line_counts",
+    "merge_line_counts_bucketed",
     "remove_hot_lines_vs_store",
 ]
 
@@ -148,14 +149,15 @@ def remove_hot_lines(
     return scoped_persist(_strip_and_reassemble(lines, hot, id_col), lines)
 
 
-def build_line_store(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
+def build_line_store(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Digest-keyed occurrence store ``(line_dig, n)`` for the incremental
     ingest path — the only state the per-delta cleaning needs, 24 bytes a
-    row regardless of line length.  At rest, write it bucketed by
-    ``line_dig`` (sources/sinks.py sink_parquet_bucketed) so every future
-    merge and hot-lookup joins exchange-free."""
+    row regardless of line length.  Counts are OCCURRENCE-based (how many
+    times the line appears corpus-wide), not per-document — the store
+    needs no document identity, which is why there is no ``id_col``
+    parameter here.  At rest, write it bucketed by ``line_dig``
+    (sources/sinks.py sink_parquet_bucketed) so every future merge and
+    hot-lookup joins exchange-free."""
     return (
         df.select(F.explode(F.split(F.col(text_col), "\n")).alias("__line"))
         .select(_dig().alias("line_dig"))
@@ -168,17 +170,44 @@ def merge_line_counts(
     store: DataFrame,
     delta_docs: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Fold a new ingest's line counts into the store: union + re-sum on
     the digest key (both inputs are pre-aggregated, so the shuffle carries
     one (digest, n) row per distinct line per side — the count-accumulator
-    CDC shape)."""
-    delta_counts = build_line_store(delta_docs, text_col, id_col)
+    CDC shape).  Occurrence-based like :func:`build_line_store` — no
+    document identity involved."""
+    delta_counts = build_line_store(delta_docs, text_col)
     return (
         store.unionByName(delta_counts)
         .groupBy("line_dig")
         .agg(F.sum("n").alias("n"))
+    )
+
+
+def merge_line_counts_bucketed(
+    store: DataFrame,
+    delta_docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Store-side-exchange-free merge for a store that is bucketed at rest
+    on ``line_dig`` (sink_parquet_bucketed): a full-outer join on the
+    bucket key + summed sides.  Result-identical to
+    :func:`merge_line_counts` (sum over a disjoint union), but the plan is
+    different where it matters at 100 TB: the union+re-sum shape must
+    shuffle the ENTIRE store again on every ingest, while here the store
+    scan's bucketing satisfies the join's distribution — only the delta
+    vocabulary is exchanged (plan-pinned in tests/test_line_dedup.py).
+    Write the merged result back bucketed to keep the invariant for the
+    next ingest."""
+    delta_counts = build_line_store(delta_docs, text_col)
+    s = store.select("line_dig", F.col("n").alias("__ns"))
+    d = delta_counts.select("line_dig", F.col("n").alias("__nd"))
+    return s.join(d, "line_dig", "full_outer").select(
+        "line_dig",
+        (
+            F.coalesce(F.col("__ns"), F.lit(0))
+            + F.coalesce(F.col("__nd"), F.lit(0))
+        ).alias("n"),
     )
 
 

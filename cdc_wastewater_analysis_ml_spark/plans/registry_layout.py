@@ -30,11 +30,14 @@ _ZCOLS = ("l_extendedprice", "l_quantity")
 
 def _bucket_sql(col: str, lo: str, hi: str, cells: int) -> str:
     """SQL mirror of layout._bucket (same operation order; lineitem has no
-    nulls, so the operator's null→0 coalesce is vacuous here)."""
+    nulls, so the operator's null→0 coalesce is vacuous here, and the
+    greatest(…, 0) lower clamp — which guards caller-supplied ranges
+    against out-of-domain values — is vacuous under the global min but
+    mirrored term for term anyway)."""
     return (
         f"CASE WHEN ({hi} - {lo}) <= 0 THEN 0 "
-        f"ELSE least(CAST(floor((CAST({col} AS DOUBLE) - {lo}) * {float(cells)} "
-        f"/ ({hi} - {lo})) AS BIGINT), {cells - 1}) END"
+        f"ELSE least(greatest(CAST(floor((CAST({col} AS DOUBLE) - {lo}) * "
+        f"{float(cells)} / ({hi} - {lo})) AS BIGINT), 0), {cells - 1}) END"
     )
 
 

@@ -150,8 +150,11 @@ def _lined_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "corpus_line_dedup_incremental",
+#: Shared by the batch query and its streaming twin (stream_line_dedup):
+#: with a static store, the union of per-micro-batch cleaned outputs
+#: equals the one-shot clean (streaming/lines.py contract), so the same
+#: oracle gates both forms verbatim.
+_INCR_CLEAN_SQL = (
     _DELTA_LINED_CTE
     + """
     , sc AS (
@@ -182,8 +185,11 @@ def _lined_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(t.n_lines - coalesce(a.lines_kept, 0) AS BIGINT)
              AS lines_removed
     FROM tot t LEFT JOIN agg a USING (doc_id)
-    """,
+    """
 )
+
+
+@register("corpus_line_dedup_incremental", _INCR_CLEAN_SQL)
 def q_corpus_line_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-ingest line cleaning: the delta (near-dup re-crawls + novel
     docs, boilerplate-wrapped like the store) is cleaned against
@@ -222,3 +228,47 @@ def q_corpus_line_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes."""
     store = LN.build_line_store(_lined_docs(spark, sf_dir))
     return LN.merge_line_counts(store, _lined_delta(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# streaming twin: the daily-crawl line cleaning as micro-batches
+# ---------------------------------------------------------------------------
+
+
+@register("stream_line_dedup", _INCR_CLEAN_SQL)
+def q_stream_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest line cleaning as an end-to-end stream
+    (streaming/lines.py): the SAME boilerplate-wrapped delta the batch
+    query cleans arrives one ingest file per micro-batch
+    (maxFilesPerTrigger=1, 3 files), each micro-batch is cleaned against
+    the static line store inside foreachBatch, and cleaned docs land
+    retry-idempotently in per-batch sink partitions — the per-batch counts
+    side-output feeds the post-run store refresh (order-independent sum,
+    gated by test_streaming_parity's merged-store assertion).  Same oracle
+    as the batch query: boilerplate heat is store-side here, so per-batch
+    union = one-shot clean."""
+    import tempfile
+
+    from ..streaming import read_docs_stream, stream_line_dedup
+    from .registry_stream_ext import _SEQ
+
+    work = tempfile.mkdtemp(prefix=f"spark_graft_linestream_{next(_SEQ)}_")
+    src_dir, sink_dir = f"{work}/in", f"{work}/out"
+    counts_dir, ckpt = f"{work}/counts", f"{work}/ckpt"
+    _lined_delta(spark, sf_dir).repartition(3).write.mode("overwrite").parquet(
+        src_dir
+    )
+    store = LN.build_line_store(_lined_docs(spark, sf_dir))
+    q = stream_line_dedup(
+        read_docs_stream(spark, src_dir, maxFilesPerTrigger=1),
+        store,
+        sink_dir,
+        counts_dir,
+        ckpt,
+        max_occurrences=2,
+        min_chars=1,
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(sink_dir).select(
+        "doc_id", "text_clean", "lines_kept", "lines_removed"
+    )

@@ -1,3 +1,4 @@
+from .lines import merged_store, stream_line_dedup
 from .neardup import read_docs_stream, stream_dedup_incremental_near
 from .ops import (
     read_events_stream,
@@ -15,6 +16,7 @@ from .ops import (
 )
 
 __all__ = [
+    "merged_store",
     "read_docs_stream",
     "read_events_stream",
     "stream_conditional_rate",
@@ -26,6 +28,7 @@ __all__ = [
     "stream_lag_per_key",
     "stream_lag_per_key_event_time",
     "stream_lag_per_key_reordered",
+    "stream_line_dedup",
     "stream_session_windows",
     "stream_sink_parquet",
     "stream_weekly_mean",

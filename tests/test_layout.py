@@ -65,6 +65,22 @@ def test_zorder_key_null_and_degenerate_span(spark):
     assert got[9.0] == _morton2(3, 0, 2)
 
 
+def test_zorder_key_out_of_domain_clamps_low(spark):
+    """Caller-supplied ranges with a value BELOW the declared min: the raw
+    bucket is negative, and shiftright on a negative long sign-extends —
+    without the lower clamp the interleave ORs spurious high bits into the
+    key.  Out-of-domain-low must land in cell 0, same as the min itself."""
+    df = spark.createDataFrame(
+        [(-50.0, 1.5), (0.0, 1.5), (99.0, 1.5)], "x double, y double"
+    )
+    out = zorder_key(df, ["x", "y"], bits=2, ranges={"x": (0, 4), "y": (0, 4)})
+    got = {r.x: r["__z"] for r in out.collect()}
+    assert got[-50.0] == got[0.0] == _morton2(0, 1, 2)
+    # and above-max still clamps high, with every key inside the bit budget
+    assert got[99.0] == _morton2(3, 1, 2)
+    assert all(0 <= z < (1 << 4) for z in got.values())
+
+
 def test_zorder_key_validation(spark):
     df = spark.createDataFrame([(1.0, 2.0)], "x double, y double")
     with pytest.raises(ValueError, match="overflows"):
@@ -196,6 +212,94 @@ def test_compact_small_files_preserves_hive_partitions(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 8_000
     assert back.filter(F.col("pt") == 2).count() == 2_000
+
+
+def test_compact_small_files_sort_plus_partition_stays_compact(spark, tmp_path):
+    """sort_cols AND partition_by together: the range key must lead with the
+    partition columns, else every range task holds rows of every partition
+    value and partitionBy fragments each hive dir into up to n_out files —
+    the exact pathology compaction exists to remove.  Pin: total output
+    files ≤ n_out + n_partition_values (boundary-straddle slop), far below
+    the n_out × n_partition_values of the broken shape."""
+    import os
+
+    src = str(tmp_path / "spfrag")
+    out = str(tmp_path / "spcompact")
+    (
+        spark.range(300_000)
+        .select(
+            (F.col("id") % 4).alias("pt"),
+            F.col("id").alias("v"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        .repartition(32)
+        .write.partitionBy("pt")
+        .parquet(src)
+    )
+    n_out = compact_small_files(
+        spark, src, out, target_mb=1, sort_cols=["v"], partition_by=["pt"]
+    )
+    assert n_out >= 4  # sizing actually split
+    pdirs = sorted(d for d in os.listdir(out) if d.startswith("pt="))
+    assert pdirs == ["pt=0", "pt=1", "pt=2", "pt=3"]
+    total_files = sum(len(_part_files(os.path.join(out, d))) for d in pdirs)
+    assert total_files <= n_out + len(pdirs)
+    # the fold-in sort still holds: per-file v-ranges within a dir disjoint
+    stats = file_minmax_stats(spark, out, ["v", "pt"]).collect()
+    by_dir: dict[int, list[tuple[int, int]]] = {}
+    for r in stats:
+        by_dir.setdefault(r.pt_min, []).append((r.v_min, r.v_max))
+    for spans in by_dir.values():
+        spans.sort()
+        for (_, prev_max), (nxt_min, _) in zip(spans, spans[1:]):
+            assert prev_max < nxt_min
+    assert spark.read.parquet(out).count() == 300_000
+
+
+def test_compact_small_files_splits_large_partition(spark, tmp_path):
+    """partition_by alone with a partition value much bigger than target_mb:
+    the salt must fan it over several files (collapsing every value into
+    one single-task file recreates the oversized-file problem in reverse),
+    while keeping ≤ ceil(n_out / n_values) files per hive dir."""
+    import os
+
+    src = str(tmp_path / "bigpart")
+    out = str(tmp_path / "bigpart_out")
+    (
+        spark.range(400_000)
+        .select(
+            (F.col("id") % 2).alias("pt"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        .repartition(8)
+        .write.partitionBy("pt")
+        .parquet(src)
+    )
+    n_out = compact_small_files(spark, src, out, target_mb=1, partition_by=["pt"])
+    assert n_out >= 4
+    per_dir_cap = -(-n_out // 2)
+    for d in ("pt=0", "pt=1"):
+        n_files = len(_part_files(os.path.join(out, d)))
+        assert 2 <= n_files <= per_dir_cap
+    assert spark.read.parquet(out).count() == 400_000
+
+
+def test_dir_bytes_local_fallback_matches_jvm(spark, tmp_path):
+    """The Spark-Connect fallback (os.walk sizing) must agree with the JVM
+    Hadoop FileSystem on a local directory, so sizing-driven n_out is the
+    same either way."""
+    from cdc_wastewater_analysis_ml_spark.operators.layout import _dir_bytes
+
+    src = str(tmp_path / "sized")
+    spark.range(10_000).repartition(4).write.parquet(src)
+    via_jvm = _dir_bytes(spark, src)
+    # simulate Connect: no _jvm attribute on the session object
+    class _NoJvm:
+        def __getattr__(self, name):
+            raise AttributeError(name)
+
+    via_walk = _dir_bytes(_NoJvm(), src)
+    assert via_jvm == via_walk > 0
 
 
 def test_compact_small_files_respects_target_size(spark, tmp_path):

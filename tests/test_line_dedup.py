@@ -12,6 +12,7 @@ from cdc_wastewater_analysis_ml_spark.operators.lines import (
     build_line_store,
     line_occurrence_counts,
     merge_line_counts,
+    merge_line_counts_bucketed,
     remove_hot_lines,
     remove_hot_lines_vs_store,
 )
@@ -172,6 +173,89 @@ def test_hot_set_anti_join_broadcasts(spark):
     plan = out._jdf.queryExecution().executedPlan().toString().lower()
     assert "isfinalplan=true" in plan
     assert "broadcasthashjoin" in plan and "leftanti" in plan, plan[:2000]
+
+
+def _n_exchanges(df) -> int:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.count("Exchange hashpartitioning")
+
+
+def test_bucketed_line_store_joins_exchange_free(spark, tmp_path):
+    """The operators/lines.py docstring promises the 100 TB store is
+    bucketed at rest on line_dig so merges and hot-lookups never
+    re-shuffle the store.  Pin that composition (the r8 VERDICT task 5
+    plan-shape pin): with the store written via sink_parquet_bucketed,
+
+    - merge_line_counts_bucketed exchanges ONLY the delta vocabulary
+      (exactly one hash exchange: the delta's own count aggregation —
+      which already satisfies the join's distribution),
+    - remove_hot_lines_vs_store's store-side lookup rides the bucketing
+      through the rename projection (one fewer exchange than the same
+      plan over a plain store),
+
+    and both stay result-identical to the unbucketed paths."""
+    from cdc_wastewater_analysis_ml_spark.sources.sinks import (
+        sink_parquet_bucketed,
+    )
+
+    docs = _corpus(
+        spark, {i: f"banner line\nbody {i}\nfooter line" for i in range(50)}
+    )
+    delta = _corpus(
+        spark, {100 + i: f"banner line\nfresh {i}" for i in range(10)}
+    )
+    plain_store = build_line_store(docs)
+    spark.sql("DROP TABLE IF EXISTS line_store_b")
+    sink_parquet_bucketed(
+        plain_store, "line_store_b", ["line_dig"], 8, sort_cols=["line_dig"]
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the shuffle-join path — at 100 TB neither side broadcasts
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bucketed = spark.table("line_store_b")
+
+        merged = merge_line_counts_bucketed(bucketed, delta)
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert _n_exchanges(merged) == 1, plan[:3000]
+        want = {
+            r.line_dig: r.n
+            for r in merge_line_counts(plain_store, delta).collect()
+        }
+        got = {r.line_dig: r.n for r in merged.collect()}
+        assert got == want
+
+        lookup_bucketed = remove_hot_lines_vs_store(
+            delta, bucketed, max_occurrences=2
+        )
+        lookup_plain = remove_hot_lines_vs_store(
+            delta, plain_store, max_occurrences=2
+        )
+        assert _n_exchanges(lookup_bucketed) == _n_exchanges(lookup_plain) - 1
+        a = {r.doc_id: r.text_clean for r in lookup_bucketed.collect()}
+        b = {r.doc_id: r.text_clean for r in lookup_plain.collect()}
+        assert a == b and a[100] == "fresh 0"  # banner hot from store side
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS line_store_b")
+
+
+def test_merge_bucketed_equals_union_merge_on_disjoint_and_overlap(spark):
+    """Full-outer + sum must agree with union + re-sum on all three key
+    classes: store-only, delta-only, and overlapping digests."""
+    store_docs = _corpus(spark, {1: "both\nstore only"})
+    delta = _corpus(spark, {10: "both\ndelta only\nboth"})
+    store = build_line_store(store_docs)
+    via_join = {
+        r.line_dig: r.n
+        for r in merge_line_counts_bucketed(store, delta).collect()
+    }
+    via_union = {
+        r.line_dig: r.n for r in merge_line_counts(store, delta).collect()
+    }
+    assert via_join == via_union and len(via_join) == 3
+    assert sorted(via_join.values()) == [1, 1, 3]
 
 
 def test_every_input_doc_keeps_a_row(spark):

@@ -338,6 +338,70 @@ def test_stream_sink_parquet_exactly_once_across_restart(spark, tmp_path):
             mk(range(100, 250)).to_parquet(f"{src_dir}/f1.parquet", index=False)
 
 
+def test_stream_line_dedup_matches_batch_and_merged_store(spark, sf_small, tmp_path):
+    """foreachBatch line-level dedup (streaming/lines.py): with a static
+    store the per-micro-batch cleaned union must equal the one-shot
+    remove_hot_lines_vs_store over the whole delta (boilerplate heat is
+    store-side in this fixture), the run must actually be incremental
+    (>= 3 micro-batches), and the counts side-output re-summed with the
+    store must equal the one-shot merge_line_counts — the order-independent
+    store-refresh half of the contract."""
+    from cdc_wastewater_analysis_ml_spark.operators.lines import (
+        build_line_store,
+        merge_line_counts,
+        remove_hot_lines_vs_store,
+    )
+    from cdc_wastewater_analysis_ml_spark.plans.registry_lines import (
+        _lined_delta,
+        _lined_docs,
+    )
+    from cdc_wastewater_analysis_ml_spark.streaming import (
+        merged_store,
+        read_docs_stream,
+        stream_line_dedup,
+    )
+
+    store = build_line_store(_lined_docs(spark, sf_small))
+    delta = _lined_delta(spark, sf_small)
+    src, sink, counts, ckpt = (
+        str(tmp_path / n) for n in ("src", "sink", "counts", "ckpt")
+    )
+    delta.repartition(3).write.mode("overwrite").parquet(src)
+
+    q = stream_line_dedup(
+        read_docs_stream(spark, src, maxFilesPerTrigger=1),
+        store, sink, counts, ckpt, max_occurrences=2, min_chars=1,
+    )
+    q.awaitTermination(300)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 3, f"expected >=3 micro-batches, got {n_batches}"
+
+    got = {
+        r.doc_id: (r.text_clean, r.lines_kept, r.lines_removed)
+        for r in spark.read.parquet(sink)
+        .select("doc_id", "text_clean", "lines_kept", "lines_removed")
+        .collect()
+    }
+    want = {
+        r.doc_id: (r.text_clean, r.lines_kept, r.lines_removed)
+        for r in remove_hot_lines_vs_store(
+            delta, store, max_occurrences=2, min_chars=1
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+    refreshed = {
+        r.line_dig: r.n
+        for r in merged_store(
+            store, spark.read.parquet(counts).select("line_dig", "n")
+        ).collect()
+    }
+    one_shot = {
+        r.line_dig: r.n for r in merge_line_counts(store, delta).collect()
+    }
+    assert refreshed == one_shot
+
+
 def test_stream_near_dedup_matches_batch_and_is_multi_batch(spark, sf_small, tmp_path):
     """foreachBatch incremental near-dedup (streaming/neardup.py): with a
     static store, the union of per-micro-batch survivor sets must equal the
