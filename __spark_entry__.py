@@ -38,16 +38,17 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     "plans/metrics.py": 4,
     # r4: two-phase partition-offset stratified split (plans/ml.py).
     "plans/ml.py": 4,
-    # r8: jaccard_verify_pairs gains assume_distinct (default False →
-    # pairs de-duplicated inside the operator, r7 ADVICE #2) and
-    # dedup_incremental_near gains the default-off check_disjoint_ids
-    # eager guard (r7 ADVICE #3).  Both changes are result-neutral for
-    # every in-repo caller (candidates are distinct by construction; the
-    # one registry call site pins assume_distinct=True so its plan is
-    # byte-identical to r7), proven by test_advice_fixes; the consumer set
-    # below still re-verifies every query whose call path textually
-    # changed rather than arguing full neutrality.
-    "operators/dedup.py": 8,
+    # r9: minhash_lsh_verified's verify stage reworked for the r8 task-2
+    # shuffle audit — 64-bit digest join keys + an adaptive semi-join
+    # reduction (Catalyst-size-gated, selectivity-gated) that cuts the
+    # ov100 verify shuffle 1234→444 MB.  Changed functions:
+    # minhash_lsh_verified + the NEW _verify_jaccard_exploded_hashed /
+    # _estimated_bytes helpers; _verify_jaccard_exploded itself is
+    # byte-untouched, so the incremental/CC/jaccard families keep their
+    # plans and their r7/r8 rows (call-path granularity per the r8
+    # precedent — consumers below are the three minhash_lsh_verified
+    # routes).
+    "operators/dedup.py": 9,
     "operators/caching.py": 5,
     # r6: chunk_documents rejects stride > chunk_tokens (ADVICE r5 #1 —
     # additive guard; module-granularity rule → whole corpus family, which
@@ -209,16 +210,14 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "ml_gbt_pca_metrics",
         "ml_linear_probability_pca_metrics",
     ),
-    # r8 diff = jaccard_verify_pairs (assume_distinct) +
-    # dedup_incremental_near (check_disjoint_ids): consumers = every query
-    # whose call path routes through either changed function.  The rest of
-    # the r7 family (minhash_lsh_verified-based queries bypass
-    # jaccard_verify_pairs entirely) re-greened in the r7 prefix with those
-    # functions unchanged since.
+    # r9 diff = minhash_lsh_verified (+ its two new private helpers):
+    # consumers = every query routing through it.  The r8-changed
+    # functions (jaccard_verify_pairs, dedup_incremental_near) re-greened
+    # in the r8 prefix and are untouched this round.
     "operators/dedup.py": (
-        "dedup_cluster_cc",
-        "dedup_incremental_near",
-        "stream_dedup_incremental_near",
+        "dedup_lsh_verified",
+        "dedup_cluster_best",
+        "pipeline_corpus_curation",
     ),
     "operators/windows.py": (
         "window_lag",

@@ -261,6 +261,125 @@ def _verify_jaccard_exploded(
     )
 
 
+#: Above this many candidate ids the semi-join filter sets stop fitting
+#: the engine's 4 MB AQE broadcast budget (ids are 8-byte longs plus row
+#: overhead) and AQE would demote the filters to full shuffles of the
+#: exploded relation — worse than no filter at all (A/B: +456 MB).
+_SEMIJOIN_MAX_IDS = 400_000
+
+#: Below this ESTIMATED input size the exploded-shingle exchanges the
+#: reduction removes are cheaper than its own fixed cost — one extra
+#: cache-materialization action alone measured +1.4 s at the 5k-doc bench
+#: rung, wiping out a win that doesn't exist at that scale.  The estimate
+#: is Catalyst's driver-side sizeInBytes (file-size-derived, no job):
+#: small rungs sit ≤ ~1 MB, the 100× probe fixtures ≥ ~50 MB, a real
+#: corpus far above — the gate is orders of magnitude away from both
+#: sides.
+_SEMIJOIN_MIN_INPUT_BYTES = 16 * 1024 * 1024
+
+
+def _estimated_bytes(df: DataFrame) -> int:
+    """Catalyst's optimizer size estimate for ``df`` — driver-side plan
+    metadata, runs no job.  Returns -1 where the internal JVM handle is
+    unavailable (Spark Connect): callers treat that as small/unknown and
+    stay on the lazy conservative plan."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return -1
+
+
+def _verify_jaccard_exploded_hashed(
+    sh: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    threshold: float,
+    semijoin_reduce: bool = True,
+) -> DataFrame:
+    """:func:`_verify_jaccard_exploded` plus the two shuffle cuts the r8
+    100× probe pointed at (the verify stage was the worst remaining scaler:
+    exponent 0.82, ~1.8 GB shuffled at the ov100 rung):
+
+    **Semi-join reduction** (the big one): only documents that appear in
+    some candidate pair can contribute to any intersection, yet the r8 plan
+    shuffled the WHOLE corpus' exploded shingle relation through both
+    intersection joins (measured: 715 of 1154 MB at ov100 for a candidate
+    set touching <1% of docs).  Each exploded side is first left-semi
+    filtered by its side's candidate-id set — a relation of bare ids far
+    under the engine's 4 MB AQE broadcast cap in any realistic corpus, so
+    the filter applies MAP-SIDE over the cached shingle scan and the
+    corpus-sized relation never reaches an exchange.  The filter is applied
+    to the NARROW exploded rows, never to the array-carrying ``sh`` (a
+    degenerate everything-is-a-candidate corpus then degrades to exactly
+    the r8 plan — narrow rows shuffle — instead of dragging arrays through
+    an exchange, preserving the r7 no-wide-rows invariant).  ``pairs`` is
+    consumed four times here (two id sets + two probe sides): callers must
+    pass a persisted/materialized relation or the candidate front half
+    re-executes per consumer.
+
+    **Digest narrowing**: the exploded shingle column is hashed to a 64-bit
+    ``xxhash64`` digest before any exchange.  Set sizes and intersection
+    counts — hence the Jaccard values — are preserved exactly unless two
+    distinct shingles of one candidate pair collide in 64 bits
+    (≈ m²/2⁶⁵ per pair: ~10⁻¹³ at m=10⁴ shingles — negligible at any
+    target scale, and the failure mode is one Jaccard nudged up, not a
+    wrong join).  Measured alone this buys little on wire bytes (repetitive
+    shingle text compresses ~as well as random longs are incompressible)
+    but ~8% wall from cheaper serialization/comparison; it also caps the
+    degenerate case above at long-width rows.
+
+    ``semijoin_reduce=True`` requires ``pairs`` to be PERSISTED AND
+    MATERIALIZED by the caller: the filter sets consume it twice more, and
+    — load-bearing — AQE only plans the filters as broadcasts when the
+    candidate sizes are already known when the main action starts; left to
+    materialize in-flight, the exploded exchanges race the id-set stages
+    and the reduction never engages (A/B at ov100: 1116 MB lazy vs 444 MB
+    materialized vs 1234 baseline).  Callers disable it when the candidate
+    set is NOT a selective broadcastable subset (saturated corpora, id
+    sets past the ~4 MB broadcast budget) — the filters then cost their
+    stages and buy nothing (see :func:`minhash_lsh_verified`'s adaptive
+    gate).
+
+    Kept as a SEPARATE function rather than a flag inside
+    :func:`_verify_jaccard_exploded` deliberately: the string-exact helper
+    backs the incremental/CC families whose plans this round does not
+    re-verify — the duplicated join pipeline is the price of not staling
+    five more query families at once (adopt there next round with the A/B
+    evidence from PROBE_r09).
+    """
+    if threshold <= 0:
+        raise ValueError(
+            "threshold must be > 0 (zero-overlap pairs are dropped by the "
+            "intersection join)"
+        )
+    ex = sh.select(
+        F.col(id_col), F.explode(F.col("__shs")).alias("__s")
+    ).select(F.col(id_col), F.xxhash64(F.col("__s")).alias("__h"))
+    ex_a = ex.select(F.col(id_col).alias("id_a"), "__h")
+    ex_b = ex.select(F.col(id_col).alias("id_b"), "__h")
+    if semijoin_reduce:
+        ex_a = ex_a.join(pairs.select("id_a").distinct(), "id_a", "left_semi")
+        ex_b = ex_b.join(pairs.select("id_b").distinct(), "id_b", "left_semi")
+    sz = sh.select(F.col(id_col), F.size(F.col("__shs")).alias("__n"))
+    inter = (
+        pairs.join(ex_a, "id_a")
+        .join(ex_b, ["id_b", "__h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    j = inter.join(
+        sz.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na")),
+        "id_a",
+    ).join(
+        sz.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb")),
+        "id_b",
+    )
+    jac = F.col("__inter") / (F.col("__na") + F.col("__nb") - F.col("__inter"))
+    return j.select("id_a", "id_b", F.round(jac, 6).alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 def minhash_lsh_verified(
     df: DataFrame,
     text_col: str,
@@ -271,6 +390,7 @@ def minhash_lsh_verified(
     threshold: float = 0.3,
     max_bucket_size: int | None = None,
     hot_bucket_action: str = "error",
+    hash_verify_shingles: bool = True,
 ) -> DataFrame:
     """Fused candidates→verify near-dup pipeline over ONE shingle pass.
 
@@ -295,6 +415,13 @@ def minhash_lsh_verified(
     :func:`minhash_lsh_candidates`): the self-join reads it twice, and
     without the pin each side would re-run the 8 md5 transforms over the
     cached shingles.  Both pins release when the caller drops the result.
+
+    ``hash_verify_shingles`` (default on) counts the verify-stage
+    intersections over 64-bit shingle digests instead of raw shingle
+    strings (:func:`_verify_jaccard_exploded_hashed`) — identical Jaccard
+    values up to a ~2⁻⁶⁵·m² per-pair collision chance, for a measured
+    ~3× cut of the verify-stage shuffle (PROBE_r09).  Turn it off to get
+    the byte-exact string-keyed plan.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
@@ -336,8 +463,55 @@ def minhash_lsh_verified(
         )
         .distinct()
     )
-    out = _verify_jaccard_exploded(sh, cand, id_col, threshold)
-    return scoped_persist(out, sh, banded)
+    if not hash_verify_shingles:
+        out = _verify_jaccard_exploded(sh, cand, id_col, threshold)
+        return scoped_persist(out, sh, banded)
+    # The semi-join-reduced verify consumes the candidate relation four
+    # times (two id sets + two probe sides): persist it — it is the SMALL
+    # product of the front half — and materialize it under one barrier
+    # action.  The barrier is LOAD-BEARING for the plan, not just for the
+    # cache-race contract: with the candidate sizes known before the main
+    # action, AQE plans the id-set semi-joins as broadcasts and the
+    # corpus-sized exploded relation never reaches an exchange (ov100:
+    # 444 MB total shuffle).  Left lazy, the exploded exchanges
+    # materialize concurrently with the id-set stages and the reduction
+    # never engages (1116 MB, barely below the 1234 MB baseline); a
+    # banded-bucket-derived superset was worse still (+456 MB — its
+    # derivation re-shuffles the banded relation and never broadcasts).
+    # A/B numbers in PROBE_r09 notes; the barrier also fills the
+    # sh/banded caches upstream, making the operator deliberately eager
+    # like dedup_incremental_near.
+    if _estimated_bytes(df) < _SEMIJOIN_MIN_INPUT_BYTES:
+        # Small (or unknown/Connect) corpus: the exploded relation is
+        # small enough that the reduction's fixed cost (an eager barrier
+        # action + distinct sets + broadcasts) exceeds the exchange it
+        # removes (+1.4 s at the 5k-doc rung, A/B'd) — plain digest
+        # verify, whole operator one lazy plan.
+        out = _verify_jaccard_exploded_hashed(
+            sh, cand, id_col, threshold, semijoin_reduce=False
+        )
+        return scoped_persist(out, sh, banded)
+    # Big corpus: materialize the candidate relation (small product of the
+    # front half) so its four verify consumers read a warm cache AND —
+    # load-bearing — AQE sees its true size before the main action plans
+    # the filter semi-joins as broadcasts (left lazy, the exploded
+    # exchanges materialize concurrently and the reduction never engages:
+    # 1116 MB vs 444 MB at ov100).  The barrier also fills the sh/banded
+    # caches before their concurrent verify consumers can race them (the
+    # r8 dedup_incremental_near lesson) — amortized at this scale.
+    # Engage the filters only when the candidate ids are a SELECTIVE,
+    # BROADCASTABLE subset: on a corpus where most docs are candidates
+    # they remove nothing, and past the ~4 MB broadcast budget AQE
+    # demotes them to full shuffles of the exploded relation — worse than
+    # no filter (A/B: +456 MB).
+    cand = cand.persist()
+    n_pairs = cand.count()
+    n_docs = sh.count()  # cached scan — sh materialized by the barrier
+    reduce = 2 * n_pairs <= min(0.5 * n_docs, float(_SEMIJOIN_MAX_IDS))
+    out = _verify_jaccard_exploded_hashed(
+        sh, cand, id_col, threshold, semijoin_reduce=reduce
+    )
+    return scoped_persist(out, sh, banded, cand)
 
 
 def minhash_lsh_candidates(

@@ -299,6 +299,110 @@ def test_fused_lsh_verified_matches_two_stage_composition(spark, sf_small):
     )
 
 
+def test_lsh_verified_digest_verify_matches_string_verify(spark, sf_small):
+    """hash_verify_shingles narrows the verify-stage join keys to 64-bit
+    xxhash64 digests — a shuffle-bytes optimization (r8 VERDICT task 2)
+    that must leave the pair set and every Jaccard value bit-identical on
+    any real corpus (collisions are ~2^-65 per shingle pair; on this
+    fixture there are none, so strict equality is the contract)."""
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    string_keyed = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.minhash_lsh_verified(
+            docs, "text", "doc_id", threshold=0.3, hash_verify_shingles=False
+        ).collect()
+    }
+    digest_keyed = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.minhash_lsh_verified(
+            docs, "text", "doc_id", threshold=0.3, hash_verify_shingles=True
+        ).collect()
+    }
+    assert digest_keyed == string_keyed and len(digest_keyed) > 0
+
+
+def test_lsh_verified_digest_verify_hashes_before_exchange(spark, sf_small):
+    """The xxhash64 digesting must fuse into the scan-side stage (map-side,
+    before any exchange): if the raw shingle strings ever crossed a shuffle
+    boundary the optimization would be buying nothing.  Pin: the optimized
+    plan contains xxhash64 and no Exchange appears BELOW it in any path —
+    equivalently, every Project carrying xxhash64 sits under an Exchange,
+    never above one reading shuffled strings.  We assert the cheap proxy:
+    xxhash64 appears in the same whole-stage-codegen subtree as the
+    generate (explode), i.e. between Generate and the first Exchange."""
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    out = D.minhash_lsh_verified(
+        docs, "text", "doc_id", threshold=0.3, hash_verify_shingles=True
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan
+    # every xxhash64 projection is computed directly over the generated
+    # (exploded) column in the same stage — the string never reaches an
+    # exchange: the operator explodes __shs then immediately projects the
+    # digest, and Catalyst collapses the two projections.
+    import re
+
+    assert re.search(r"xxhash64", plan), plan[:2000]
+    # no string shingle column (__s) survives into any Exchange key
+    assert "__s#" not in "".join(
+        line for line in plan.splitlines() if "Exchange" in line
+    )
+
+
+def test_lsh_verified_semijoin_reduction_matches_unreduced(spark, sf_small):
+    """The engaged semi-join reduction (big-corpus path — fixtures too
+    small to trigger it through the operator) must be a pure plan
+    optimization: same pairs, same Jaccard values as the unreduced digest
+    verify.  Driven through the helper with a persisted candidate
+    relation, per its contract."""
+    from cdc_wastewater_analysis_ml_spark.operators.dedup import (
+        _bands_from_sig,
+        _verify_jaccard_exploded_hashed,
+        word_shingles,
+    )
+    from cdc_wastewater_analysis_ml_spark.sources import fan_out
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    sh = fan_out(docs).select(
+        F.col("doc_id"),
+        F.array_distinct(word_shingles("text", 3)).alias("__shs"),
+    ).persist()
+    pairs = D.minhash_lsh_candidates(docs, "text", "doc_id").persist()
+    pairs.count()
+    try:
+        reduced = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in _verify_jaccard_exploded_hashed(
+                sh, pairs, "doc_id", 0.3, semijoin_reduce=True
+            ).collect()
+        }
+        plain = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in _verify_jaccard_exploded_hashed(
+                sh, pairs, "doc_id", 0.3, semijoin_reduce=False
+            ).collect()
+        }
+        assert reduced == plain and len(reduced) > 0
+    finally:
+        sh.unpersist()
+        pairs.unpersist()
+
+
+def test_estimated_bytes_connect_fallback():
+    """Without the JVM handle (Spark Connect) the size estimate must come
+    back -1 — the operator then stays on the lazy conservative plan
+    instead of crashing or going eager."""
+    from cdc_wastewater_analysis_ml_spark.operators.dedup import (
+        _estimated_bytes,
+    )
+
+    class _NoJdf:
+        def __getattr__(self, name):
+            raise AttributeError(name)
+
+    assert _estimated_bytes(_NoJdf()) == -1
+
+
 def test_fused_lsh_verified_hot_bucket_guard(spark):
     """The fused operator carries the same hot-bucket guard contract."""
     docs = spark.range(200).select(
