@@ -111,7 +111,14 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # consumer set is empty; the r7 prefix empirically re-verifies the
     # heaviest cached-plan users (the whole dedup family) anyway via the
     # operators/dedup.py entry.
-    "session.py": 7,
+    # r9: get_spark became conf-preserving on a LIVE session (returns it
+    # after asserting RUNTIME_CONFS instead of letting builder.getOrCreate
+    # re-apply appName/shuffle-partitions onto it).  Pure session-plumbing:
+    # no RUNTIME_CONFS value changed, a fresh-session build is conf-
+    # identical, and result multisets are partition-layout invariant by
+    # house rule (tests/test_partition_invariance.py) — consumer set stays
+    # empty, same basis as the r7 entry above.
+    "session.py": 9,
     # r7: docstring-only (Pillow injection recipe, VERDICT r6 task 8) — no
     # executable change, consumer set empty.
     "operators/multimodal.py": 7,

@@ -157,7 +157,12 @@ def build_line_store(df: DataFrame, text_col: str = "text") -> DataFrame:
     needs no document identity, which is why there is no ``id_col``
     parameter here.  At rest, write it bucketed by ``line_dig``
     (sources/sinks.py sink_parquet_bucketed) so every future merge and
-    hot-lookup joins exchange-free."""
+    hot-lookup joins exchange-free.  Size the bucket count AT LEAST the
+    cluster's ``spark.sql.shuffle.partitions``: EnsureRequirements rides an
+    existing hash layout only when that doesn't lower join parallelism
+    below the session target — a store with fewer buckets than partitions
+    gets re-shuffled UP and the exchange-free property silently vanishes
+    (plan-pinned in tests/test_line_dedup.py)."""
     return (
         df.select(F.explode(F.split(F.col(text_col), "\n")).alias("__line"))
         .select(_dig().alias("line_dig"))

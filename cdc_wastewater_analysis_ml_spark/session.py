@@ -65,7 +65,31 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
-    """Build (or reuse) a SparkSession with the engine's defaults."""
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    Reuse is conf-preserving: when a session is already live (a caller's
+    notebook, the verify driver, a composed pipeline), only the
+    result-affecting RUNTIME_CONFS are asserted on it — ``app_name``,
+    ``master`` and ``shuffle_partitions`` are defaults for a session this
+    call CREATES, never overrides of one the caller owns.  The previous
+    ``builder.getOrCreate()``-only form silently re-applied every builder
+    conf onto a live session (``getOrCreate`` sets them as runtime confs),
+    so embedding the CLI in an existing session renamed it and reset its
+    shuffle parallelism — observed as an order-dependent plan change in the
+    test suite (a 32-partition leak re-shuffling an 8-bucket store side).
+    """
+    # A session created in another thread is reusable but not "active" in
+    # this one; builder.getOrCreate() below would find and clobber it, so
+    # fall back to Spark's process-wide instantiated-session handle.
+    active = SparkSession.getActiveSession() or SparkSession._instantiatedSession
+    if active is not None:
+        try:
+            alive = active.sparkContext._jsc is not None
+        except Exception:  # Spark Connect: no sparkContext, but live if listed
+            alive = True
+        if alive:
+            apply_runtime_confs(active)
+            return active
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"

@@ -268,3 +268,22 @@ def test_incremental_near_registry_query_keeps_cache_scope(spark, sf_small):
     del df
     gc.collect()
     assert cache_mgr.isEmpty()
+
+
+def test_get_spark_preserves_a_live_sessions_confs(spark):
+    """get_spark must be conf-preserving on a live session (r9): the
+    previous builder.getOrCreate()-only form re-applied appName and
+    shuffle-partitions onto whatever session was already running —
+    embedding the CLI (``__main__.main``, ``tools/explain``) in a test or
+    notebook session silently reset spark.sql.shuffle.partitions to 32,
+    which re-shuffled bucketed-store join sides sized to the session's
+    parallelism (the order-dependent exchange-count flake in
+    tests/test_line_dedup.py)."""
+    from cdc_wastewater_analysis_ml_spark.session import get_spark
+
+    before_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    before_name = spark.sparkContext.appName
+    got = get_spark("something-else", shuffle_partitions=7)
+    assert got is spark
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before_parts
+    assert spark.sparkContext.appName == before_name

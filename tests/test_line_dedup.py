@@ -210,9 +210,31 @@ def test_bucketed_line_store_joins_exchange_free(spark, tmp_path):
         plain_store, "line_store_b", ["line_dig"], 8, sort_cols=["line_dig"]
     )
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_abs = spark.conf.get(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    )
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         # force the shuffle-join path — at 100 TB neither side broadcasts
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # size the session parallelism to the store's bucket count — the
+        # real-world sizing rule this layout depends on: EnsureRequirements
+        # rides an already-hash-partitioned side only when doing so doesn't
+        # LOWER join parallelism below spark.sql.shuffle.partitions; with
+        # buckets < partitions it re-shuffles the store side UP instead
+        # (measured: 8-bucket store under a 32-partition session = 2
+        # exchanges).  At 100 TB the store is bucketed >= the cluster's
+        # shuffle parallelism, so the test pins partitions == buckets.
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # and pin the property under test: the DisableUnnecessaryBucketedScan
+        # rule may drop the bucketed scan when it estimates the 8-way
+        # bucket parallelism costs more than a 32-way re-shuffle — a
+        # fixture-scale heuristic (observed to flip with session history)
+        # that inverts at 100 TB, where the bucket count is sized to the
+        # cluster and re-shuffling the store is the expensive branch.
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
         bucketed = spark.table("line_store_b")
 
         merged = merge_line_counts_bucketed(bucketed, delta)
@@ -238,6 +260,10 @@ def test_bucketed_line_store_joins_exchange_free(spark, tmp_path):
         assert a == b and a[100] == "fresh 0"  # banner hot from store side
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev_abs
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         spark.sql("DROP TABLE IF EXISTS line_store_b")
 
 
