@@ -332,10 +332,12 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "corpus_line_store_merge",
     ),
     # r9 AST-affected blocks: corpus_line_dedup_incremental (oracle SQL
-    # extracted to the shared constant) + the new stream_line_dedup.
+    # extracted to the shared constant), the new stream_line_dedup, and the
+    # new end-to-end pipeline_incremental_ingest composite.
     "plans/registry_lines.py": (
         "corpus_line_dedup_incremental",
         "stream_line_dedup",
+        "pipeline_incremental_ingest",
     ),
     "streaming/lines.py": ("stream_line_dedup",),
     "session.py": (),

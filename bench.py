@@ -123,6 +123,11 @@ HEADLINE = [
     # prune → packing as ONE lazy plan) — the corpus counterpart of
     # pipeline_wastewater_ep1.
     "pipeline_corpus_curation",
+    # pipeline_incremental_ingest (r9) is deliberately NOT here: the
+    # headline set is 1 query short of the driver's ~2000-char record
+    # horizon (tests/test_bench_contract.py), and the composite's story is
+    # scale, not sf0.1 wall — it lives in tools/scale_probe DEFAULT_QUERIES
+    # (PROBE_r09.json) instead.
 ]
 
 

@@ -272,3 +272,200 @@ def q_stream_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink_dir).select(
         "doc_id", "text_clean", "lines_kept", "lines_removed"
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end incremental-ingest composite: the daily-crawl story as ONE query
+# (r9; the delta-vs-store counterpart of pipeline_corpus_curation)
+# ---------------------------------------------------------------------------
+
+#: Two more delta slices beyond the shared near/novel recipe: byte-identical
+#: re-crawls (die at the EXACT stage) and too-short ad junk (dies at the
+#: QUALITY gate) — every stage of the composite kills a designated slice, so
+#: the oracle hash is non-vacuous at each step.
+_RECRAWL_OFFSET = 30_000_000_000
+_JUNK_OFFSET = 40_000_000_000
+
+
+def _ingest_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily crawl: near-dup re-crawls, novel docs, exact re-crawls and
+    short junk, every page wrapped in the same site boilerplate the store
+    carries."""
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    near = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + F.lit(_AUG_OFFSET)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near dup tail")).alias("text"),
+    )
+    novel = docs.filter(F.col("doc_id") % 5 == 1).select(
+        (F.col("doc_id") + F.lit(_NOVEL_OFFSET)).alias("doc_id"),
+        F.concat(
+            F.lit("novel "),
+            F.col("doc_id").cast("string"),
+            F.lit(" content unlike anything stored before now"),
+        ).alias("text"),
+    )
+    recrawl = docs.filter(F.col("doc_id") % 5 == 2).select(
+        (F.col("doc_id") + F.lit(_RECRAWL_OFFSET)).alias("doc_id"), "text"
+    )
+    junk = docs.filter(F.col("doc_id") % 5 == 3).select(
+        (F.col("doc_id") + F.lit(_JUNK_OFFSET)).alias("doc_id"),
+        F.concat(F.lit("ad "), F.col("doc_id").cast("string"), F.lit(" click")).alias(
+            "text"
+        ),
+    )
+    batch = near.unionByName(novel).unionByName(recrawl).unionByName(junk)
+    return batch.select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.lit(_BANNER), F.lit(""), F.col("text"), F.lit(_FOOTER)
+        ).alias("text"),
+    )
+
+
+def _ingest_sql() -> str:
+    from .registry_corpus import _pack_tail_sql
+    from .registry_ext import _minhash_sql, _shingles_sql_d
+
+    sig_cols = ", ".join(_minhash_sql(i) for i in range(8))
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        f"concat(minhash_{2 * b}, '|', minhash_{2 * b + 1}) AS band_key FROM {{sig}}"
+        for b in range(4)
+    )
+    norm = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+    return (
+        _LINED_CTE
+        + f""", delta0 AS (
+      SELECT doc_id + {_AUG_OFFSET} AS doc_id,
+             concat(text, ' near dup tail') AS text
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + {_NOVEL_OFFSET} AS doc_id,
+             concat('novel ', CAST(doc_id AS VARCHAR),
+                    ' content unlike anything stored before now') AS text
+      FROM documents WHERE doc_id % 5 = 1
+      UNION ALL
+      SELECT doc_id + {_RECRAWL_OFFSET} AS doc_id, text
+      FROM documents WHERE doc_id % 5 = 2
+      UNION ALL
+      SELECT doc_id + {_JUNK_OFFSET} AS doc_id,
+             concat('ad ', CAST(doc_id AS VARCHAR), ' click') AS text
+      FROM documents WHERE doc_id % 5 = 3
+    ), delta AS (
+      SELECT doc_id, '{_BANNER}' || chr(10) || '' || chr(10) || text ||
+             chr(10) || '{_FOOTER}' AS text FROM delta0
+    ), sc AS (
+      SELECT line, count(*) AS n
+      FROM (SELECT unnest(string_split(text, chr(10))) AS line FROM base) s
+      GROUP BY line
+    ), dl AS (
+      SELECT doc_id, u.line, u.pos
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM delta) d,
+           LATERAL (SELECT unnest(parts) AS line,
+                           generate_subscripts(parts, 1) AS pos) u
+    ), dc AS (
+      SELECT line, count(*) AS nd FROM dl GROUP BY line
+    ), hot AS (
+      SELECT dc.line FROM dc LEFT JOIN sc USING (line)
+      WHERE dc.nd + coalesce(sc.n, 0) > 2
+    ), keptl AS (
+      SELECT doc_id, pos, line FROM dl ANTI JOIN hot USING (line)
+    ), cleaned AS (
+      SELECT t.doc_id, coalesce(a.text_clean, '') AS text
+      FROM (SELECT doc_id FROM dl GROUP BY doc_id) t
+      LEFT JOIN (SELECT doc_id,
+                        string_agg(line, chr(10) ORDER BY pos) AS text_clean
+                 FROM keptl GROUP BY doc_id) a USING (doc_id)
+    ), ex AS (
+      SELECT doc_id, text FROM cleaned
+      WHERE md5({norm}) NOT IN (SELECT DISTINCT md5({norm}) FROM documents)
+    ),
+    sig_s AS (SELECT d.doc_id, {sig_cols} FROM documents d),
+    sig_n AS (SELECT d.doc_id, {sig_cols} FROM ex d),
+    band_s AS ({bands.format(sig="sig_s")}),
+    band_n AS ({bands.format(sig="sig_n")}),
+    cand AS (SELECT DISTINCT n.doc_id AS id_new, s.doc_id AS id_store
+             FROM band_n n JOIN band_s s
+               ON n.band_id = s.band_id AND n.band_key = s.band_key),
+    shs_s AS (SELECT d.doc_id, list_distinct({_shingles_sql_d()}) AS shs
+              FROM documents d),
+    shs_n AS (SELECT d.doc_id, list_distinct({_shingles_sql_d()}) AS shs
+              FROM ex d),
+    matched AS (
+      SELECT DISTINCT id_new FROM cand
+      JOIN shs_n a ON a.doc_id = id_new
+      JOIN shs_s b ON b.doc_id = id_store
+      WHERE round(len(list_intersect(a.shs, b.shs)) * 1.0
+                  / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))),
+                  6) >= 0.3),
+    qual AS (
+      SELECT doc_id, text FROM ex
+      WHERE doc_id NOT IN (SELECT id_new FROM matched)
+        AND len(string_split({norm}, ' ')) >= 6
+    ),
+    """
+        + _pack_tail_sql("qual")
+    )
+
+
+@register("pipeline_incremental_ingest", _ingest_sql())
+def q_pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE daily-crawl ingest as ONE composite — the incremental
+    (delta-vs-store) counterpart of ``pipeline_corpus_curation``: line-level
+    boilerplate cleaning against the historical line store → exact dedup
+    against the corpus fingerprint store → near-dup dedup against the
+    corpus via delta-driven LSH → token-count quality gate → pack survivors
+    into 512-token training windows.
+
+    Line cleaning runs FIRST, and that order is load-bearing: with the
+    site chrome still attached, unrelated short documents share enough
+    banner/footer shingles to cross the near-dup threshold (J ≥ 0.3), so
+    dedup-before-clean would silently discard novel content — the reason
+    CCNet strips hot lines before MinHash.
+
+    Each delta slice dies at its designated stage: boilerplate lines at
+    the line stage (store-side heat — one delta occurrence suffices),
+    byte-identical re-crawls at the exact stage, near-dup re-crawls
+    (3-token tail) at the near stage, ad junk (3 tokens) at the quality
+    gate; only novel docs reach packing.  Store documents whose text is
+    duplicated in the corpus (the fixture's ~0.16% exact-dup rows) make
+    their re-crawl bodies line-hot (2 store + 1 delta occurrences > 2), so
+    the stripped-to-empty path is exercised too — those die at the quality
+    gate in both engines.
+
+    At 100 TB every stage is delta-driven: the line store joins only the
+    delta's distinct-line digests (operators/lines.py), the fingerprint
+    anti-join carries (fp, id) never bodies against a bucketed-at-rest
+    store (operators/dedup.py dedup_incremental_exact), the LSH candidates
+    equi-join the delta's banded signatures against a precomputed store
+    signature table (minhash_lsh_candidates_vs_store), and packing is the
+    two-phase partition-offset prefix sum — no stage shuffles more than
+    O(|delta| + matched store rows).
+    """
+    from ..operators import corpus as C
+    from ..operators import dedup as D
+    from ..operators import text as T
+    from ..operators.caching import transfer_cache_scope
+    from .registry_corpus import _PACK_LEN
+
+    store_raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    line_store = LN.build_line_store(_lined_docs(spark, sf_dir))
+    cleaned = LN.remove_hot_lines_vs_store(
+        _ingest_delta(spark, sf_dir), line_store, max_occurrences=2, min_chars=0
+    )
+    cleaned_docs = cleaned.select("doc_id", F.col("text_clean").alias("text"))
+    survivors_exact = D.dedup_incremental_exact(
+        cleaned_docs, store_raw, "text", "doc_id"
+    )
+    survivors_near = D.dedup_incremental_near(
+        survivors_exact, store_raw, "text", "doc_id", threshold=0.3
+    )
+    qual = survivors_near.filter(T.token_count("text") >= 6)
+    out = C.pack_token_stream(qual, "text", "doc_id", context_len=_PACK_LEN)
+    # Both upstream operators carry cache scopes (the delta line relation;
+    # the near stage's shingle cache + candidate pins).  Deriving `out` and
+    # dropping their handles would fire the weakref finalizers before the
+    # caller's action runs — the r8 dedup_incremental_near scale-killer —
+    # so ownership transfers onto the DataFrame actually executed.
+    out = transfer_cache_scope(cleaned, out)
+    return transfer_cache_scope(survivors_near, out)

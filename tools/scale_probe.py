@@ -61,6 +61,12 @@ DEFAULT_QUERIES = [
     # the reassembly shuffle is the only corpus-sized exchange and must
     # stay the only one.
     "corpus_line_dedup",
+    # r9: the daily-crawl composite (line-clean vs store → exact vs store →
+    # near vs store → quality → pack) — every stage delta-driven; the probe
+    # guards that NO stage smuggles in a corpus-sized exchange as the store
+    # grows 100×.  (Not in bench.py HEADLINE: the driver record is 1 query
+    # from its length horizon, and this query's story is scale.)
+    "pipeline_incremental_ingest",
 ]
 
 SF01 = "/root/testdata/sf0.1"
