@@ -81,7 +81,9 @@ def get_spark(
     # A session created in another thread is reusable but not "active" in
     # this one; builder.getOrCreate() below would find and clobber it, so
     # fall back to Spark's process-wide instantiated-session handle.
-    active = SparkSession.getActiveSession() or SparkSession._instantiatedSession
+    active = SparkSession.getActiveSession() or getattr(
+        SparkSession, "_instantiatedSession", None  # private; absent on Connect
+    )
     if active is not None:
         try:
             alive = active.sparkContext._jsc is not None
