@@ -96,7 +96,16 @@ def _session() -> SparkSession:
         SparkSession.builder.appName("scale_probe")
         .master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.driver.memory", "8g")
+        # Local mode runs all 32 executor threads inside the driver JVM,
+        # and the 15-query ladder accumulates block-manager state across
+        # the 100× rung: at 8g the r9 re-run hit UNABLE_TO_ACQUIRE_MEMORY
+        # (execution memory, not storage) 11 queries in.  16g is harness
+        # capacity for one shared local JVM — cluster executors own their
+        # heaps, so this is not part of any operator's scale claim.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_PROBE_DRIVER_MEM", "16g"),
+        )
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", "4049")
     )
