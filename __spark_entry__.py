@@ -325,11 +325,17 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
     ),
     "operators/layout.py": ("layout_zorder_key",),
     "plans/registry_layout.py": ("layout_zorder_key",),
-    # r9 diff = build_line_store/merge_line_counts signatures only (id_col
-    # dropped): consumers = the queries routing through those functions.
+    # r9 diff = build_line_store/merge_line_counts signatures (id_col
+    # dropped) + merge_line_counts_bucketed: consumers = EVERY query
+    # routing through those functions, including the r9-new streaming twin
+    # and the ingest composite (both also route through build_line_store —
+    # they are r9-new so they verify regardless, but the manifest should
+    # not rely on that coincidence).
     "operators/lines.py": (
         "corpus_line_dedup_incremental",
         "corpus_line_store_merge",
+        "stream_line_dedup",
+        "pipeline_incremental_ingest",
     ),
     # r9 AST-affected blocks: corpus_line_dedup_incremental (oracle SQL
     # extracted to the shared constant), the new stream_line_dedup, and the

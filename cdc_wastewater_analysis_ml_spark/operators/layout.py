@@ -197,12 +197,20 @@ def _dir_bytes(spark: SparkSession, path: str) -> int:
     Spark Connect there is no ``_jvm`` gateway, so degrade to best-effort
     local ``os.walk`` sizing for ``file://`` / bare paths (mirroring the
     release_local_checkpoint best-effort pattern)."""
-    try:
+    try:  # gateway ABSENCE only (Connect raises on the attribute itself)
         jvm = spark._jvm
+    except Exception:
+        jvm = None
+    if jvm is not None:
+        # JVM gateway present: use it, and let REAL filesystem errors
+        # (missing dir, auth, bad scheme) propagate — falling back to local
+        # sizing here would either mask the cause behind a misleading
+        # "no gateway" error or, worse, silently size a same-named LOCAL
+        # directory and compact to a wrong n_out.
         jpath = jvm.org.apache.hadoop.fs.Path(path)
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
         return int(fs.getContentSummary(jpath).getLength())
-    except Exception:
+    else:
         local = path[len("file://"):] if path.startswith("file://") else path
         if not os.path.isdir(local):
             raise ValueError(
@@ -217,6 +225,23 @@ def _dir_bytes(spark: SparkSession, path: str) -> int:
             for f in files
             if not f.startswith(".")
         )
+
+
+def _hashable_cols(df: DataFrame) -> list[str]:
+    """Columns whose types ``xxhash64`` accepts — MapType is rejected
+    anywhere in a nested type (maps have no canonical element order)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def has_map(dt) -> bool:
+        if isinstance(dt, MapType):
+            return True
+        if isinstance(dt, ArrayType):
+            return has_map(dt.elementType)
+        if isinstance(dt, StructType):
+            return any(has_map(f.dataType) for f in dt.fields)
+        return False
+
+    return [f.name for f in df.schema.fields if not has_map(f.dataType)]
 
 
 def compact_small_files(
@@ -250,10 +275,10 @@ def compact_small_files(
     (the reader surfaces partition values as ordinary columns, so an
     unpartitioned rewrite would silently flatten the layout and break
     every downstream partition-pruned scan).  Each hive directory then
-    receives ≤ ``ceil(n_out / n_partition_values)`` files: rows are hashed
-    on (partition value, salt), where the salt fans a partition value
-    bigger than ``target_mb`` out over several slots instead of collapsing
-    it into one oversized single-task file.  With ``sort_cols`` too, the
+    receives ≤ ``ceil(n_out · its row share)`` files: rows are hashed on
+    (partition value, salt) with the salt range sized PER VALUE from its
+    row share, so a skewed value fans out toward ``target_mb`` chunks
+    while tiny values stay at one file each.  With ``sort_cols`` too, the
     range key is (partition columns, then sort columns) — clustering by
     partition value FIRST, so each range task spans at most a couple of
     hive values and the directories stay compact; sorting by ``sort_cols``
@@ -274,18 +299,42 @@ def compact_small_files(
             *sort_cols
         )
     elif partition_by:
-        # salt slots per hive directory: a (value, salt) pair lands wholly
-        # in one task, so each directory gets ≤ per_dir files and large
-        # partitions still split toward target_mb.  The distinct-count is
-        # a partition-columns-only scan (no data columns read).
-        n_parts = df.select(*partition_by).distinct().count()
-        per_dir = max(1, -(-n_out // max(1, n_parts)))
-        salt = F.pmod(
-            F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(per_dir)
+        # Per-VALUE salt slot counts, sized from each value's row share (a
+        # partition-columns-only aggregate — no data columns read): a value
+        # holding most of the data fans out over ~its share of n_out slots
+        # while tiny values stay at one file, and every (value, salt) pair
+        # lands wholly in one task.  A global ceil(n_out / n_values)
+        # average would leave a skewed value's salt range at 1 and
+        # collapse it back into one oversized single-task file — the exact
+        # pathology compaction exists to remove.
+        counts = df.groupBy(*partition_by).agg(F.count(F.lit(1)).alias("__rows"))
+        total = counts.agg(F.sum("__rows").alias("t")).collect()[0]["t"] or 1
+        slots = counts.select(
+            *partition_by,
+            F.greatest(
+                F.lit(1),
+                F.least(
+                    F.lit(n_out),
+                    F.ceil(F.lit(n_out) * F.col("__rows") / F.lit(total)),
+                ),
+            )
+            .cast("int")
+            .alias("__slots"),
         )
-        shaped = df.repartition(
+        salted = df.join(F.broadcast(slots), partition_by)
+        hashable = _hashable_cols(df)
+        # xxhash64 rejects MapType (anywhere in a nested type); salt from
+        # the hashable columns, else fall back to a row-id draw — the salt
+        # only spreads placement, it carries no semantics.
+        draw = (
+            F.xxhash64(*[F.col(c) for c in hashable])
+            if hashable
+            else F.monotonically_increasing_id()
+        )
+        salt = F.pmod(draw, F.col("__slots"))
+        shaped = salted.repartition(
             n_out, *[F.col(c) for c in partition_by], salt
-        )
+        ).drop("__slots")
     else:
         shaped = df.repartition(n_out)
     writer = shaped.write.mode("overwrite")

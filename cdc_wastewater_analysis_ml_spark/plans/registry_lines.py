@@ -268,7 +268,12 @@ def q_stream_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_occurrences=2,
         min_chars=1,
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "stream_line_dedup: availableNow stream did not drain in 300 s "
+            "— failing loudly instead of returning a partial sink"
+        )
     return spark.read.parquet(sink_dir).select(
         "doc_id", "text_clean", "lines_kept", "lines_removed"
     )

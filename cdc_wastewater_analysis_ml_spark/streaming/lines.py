@@ -65,18 +65,27 @@ def stream_line_dedup(
     after the run with one re-sum (see :func:`merged_store`)."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        cleaned = remove_hot_lines_vs_store(
-            batch_df,
-            store_df,
-            text_col=text_col,
-            id_col=id_col,
-            max_occurrences=max_occurrences,
-            min_chars=min_chars,
-        )
-        cleaned.write.mode("overwrite").parquet(f"{sink_dir}/batch_id={batch_id}")
-        build_line_store(batch_df, text_col).write.mode("overwrite").parquet(
-            f"{counts_dir}/batch_id={batch_id}"
-        )
+        # Two consumers read the batch source (the clean pass and the
+        # counts side-output): pin it so the micro-batch's text is scanned
+        # once, not re-read per write.
+        batch_df = batch_df.persist()
+        try:
+            cleaned = remove_hot_lines_vs_store(
+                batch_df,
+                store_df,
+                text_col=text_col,
+                id_col=id_col,
+                max_occurrences=max_occurrences,
+                min_chars=min_chars,
+            )
+            cleaned.write.mode("overwrite").parquet(
+                f"{sink_dir}/batch_id={batch_id}"
+            )
+            build_line_store(batch_df, text_col).write.mode("overwrite").parquet(
+                f"{counts_dir}/batch_id={batch_id}"
+            )
+        finally:
+            batch_df.unpersist()
 
     return (
         new_docs.writeStream.foreachBatch(_process)

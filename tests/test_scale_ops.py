@@ -340,13 +340,19 @@ def test_lsh_verified_digest_verify_hashes_before_exchange(spark, sf_small):
     # (exploded) column in the same stage — the string never reaches an
     # exchange: the operator explodes __shs then immediately projects the
     # digest, and Catalyst collapses the two projections.
-    import re
-
-    assert re.search(r"xxhash64", plan), plan[:2000]
     # no string shingle column (__s) survives into any Exchange key
     assert "__s#" not in "".join(
         line for line in plan.splitlines() if "Exchange" in line
     )
+    # and the digest projection sits BELOW the exchanges, not above them:
+    # the tree prints parents first, so a map-side (pre-exchange) xxhash64
+    # appears AFTER the first Exchange line; a hoisted post-shuffle digest
+    # (strings crossing the wire as payload, defeating the optimization
+    # without touching any Exchange KEY) would print before it.
+    lines = plan.splitlines()
+    first_exchange = next(i for i, l in enumerate(lines) if "Exchange" in l)
+    first_hash = next(i for i, l in enumerate(lines) if "xxhash64" in l)
+    assert first_hash > first_exchange, plan[:2000]
 
 
 def test_lsh_verified_semijoin_reduction_matches_unreduced(spark, sf_small):
