@@ -38,17 +38,19 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     "plans/metrics.py": 4,
     # r4: two-phase partition-offset stratified split (plans/ml.py).
     "plans/ml.py": 4,
-    # r9: minhash_lsh_verified's verify stage reworked for the r8 task-2
-    # shuffle audit — 64-bit digest join keys + an adaptive semi-join
-    # reduction (Catalyst-size-gated, selectivity-gated) that cuts the
-    # ov100 verify shuffle 1234→444 MB.  Changed functions:
-    # minhash_lsh_verified + the NEW _verify_jaccard_exploded_hashed /
-    # _estimated_bytes helpers; _verify_jaccard_exploded itself is
-    # byte-untouched, so the incremental/CC/jaccard families keep their
-    # plans and their r7/r8 rows (call-path granularity per the r8
-    # precedent — consumers below are the three minhash_lsh_verified
-    # routes).
-    "operators/dedup.py": 9,
+    # r10: the hashed/semi-join verify is adopted by the remaining
+    # consumers (r9 VERDICT task 1) — jaccard_verify_pairs and
+    # dedup_incremental_near now route _verify_jaccard_exploded_hashed
+    # (digest keys unconditional; adaptive per-side semi-join reduction
+    # behind the PROBE_r09-evidenced gates), and the helper itself gained
+    # per-side reduce_a/reduce_b flags for the asymmetric delta-vs-store
+    # shape (minhash_lsh_verified's call sites updated in kind).  Changed
+    # functions: _verify_jaccard_exploded_hashed, minhash_lsh_verified,
+    # jaccard_verify_pairs, dedup_incremental_near — consumers below are
+    # every query routing through any of them (call-path granularity per
+    # the r8/r9 precedent; connected_components and the candidate
+    # generators are byte-untouched).
+    "operators/dedup.py": 10,
     "operators/caching.py": 5,
     # r6: chunk_documents rejects stride > chunk_tokens (ADVICE r5 #1 —
     # additive guard; module-granularity rule → whole corpus family, which
@@ -118,7 +120,11 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # identical, and result multisets are partition-layout invariant by
     # house rule (tests/test_partition_invariance.py) — consumer set stays
     # empty, same basis as the r7 entry above.
-    "session.py": 9,
+    # r10: the reuse path WARNS when an explicitly-passed master /
+    # shuffle_partitions differs from the live session's (r9 ADVICE — the
+    # silent-drop was intended but unsignalled).  Warning-only: no conf is
+    # set differently, consumer set stays empty.
+    "session.py": 10,
     # r7: docstring-only (Pillow injection recipe, VERDICT r6 task 8) — no
     # executable change, consumer set empty.
     "operators/multimodal.py": 7,
@@ -156,14 +162,12 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # r8: registry.py diff is the registry_analytic tail import ONLY —
     # empty AST-affected query set, file-granularity listing per the rule.
     "plans/registry.py": 8,
-    # r9: _bucket clamps the LOW end too (r8 ADVICE #1 — out-of-domain
-    # values under caller-supplied ranges no longer sign-extend garbage
-    # into the Z-key; vacuous under the registry query's global-min path
-    # but the key expression changed), compact_small_files gets the
-    # sort_cols×partition_by range-key fix + salt-split sizing + the
-    # Connect-safe _dir_bytes fallback (r8 VERDICT task 3 / ADVICE #2-#3;
-    # write-path only, no registry consumer).
-    "operators/layout.py": 9,
+    # r10: compact_small_files only (r9 ADVICE — null-safe slot join so
+    # NULL hive-partition rows survive compaction, deterministic
+    # non-partition-column salt draw).  Write-path only, no registry
+    # consumer; _bucket/zorder untouched, so layout_zorder_key keeps its
+    # r9 row (call-path granularity).
+    "operators/layout.py": 10,
     # r9: _bucket_sql mirrors the greatest(…, 0) clamp term for term.
     "plans/registry_layout.py": 9,
     # r9: build_line_store/merge_line_counts drop the never-used id_col
@@ -217,14 +221,21 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "ml_gbt_pca_metrics",
         "ml_linear_probability_pca_metrics",
     ),
-    # r9 diff = minhash_lsh_verified (+ its two new private helpers):
-    # consumers = every query routing through it.  The r8-changed
-    # functions (jaccard_verify_pairs, dedup_incremental_near) re-greened
-    # in the r8 prefix and are untouched this round.
+    # r10 diff = _verify_jaccard_exploded_hashed (per-side flags) +
+    # minhash_lsh_verified (call-site kwargs) + jaccard_verify_pairs +
+    # dedup_incremental_near (hashed-verify adoption): consumers = every
+    # query routing through any of those four functions.
     "operators/dedup.py": (
+        # minhash_lsh_verified routes:
         "dedup_lsh_verified",
         "dedup_cluster_best",
         "pipeline_corpus_curation",
+        # jaccard_verify_pairs route:
+        "dedup_cluster_cc",
+        # dedup_incremental_near routes:
+        "dedup_incremental_near",
+        "stream_dedup_incremental_near",
+        "pipeline_incremental_ingest",
     ),
     "operators/windows.py": (
         "window_lag",
@@ -323,7 +334,10 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "sim_recall_cost_sweep",
         "sim_cosine_lsh_multi",
     ),
-    "operators/layout.py": ("layout_zorder_key",),
+    # r10 diff = compact_small_files (write-path operator, no registry
+    # query routes through it); layout_zorder_key rides its r9 row —
+    # _bucket and the zorder key expression are byte-untouched.
+    "operators/layout.py": (),
     "plans/registry_layout.py": ("layout_zorder_key",),
     # r9 diff = build_line_store/merge_line_counts signatures (id_col
     # dropped) + merge_line_counts_bucketed: consumers = EVERY query

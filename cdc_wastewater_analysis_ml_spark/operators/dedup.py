@@ -294,7 +294,8 @@ def _verify_jaccard_exploded_hashed(
     pairs: DataFrame,
     id_col: str,
     threshold: float,
-    semijoin_reduce: bool = True,
+    reduce_a: bool = True,
+    reduce_b: bool = True,
 ) -> DataFrame:
     """:func:`_verify_jaccard_exploded` plus the two shuffle cuts the r8
     100× probe pointed at (the verify stage was the worst remaining scaler:
@@ -328,24 +329,29 @@ def _verify_jaccard_exploded_hashed(
     but ~8% wall from cheaper serialization/comparison; it also caps the
     degenerate case above at long-width rows.
 
-    ``semijoin_reduce=True`` requires ``pairs`` to be PERSISTED AND
-    MATERIALIZED by the caller: the filter sets consume it twice more, and
-    — load-bearing — AQE only plans the filters as broadcasts when the
-    candidate sizes are already known when the main action starts; left to
-    materialize in-flight, the exploded exchanges race the id-set stages
-    and the reduction never engages (A/B at ov100: 1116 MB lazy vs 444 MB
-    materialized vs 1234 baseline).  Callers disable it when the candidate
-    set is NOT a selective broadcastable subset (saturated corpora, id
-    sets past the ~4 MB broadcast budget) — the filters then cost their
-    stages and buy nothing (see :func:`minhash_lsh_verified`'s adaptive
-    gate).
+    Reduction flags (``reduce_a`` / ``reduce_b``) require ``pairs`` to be
+    PERSISTED AND MATERIALIZED by the caller when either is set: the filter
+    sets consume it again, and — load-bearing — AQE only plans the filters
+    as broadcasts when the candidate sizes are already known when the main
+    action starts; left to materialize in-flight, the exploded exchanges
+    race the id-set stages and the reduction never engages (A/B at ov100:
+    1116 MB lazy vs 444 MB materialized vs 1234 baseline).  Callers disable
+    a side when its candidate-id set is NOT a selective broadcastable
+    subset (saturated corpora, id sets past the ~4 MB broadcast budget) —
+    the filter then costs its stages and buys nothing (see
+    :func:`minhash_lsh_verified`'s adaptive gate).  The flags are PER SIDE
+    (r10) because the incremental delta-vs-store shape is asymmetric: the
+    ``id_a`` set is bounded by the (tiny) delta even when the store side
+    is saturated, so filtering ``ex_a`` cuts the store's entire exploded
+    contribution from that side regardless of how selective the ``id_b``
+    set is — :func:`dedup_incremental_near` gates the two independently.
 
-    Kept as a SEPARATE function rather than a flag inside
-    :func:`_verify_jaccard_exploded` deliberately: the string-exact helper
-    backs the incremental/CC families whose plans this round does not
-    re-verify — the duplicated join pipeline is the price of not staling
-    five more query families at once (adopt there next round with the A/B
-    evidence from PROBE_r09).
+    r10: this is now THE verify plan for every candidates→verify consumer
+    (:func:`minhash_lsh_verified`, :func:`jaccard_verify_pairs`,
+    :func:`dedup_incremental_near`); the string-keyed
+    :func:`_verify_jaccard_exploded` remains only as the byte-exact
+    opt-out (``hash_verify_shingles=False``) and as the oracle for the
+    digest-equivalence tests.
     """
     if threshold <= 0:
         raise ValueError(
@@ -357,8 +363,9 @@ def _verify_jaccard_exploded_hashed(
     ).select(F.col(id_col), F.xxhash64(F.col("__s")).alias("__h"))
     ex_a = ex.select(F.col(id_col).alias("id_a"), "__h")
     ex_b = ex.select(F.col(id_col).alias("id_b"), "__h")
-    if semijoin_reduce:
+    if reduce_a:
         ex_a = ex_a.join(pairs.select("id_a").distinct(), "id_a", "left_semi")
+    if reduce_b:
         ex_b = ex_b.join(pairs.select("id_b").distinct(), "id_b", "left_semi")
     sz = sh.select(F.col(id_col), F.size(F.col("__shs")).alias("__n"))
     inter = (
@@ -488,7 +495,7 @@ def minhash_lsh_verified(
         # removes (+1.4 s at the 5k-doc rung, A/B'd) — plain digest
         # verify, whole operator one lazy plan.
         out = _verify_jaccard_exploded_hashed(
-            sh, cand, id_col, threshold, semijoin_reduce=False
+            sh, cand, id_col, threshold, reduce_a=False, reduce_b=False
         )
         return scoped_persist(out, sh, banded)
     # Big corpus: materialize the candidate relation (small product of the
@@ -509,7 +516,7 @@ def minhash_lsh_verified(
     n_docs = sh.count()  # cached scan — sh materialized by the barrier
     reduce = 2 * n_pairs <= min(0.5 * n_docs, float(_SEMIJOIN_MAX_IDS))
     out = _verify_jaccard_exploded_hashed(
-        sh, cand, id_col, threshold, semijoin_reduce=reduce
+        sh, cand, id_col, threshold, reduce_a=reduce, reduce_b=reduce
     )
     return scoped_persist(out, sh, banded, cand)
 
@@ -765,6 +772,7 @@ def jaccard_verify_pairs(
     shingle_n: int = 3,
     threshold: float = 0.3,
     assume_distinct: bool = False,
+    hash_verify_shingles: bool = True,
 ) -> DataFrame:
     """Exact Jaccard restricted to a candidate-pair relation ``(id_a, id_b)``
     — the LSH verification stage.
@@ -795,6 +803,22 @@ def jaccard_verify_pairs(
     whose candidate relation is distinct BY CONSTRUCTION (everything from
     :func:`minhash_lsh_candidates`, which ends in ``.distinct()``) pass
     ``True`` to keep the verify plan identical to r7's.
+
+    ``hash_verify_shingles`` (default on, r10): intersections are counted
+    over 64-bit ``xxhash64`` shingle digests with the adaptive semi-join
+    reduction (:func:`_verify_jaccard_exploded_hashed`) — identical
+    Jaccard values up to a ~2⁻⁶⁵·m² per-pair collision chance, for the
+    measured ~3× verify-shuffle cut of PROBE_r09 (the r9
+    ``minhash_lsh_verified`` rework, adopted here per the r9 verdict).
+    Same adaptive gate: a corpus under Catalyst's 16 MB size estimate
+    keeps the whole operator ONE LAZY PLAN (digest keys, no reduction —
+    the reduction's fixed costs exceed the exchanges it removes there);
+    above it the operator is deliberately EAGER — the candidate relation
+    is persisted and counted so AQE knows the filter-set sizes before the
+    main action (the load-bearing barrier, A/B'd in PROBE_r09) and the
+    shingle cache materializes before its four concurrent verify
+    consumers can race it (the r8 lesson).  ``False`` restores the
+    byte-exact string-keyed r7 plan.
     """
     if not assume_distinct:
         # Re-home any scoped cache pins onto the rebound handle: the
@@ -812,8 +836,29 @@ def jaccard_verify_pairs(
         F.col(id_col),
         F.array_distinct(word_shingles(text_col, shingle_n)).alias("__shs"),
     ).persist()
-    out = _verify_jaccard_exploded(sh, pairs, id_col, threshold)
-    return scoped_persist(transfer_cache_scope(pairs, out), sh)
+    if not hash_verify_shingles:
+        out = _verify_jaccard_exploded(sh, pairs, id_col, threshold)
+        return scoped_persist(transfer_cache_scope(pairs, out), sh)
+    if _estimated_bytes(df) < _SEMIJOIN_MIN_INPUT_BYTES:
+        out = _verify_jaccard_exploded_hashed(
+            sh, pairs, id_col, threshold, reduce_a=False, reduce_b=False
+        )
+        return scoped_persist(transfer_cache_scope(pairs, out), sh)
+    # Big corpus: materialize the candidate relation so AQE sees its true
+    # size before planning the filter semi-joins as broadcasts (lazy, the
+    # exploded exchanges race the id-set stages and the reduction never
+    # engages — PROBE_r09 A/B), and so its verify consumers read a warm
+    # cache.  Engage the filters only when the candidate ids are a
+    # SELECTIVE, BROADCASTABLE subset — same gate as
+    # minhash_lsh_verified, same A/B evidence.
+    pairs = pairs.persist()
+    n_pairs = pairs.count()
+    n_docs = sh.count()  # materializes the shingle cache (r8 race lesson)
+    reduce = 2 * n_pairs <= min(0.5 * n_docs, float(_SEMIJOIN_MAX_IDS))
+    out = _verify_jaccard_exploded_hashed(
+        sh, pairs, id_col, threshold, reduce_a=reduce, reduce_b=reduce
+    )
+    return scoped_persist(transfer_cache_scope(pairs, out), sh, pairs)
 
 
 def dedup_incremental_exact(
@@ -992,18 +1037,54 @@ def dedup_incremental_near(
     # r7→r8 win on this operator; PROBE_OPENVOCAB_r08).  The count is one
     # cheap agg over the cache being built anyway; the operator is
     # therefore deliberately EAGER about its shingle cache.
-    sh.count()
-    verified = _verify_jaccard_exploded(
-        sh,
-        cand.select(
-            F.col("id_new").alias("id_a"), F.col("id_store").alias("id_b")
-        ),
-        id_col,
-        threshold,
+    n_docs = sh.count()
+    pairs = cand.select(
+        F.col("id_new").alias("id_a"), F.col("id_store").alias("id_b")
+    )
+    # r10: hashed/semi-join verify adopted from the r9 minhash_lsh_verified
+    # rework (PROBE_r09 A/B evidence) — digest keys unconditional, the
+    # reduction gated PER SIDE because this shape is asymmetric:
+    #
+    # - side A ids ⊆ the DELTA, so the id_a filter set is tiny even when
+    #   the store is saturated, and filtering ex_a removes the WHOLE
+    #   store's exploded contribution from that join side (the union
+    #   relation is store-dominated by construction).  Gate: the set must
+    #   merely be broadcastable — past the ~4 MB budget AQE demotes the
+    #   semi-join to a full shuffle of ex_a, paying the exchange twice.
+    # - side B ids are matched STORE docs (≤ n_pairs, but potentially a
+    #   large store fraction on a boilerplate-heavy corpus): the canonical
+    #   selectivity gate from minhash_lsh_verified applies.
+    #
+    # Small inputs (Catalyst estimate, either side unknown → small) skip
+    # the reduction and the extra candidate barrier entirely — the fixed
+    # costs exceed the exchanges removed there (+1.4 s at the 5k-doc
+    # rung, A/B'd r9).
+    est_new, est_store = _estimated_bytes(new_df), _estimated_bytes(store_df)
+    if (
+        est_new < 0
+        or est_store < 0
+        or est_new + est_store < _SEMIJOIN_MIN_INPUT_BYTES
+    ):
+        verified = _verify_jaccard_exploded_hashed(
+            sh, pairs, id_col, threshold, reduce_a=False, reduce_b=False
+        )
+        matched = verified.select(F.col("id_a").alias(id_col)).distinct()
+        out = new_df.join(matched, id_col, "left_anti")
+        return scoped_persist(transfer_cache_scope(cand, out), sh)
+    # Candidate barrier: persisted + counted so AQE knows the filter-set
+    # sizes before the main action plans the semi-joins as broadcasts
+    # (left lazy the reduction never engages — PROBE_r09), and so the
+    # pair relation's verify consumers read a warm cache.
+    pairs = transfer_cache_scope(cand, pairs.persist())
+    n_pairs = pairs.count()
+    reduce_a = n_pairs <= _SEMIJOIN_MAX_IDS
+    reduce_b = 2 * n_pairs <= min(0.5 * n_docs, float(_SEMIJOIN_MAX_IDS))
+    verified = _verify_jaccard_exploded_hashed(
+        sh, pairs, id_col, threshold, reduce_a=reduce_a, reduce_b=reduce_b
     )
     matched = verified.select(F.col("id_a").alias(id_col)).distinct()
     out = new_df.join(matched, id_col, "left_anti")
-    return scoped_persist(transfer_cache_scope(cand, out), sh)
+    return scoped_persist(transfer_cache_scope(pairs, out), sh, pairs)
 
 
 def connected_components(

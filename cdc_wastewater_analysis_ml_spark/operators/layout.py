@@ -321,16 +321,46 @@ def compact_small_files(
             .cast("int")
             .alias("__slots"),
         )
-        salted = df.join(F.broadcast(slots), partition_by)
-        hashable = _hashable_cols(df)
-        # xxhash64 rejects MapType (anywhere in a nested type); salt from
-        # the hashable columns, else fall back to a row-id draw — the salt
-        # only spreads placement, it carries no semantics.
-        draw = (
-            F.xxhash64(*[F.col(c) for c in hashable])
-            if hashable
-            else F.monotonically_increasing_id()
+        # NULL partition values are legal (they read back from hive
+        # __HIVE_DEFAULT_PARTITION__ dirs as null), and a plain equi-join
+        # on the partition columns would silently DROP those rows from the
+        # compacted output (r9 ADVICE) — join null-safely (`<=>`) against
+        # renamed slot-side keys so null groups keep their slot counts.
+        slot_keys = [f"__pv_{c}" for c in partition_by]
+        slots_b = F.broadcast(
+            slots.select(
+                *[
+                    F.col(c).alias(k)
+                    for c, k in zip(partition_by, slot_keys)
+                ],
+                "__slots",
+            )
         )
+        cond = F.lit(True)
+        for c, k in zip(partition_by, slot_keys):
+            cond = cond & F.col(c).eqNullSafe(F.col(k))
+        salted = df.join(slots_b, cond).drop(*slot_keys)
+        # The salt must vary WITHIN a hive value (it exists to fan a skewed
+        # value over several files), so it hashes the NON-partition columns
+        # only — partition columns are constant inside a directory and
+        # would make the draw degenerate.  xxhash64 rejects MapType
+        # (anywhere in a nested type); fall back to a JSON rendering of the
+        # data columns where none are hashable.  Both draws are
+        # DETERMINISTIC: a non-deterministic one (the r9
+        # monotonically_increasing_id fallback) feeding repartition()
+        # re-hashes rows to different partitions under task retry — the
+        # classic duplicate/lost-row shuffle hazard (r9 ADVICE).  The salt
+        # only spreads placement, so identical rows sharing a slot is fine.
+        data_cols = [c for c in df.columns if c not in set(partition_by)]
+        hashable = [
+            c for c in _hashable_cols(df) if c not in set(partition_by)
+        ]
+        if hashable:
+            draw = F.xxhash64(*[F.col(c) for c in hashable])
+        elif data_cols:
+            draw = F.xxhash64(F.to_json(F.struct(*data_cols)))
+        else:  # partition columns only: every row of a value is identical
+            draw = F.lit(0)
         salt = F.pmod(draw, F.col("__slots"))
         shaped = salted.repartition(
             n_out, *[F.col(c) for c in partition_by], salt

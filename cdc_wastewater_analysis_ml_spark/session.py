@@ -17,6 +17,7 @@ matter at cluster scale and are harmless in local mode:
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import SparkSession
 
@@ -90,6 +91,31 @@ def get_spark(
         except Exception:  # Spark Connect: no sparkContext, but live if listed
             alive = True
         if alive:
+            # Reuse drops any explicitly-passed build args by design — but
+            # silently, which strands a caller who asked for different
+            # parallelism (r9 ADVICE).  Warn when a NON-DEFAULT request
+            # differs from what the live session actually runs.
+            requested = {
+                "spark.sql.shuffle.partitions": (
+                    None if shuffle_partitions is None else str(shuffle_partitions)
+                ),
+                "spark.master": master,
+            }
+            for conf, want in requested.items():
+                if want is None:
+                    continue
+                try:
+                    have = active.conf.get(conf)
+                except Exception:  # conf unreadable (Connect) — nothing to compare
+                    continue
+                if have != want:
+                    warnings.warn(
+                        f"get_spark: reusing the live SparkSession, ignoring "
+                        f"explicit {conf}={want!r} (session has {have!r}); "
+                        "stop the session first to rebuild with new settings",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
             apply_runtime_confs(active)
             return active
     if master is None:

@@ -281,9 +281,18 @@ def test_get_spark_preserves_a_live_sessions_confs(spark):
     tests/test_line_dedup.py)."""
     from cdc_wastewater_analysis_ml_spark.session import get_spark
 
+    import warnings as _warnings
+
     before_parts = spark.conf.get("spark.sql.shuffle.partitions")
     before_name = spark.sparkContext.appName
-    got = get_spark("something-else", shuffle_partitions=7)
+    # The drop must not be SILENT (r9 ADVICE): an explicitly-requested
+    # non-matching setting warns that the live session's value wins.
+    with pytest.warns(RuntimeWarning, match="shuffle.partitions"):
+        got = get_spark("something-else", shuffle_partitions=7)
     assert got is spark
     assert spark.conf.get("spark.sql.shuffle.partitions") == before_parts
     assert spark.sparkContext.appName == before_name
+    # ...and a matching (or defaulted) request stays warning-free.
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        assert get_spark() is spark

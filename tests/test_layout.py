@@ -284,6 +284,69 @@ def test_compact_small_files_splits_large_partition(spark, tmp_path):
     assert spark.read.parquet(out).count() == 400_000
 
 
+def test_compact_small_files_keeps_null_partition_rows(spark, tmp_path):
+    """A hive directory with NULL partition values (written out as
+    __HIVE_DEFAULT_PARTITION__, read back as null) must survive compaction
+    intact: the r9 slot join was a null-unsafe equi-join and silently
+    DROPPED those rows (r9 ADVICE, high)."""
+    import os
+
+    src = str(tmp_path / "nullpart")
+    out = str(tmp_path / "nullpart_out")
+    (
+        spark.range(6_000)
+        .select(
+            F.when(F.col("id") % 3 == 0, None)
+            .otherwise((F.col("id") % 3).cast("string"))
+            .alias("pt"),
+            F.col("id").alias("v"),
+        )
+        .repartition(8)
+        .write.partitionBy("pt")
+        .parquet(src)
+    )
+    assert "pt=__HIVE_DEFAULT_PARTITION__" in os.listdir(src)
+    compact_small_files(spark, src, out, target_mb=512, partition_by=["pt"])
+    back = spark.read.parquet(out)
+    assert back.count() == 6_000
+    assert back.filter(F.col("pt").isNull()).count() == 2_000
+    assert "pt=__HIVE_DEFAULT_PARTITION__" in os.listdir(out)
+
+
+def test_compact_small_files_all_map_schema_deterministic_salt(spark, tmp_path):
+    """Every data column map-typed → xxhash64 can't take any column, so the
+    salt falls back to hashing the row's JSON rendering.  Must stay
+    DETERMINISTIC (a monotonically_increasing_id draw feeding repartition()
+    re-hashes rows to different partitions under task retry — r9 ADVICE)
+    and lose no rows."""
+    src = str(tmp_path / "mapsrc")
+    out = str(tmp_path / "mapout")
+    (
+        spark.range(5_000)
+        .select(
+            (F.col("id") % 2).alias("pt"),
+            F.create_map(
+                F.lit("k"), F.md5(F.col("id").cast("string"))
+            ).alias("payload"),
+        )
+        .repartition(8)
+        .write.partitionBy("pt")
+        .parquet(src)
+    )
+    df = spark.read.parquet(src)
+    from cdc_wastewater_analysis_ml_spark.operators.layout import _hashable_cols
+
+    assert _hashable_cols(df.drop("pt")) == []
+    compact_small_files(
+        spark, src, out, target_mb=1, partition_by=["pt"]
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == 5_000
+    assert back.select("payload").filter(
+        F.col("payload")["k"].isNull()
+    ).count() == 0
+
+
 def test_dir_bytes_local_fallback_matches_jvm(spark, tmp_path):
     """The Spark-Connect fallback (os.walk sizing) must agree with the JVM
     Hadoop FileSystem on a local directory, so sizing-driven n_out is the

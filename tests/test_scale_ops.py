@@ -379,19 +379,49 @@ def test_lsh_verified_semijoin_reduction_matches_unreduced(spark, sf_small):
         reduced = {
             (r.id_a, r.id_b): r.jaccard
             for r in _verify_jaccard_exploded_hashed(
-                sh, pairs, "doc_id", 0.3, semijoin_reduce=True
+                sh, pairs, "doc_id", 0.3, reduce_a=True, reduce_b=True
             ).collect()
         }
         plain = {
             (r.id_a, r.id_b): r.jaccard
             for r in _verify_jaccard_exploded_hashed(
-                sh, pairs, "doc_id", 0.3, semijoin_reduce=False
+                sh, pairs, "doc_id", 0.3, reduce_a=False, reduce_b=False
             ).collect()
         }
         assert reduced == plain and len(reduced) > 0
+        # r10 per-side flags: the asymmetric delta-driven shape
+        # (dedup_incremental_near engages side A alone on saturated
+        # stores) must be the same pure plan optimization.
+        a_only = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in _verify_jaccard_exploded_hashed(
+                sh, pairs, "doc_id", 0.3, reduce_a=True, reduce_b=False
+            ).collect()
+        }
+        assert a_only == plain
     finally:
         sh.unpersist()
         pairs.unpersist()
+
+
+def test_jaccard_verify_pairs_digest_matches_string_verify(spark, sf_small):
+    """r10 adoption: jaccard_verify_pairs now defaults to the digest-keyed
+    verify — pair set and every Jaccard value must stay bit-identical to
+    the byte-exact string-keyed plan (hash_verify_shingles=False)."""
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+
+    def run(hashed):
+        pairs = D.minhash_lsh_candidates(docs, "text", "doc_id")
+        return {
+            (r.id_a, r.id_b): r.jaccard
+            for r in D.jaccard_verify_pairs(
+                docs, pairs, "text", "doc_id", threshold=0.3,
+                assume_distinct=True, hash_verify_shingles=hashed,
+            ).collect()
+        }
+
+    digest_keyed, string_keyed = run(True), run(False)
+    assert digest_keyed == string_keyed and len(digest_keyed) > 0
 
 
 def test_estimated_bytes_connect_fallback():

@@ -27,6 +27,15 @@ def stream_dir(spark, sf_small, tmp_path_factory):
     return d
 
 
+def _drain(q, timeout=300):
+    """awaitTermination with fail-loud timeout handling (r9 ADVICE): a hung
+    availableNow stream must surface as a timeout here, not as a confusing
+    downstream parity-assert failure on a partial sink."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise AssertionError(f"stream did not drain in {timeout} s")
+
+
 def _run_to_memory(spark, sdf, name, mode):
     q = (
         sdf.writeStream.format("memory")
@@ -35,7 +44,7 @@ def _run_to_memory(spark, sdf, name, mode):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _drain(q, 120)
     return spark.sql(f"SELECT * FROM {name}")
 
 
@@ -205,7 +214,7 @@ def test_stream_lag_reordered_multifile_cross_batch_disorder(spark, tmp_path):
         sdf.writeStream.format("memory").queryName("reord_sink")
         .outputMode("append").trigger(availableNow=True).start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     # the disorder must actually straddle micro-batches: 3 files → ≥3 batches
     assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 3
     got = spark.sql("SELECT * FROM reord_sink").toPandas()
@@ -372,7 +381,7 @@ def test_stream_line_dedup_matches_batch_and_merged_store(spark, sf_small, tmp_p
         read_docs_stream(spark, src, maxFilesPerTrigger=1),
         store, sink, counts, ckpt, max_occurrences=2, min_chars=1,
     )
-    q.awaitTermination(300)
+    _drain(q)
     n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
     assert n_batches >= 3, f"expected >=3 micro-batches, got {n_batches}"
 
@@ -428,7 +437,7 @@ def test_stream_near_dedup_matches_batch_and_is_multi_batch(spark, sf_small, tmp
         read_docs_stream(spark, src, maxFilesPerTrigger=1),
         store, sink, ckpt, threshold=0.3,
     )
-    q.awaitTermination(300)
+    _drain(q)
     n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
     assert n_batches >= 3, f"expected >=3 micro-batches, got {n_batches}"
 
