@@ -179,11 +179,13 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # (line_occurrence_counts) route through untouched functions and keep
     # their r8 rows.
     "operators/lines.py": 9,
-    # r9: the incremental-clean oracle SQL moves into the shared
-    # _INCR_CLEAN_SQL constant (byte-identical text; the @register call
-    # expression changed, so the block counts as AST-affected) and the new
-    # stream_line_dedup block lands (r8 VERDICT task 4).
-    "plans/registry_lines.py": 9,
+    # r10: the composite's 4-slice delta CTE moves into the shared
+    # _INGEST_DELTA_CTE constant (byte-identical oracle text, verified;
+    # _ingest_sql is AST-affected so the composite re-verifies) and the
+    # new pipeline_ingest_store_refresh block lands (r9 VERDICT task 5 —
+    # the post-batch store-refresh artifact, oracle-gated end-to-end from
+    # the composite's own delta via merge_line_counts_bucketed).
+    "plans/registry_lines.py": 10,
     # r9 NEW module: foreachBatch streaming twin of the line-dedup ingest
     # (clean-vs-static-store per micro-batch + per-batch counts side-output
     # for the order-independent store refresh).
@@ -351,13 +353,13 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "stream_line_dedup",
         "pipeline_incremental_ingest",
     ),
-    # r9 AST-affected blocks: corpus_line_dedup_incremental (oracle SQL
-    # extracted to the shared constant), the new stream_line_dedup, and the
-    # new end-to-end pipeline_incremental_ingest composite.
+    # r10 AST-affected blocks: pipeline_incremental_ingest (its oracle
+    # helper now composes the shared _INGEST_DELTA_CTE) and the new
+    # pipeline_ingest_store_refresh; the other line queries' blocks are
+    # byte-untouched and keep their r9 rows.
     "plans/registry_lines.py": (
-        "corpus_line_dedup_incremental",
-        "stream_line_dedup",
         "pipeline_incremental_ingest",
+        "pipeline_ingest_store_refresh",
     ),
     "streaming/lines.py": ("stream_line_dedup",),
     "session.py": (),

@@ -327,20 +327,12 @@ def _ingest_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ingest_sql() -> str:
-    from .registry_corpus import _pack_tail_sql
-    from .registry_ext import _minhash_sql, _shingles_sql_d
-
-    sig_cols = ", ".join(_minhash_sql(i) for i in range(8))
-    bands = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_id, "
-        f"concat(minhash_{2 * b}, '|', minhash_{2 * b + 1}) AS band_key FROM {{sig}}"
-        for b in range(4)
-    )
-    norm = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
-    return (
-        _LINED_CTE
-        + f""", delta0 AS (
+#: The composite's 4-slice crawl (near-dup re-crawls, novel docs, exact
+#: re-crawls, ad junk), boilerplate-wrapped — shared between the composite's
+#: oracle and the store-refresh oracle so both gate the SAME delta.
+_INGEST_DELTA_CTE = (
+    _LINED_CTE
+    + f""", delta0 AS (
       SELECT doc_id + {_AUG_OFFSET} AS doc_id,
              concat(text, ' near dup tail') AS text
       FROM documents WHERE doc_id % 5 = 0
@@ -359,7 +351,24 @@ def _ingest_sql() -> str:
     ), delta AS (
       SELECT doc_id, '{_BANNER}' || chr(10) || '' || chr(10) || text ||
              chr(10) || '{_FOOTER}' AS text FROM delta0
-    ), sc AS (
+    )"""
+)
+
+
+def _ingest_sql() -> str:
+    from .registry_corpus import _pack_tail_sql
+    from .registry_ext import _minhash_sql, _shingles_sql_d
+
+    sig_cols = ", ".join(_minhash_sql(i) for i in range(8))
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        f"concat(minhash_{2 * b}, '|', minhash_{2 * b + 1}) AS band_key FROM {{sig}}"
+        for b in range(4)
+    )
+    norm = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+    return (
+        _INGEST_DELTA_CTE
+        + f""", sc AS (
       SELECT line, count(*) AS n
       FROM (SELECT unnest(string_split(text, chr(10))) AS line FROM base) s
       GROUP BY line
@@ -474,3 +483,37 @@ def q_pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
     # so ownership transfers onto the DataFrame actually executed.
     out = transfer_cache_scope(cleaned, out)
     return transfer_cache_scope(survivors_near, out)
+
+
+@register(
+    "pipeline_ingest_store_refresh",
+    _INGEST_DELTA_CTE
+    + """
+    SELECT md5(line) AS line_dig, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT unnest(string_split(text, chr(10))) AS line FROM base
+      UNION ALL
+      SELECT unnest(string_split(text, chr(10))) AS line FROM delta
+    ) l
+    GROUP BY md5(line)
+    """,
+)
+def q_pipeline_ingest_store_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest composite's OTHER production artifact (r9 VERDICT task
+    5): the post-batch line-store refresh, store′ = merge(store, delta
+    counts), computed from the composite's OWN 4-slice crawl — the oracle
+    proves the refreshed store equals a from-scratch count of
+    store ∪ delta.  Counts fold in for EVERY arriving page regardless of
+    which docs survive the downstream gates (line heat is
+    occurrence-based over everything seen, so tomorrow's delta strips
+    today's new boilerplate from its first occurrence).
+
+    Runs the exchange-free-capable plan (merge_line_counts_bucketed: full
+    outer join on the 16-byte digest + summed sides) rather than the
+    union+re-sum shape corpus_line_store_merge gates — at 100 TB the store
+    scan's at-rest bucketing satisfies the join's distribution and only
+    the delta vocabulary is exchanged (plan-pinned in
+    tests/test_line_dedup.py); result-identical here where the store is
+    derived in-plan."""
+    store = LN.build_line_store(_lined_docs(spark, sf_dir))
+    return LN.merge_line_counts_bucketed(store, _ingest_delta(spark, sf_dir))
