@@ -59,13 +59,11 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # r5: fraction_to_hex_threshold(1.0) keeps the 'ffffffff' draw
     # (r4 ADVICE #1).
     "operators/sampling.py": 5,
-    # r8: three stale merge_hint_verify comments rewritten (r7 judge task
-    # 5 — comment-only, AST-neutral) and the q_dedup_cluster_cc call site
-    # pins assume_distinct=True on jaccard_verify_pairs (plan identical to
-    # r7 by construction; AST-affected block = dedup_cluster_cc only, per
-    # the mechanical audit).  Prior consumer list trimmed: every r6/r7
-    # consumer re-greened in the r7 prefix with code unchanged since.
-    "plans/registry_corpus.py": 8,
+    # r10: one stale comment rewritten in q_dedup_cluster_cc (the verify
+    # is now the digest-keyed plan, r10 adoption) — comment-only,
+    # AST-neutral; dedup_cluster_cc re-verifies anyway via the
+    # operators/dedup.py entry.
+    "plans/registry_corpus.py": 10,
     # r6 session 2 NEW module: two-phase partition-offset global prefix sum
     # (consumed by the new corpus_pack_sequences + corpus_shard_assign).
     "operators/prefix.py": 6,

@@ -69,8 +69,9 @@ def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _augmented_docs(spark, sf_dir)
     pairs = D.minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=8, bands=4)
-    # Verification is array-free (r7: _verify_jaccard_exploded counts
-    # intersections over narrow exploded (id, shingle) rows) and the
+    # Verification is array-free (r7) and since r10 digest-keyed with the
+    # adaptive semi-join reduction (_verify_jaccard_exploded_hashed —
+    # intersections counted over narrow exploded (id, xxhash64) rows); the
     # engine-wide 4 MB RUNTIME_CONFS broadcast caps stop any compressed-
     # stats mis-broadcast — no per-call-site join hint exists or is needed.
     # assume_distinct: minhash_lsh_candidates ends in .distinct() (r8).

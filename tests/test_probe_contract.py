@@ -66,6 +66,16 @@ def test_probe_artifacts_are_self_consistent():
                 "big_shuffle_read_mb",
             ):
                 assert isinstance(q[k], (int, float)), (path.name, name, k)
+            # byte_exponent (r10+): when present, it re-derives from the
+            # stored shuffle-write volumes the same way the wall exponent
+            # re-derives from the walls.
+            if q.get("byte_exponent") is not None:
+                bw = q["big_shuffle_write_mb"] / q["small_shuffle_write_mb"]
+                want_b = math.log(bw) / math.log(rec["factor"])
+                assert abs(q["byte_exponent"] - want_b) < 5e-3, (
+                    path.name,
+                    name,
+                )
 
 
 def test_current_round_probe_covers_the_ladder():

@@ -67,6 +67,10 @@ DEFAULT_QUERIES = [
     # grows 100×.  (Not in bench.py HEADLINE: the driver record is 1 query
     # from its length horizon, and this query's story is scale.)
     "pipeline_incremental_ingest",
+    # r10: the composite's store-refresh artifact (full-outer digest merge,
+    # the exchange-free-capable plan) — probed so the refresh stays a
+    # digest-width shuffle as the store grows.
+    "pipeline_ingest_store_refresh",
 ]
 
 SF01 = "/root/testdata/sf0.1"
@@ -156,6 +160,16 @@ def build_record(
             continue
         a, b = a_runs[-1], b_runs[-1]
         ratio = b["sec"] / max(a["sec"], 1e-9)
+        # Byte exponent (r9 VERDICT task 3): for iterative shapes the wall
+        # is machine-phase noisy while shuffle bytes are deterministic
+        # (four r9 cluster_cc runs: walls 111-193 s, bytes byte-identical)
+        # — the byte exponent is the trustworthy scaling metric there.
+        # None when the small rung shuffles < 0.1 MB (a log of ~zero).
+        bw_ratio = (
+            b["shuffle_write_mb"] / a["shuffle_write_mb"]
+            if a["shuffle_write_mb"] >= 0.1
+            else None
+        )
         record["queries"][name] = {
             "small_sec": a["sec"],
             "big_sec": b["sec"],
@@ -165,6 +179,11 @@ def build_record(
             "big_shuffle_read_mb": b["shuffle_read_mb"],
             "wall_ratio": round(ratio, 2),
             "exponent": round(math.log(ratio) / math.log(factor), 3),
+            "byte_exponent": (
+                round(math.log(bw_ratio) / math.log(factor), 3)
+                if bw_ratio
+                else None
+            ),
             "runs_small": a_runs,
             "runs_big": b_runs,
         }
