@@ -182,8 +182,15 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # _ingest_sql is AST-affected so the composite re-verifies) and the
     # new pipeline_ingest_store_refresh block lands (r9 VERDICT task 5 —
     # the post-batch store-refresh artifact, oracle-gated end-to-end from
-    # the composite's own delta via merge_line_counts_bucketed).
+    # the composite's own delta via merge_line_counts_bucketed).  Session 2
+    # additionally splits _ingest_stages_sql out of _ingest_sql
+    # (composite oracle text byte-identical by construction) and adds the
+    # new stream_incremental_ingest block.
     "plans/registry_lines.py": 10,
+    # r10 NEW module: foreachBatch streaming twin of the WHOLE ingest
+    # composite (r9 VERDICT "What's missing #4") — line clean → exact →
+    # near → quality gate chained per micro-batch, counts side-output.
+    "streaming/ingest.py": 10,
     # r9 NEW module: foreachBatch streaming twin of the line-dedup ingest
     # (clean-vs-static-store per micro-batch + per-batch counts side-output
     # for the order-independent store refresh).
@@ -358,7 +365,9 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
     "plans/registry_lines.py": (
         "pipeline_incremental_ingest",
         "pipeline_ingest_store_refresh",
+        "stream_incremental_ingest",
     ),
+    "streaming/ingest.py": ("stream_incremental_ingest",),
     "streaming/lines.py": ("stream_line_dedup",),
     "session.py": (),
     "operators/multimodal.py": (),

@@ -355,8 +355,11 @@ _INGEST_DELTA_CTE = (
 )
 
 
-def _ingest_sql() -> str:
-    from .registry_corpus import _pack_tail_sql
+def _ingest_stages_sql() -> str:
+    """The composite's CTE chain up to (and including) the quality gate —
+    shared between the batch composite's oracle (which appends the packing
+    tail) and the streaming twin's oracle (which selects ``qual``
+    directly: packing is a global prefix sum, out of scope per-batch)."""
     from .registry_ext import _minhash_sql, _shingles_sql_d
 
     sig_cols = ", ".join(_minhash_sql(i) for i in range(8))
@@ -416,10 +419,14 @@ def _ingest_sql() -> str:
       SELECT doc_id, text FROM ex
       WHERE doc_id NOT IN (SELECT id_new FROM matched)
         AND len(string_split({norm}, ' ')) >= 6
-    ),
-    """
-        + _pack_tail_sql("qual")
+    )"""
     )
+
+
+def _ingest_sql() -> str:
+    from .registry_corpus import _pack_tail_sql
+
+    return _ingest_stages_sql() + ",\n    " + _pack_tail_sql("qual")
 
 
 @register("pipeline_incremental_ingest", _ingest_sql())
@@ -517,3 +524,59 @@ def q_pipeline_ingest_store_refresh(spark: SparkSession, sf_dir: str) -> DataFra
     derived in-plan."""
     store = LN.build_line_store(_lined_docs(spark, sf_dir))
     return LN.merge_line_counts_bucketed(store, _ingest_delta(spark, sf_dir))
+
+
+@register(
+    "stream_incremental_ingest",
+    _ingest_stages_sql() + "\n    SELECT doc_id, text FROM qual",
+)
+def q_stream_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest composite as an end-to-end STREAM (streaming/ingest.py —
+    r9 VERDICT "What's missing #4"): the SAME 4-slice crawl the batch
+    composite gates arrives one ingest file per micro-batch
+    (maxFilesPerTrigger=1, 3 files), each micro-batch flows through
+    line-clean → exact-vs-store → near-vs-store → quality gate inside ONE
+    foreachBatch function, survivors land retry-idempotently in per-batch
+    sink partitions and each batch's line counts in the counts side-output
+    (the store-refresh feed, gated batch-side by
+    ``pipeline_ingest_store_refresh``).
+
+    Oracle: the batch composite's OWN stage chain truncated at the quality
+    gate (packing is a global prefix sum over the whole surviving corpus —
+    a post-run batch step, not a per-batch one).  Equality holds because
+    every stage is batch-invariant against a static store: line heat is
+    store-side on this fixture, the exact/near stages are delta-vs-store
+    by contract, the gate is stateless (module docstring spells out each
+    contract)."""
+    import tempfile
+
+    from ..streaming import read_docs_stream, stream_incremental_ingest
+    from .registry_stream_ext import _SEQ
+
+    work = tempfile.mkdtemp(prefix=f"spark_graft_ingeststream_{next(_SEQ)}_")
+    src_dir, sink_dir = f"{work}/in", f"{work}/out"
+    counts_dir, ckpt = f"{work}/counts", f"{work}/ckpt"
+    _ingest_delta(spark, sf_dir).repartition(3).write.mode("overwrite").parquet(
+        src_dir
+    )
+    store_raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    line_store = LN.build_line_store(_lined_docs(spark, sf_dir))
+    q = stream_incremental_ingest(
+        read_docs_stream(spark, src_dir, maxFilesPerTrigger=1),
+        line_store,
+        store_raw,
+        sink_dir,
+        counts_dir,
+        ckpt,
+        max_occurrences=2,
+        min_chars=0,
+        threshold=0.3,
+        min_tokens=6,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "stream_incremental_ingest: availableNow stream did not drain "
+            "in 300 s — failing loudly instead of returning a partial sink"
+        )
+    return spark.read.parquet(sink_dir).select("doc_id", "text")

@@ -1,3 +1,4 @@
+from .ingest import stream_incremental_ingest
 from .lines import merged_store, stream_line_dedup
 from .neardup import read_docs_stream, stream_dedup_incremental_near
 from .ops import (
@@ -24,6 +25,7 @@ __all__ = [
     "stream_dedup_incremental_near",
     "stream_dedup_within_watermark",
     "stream_enrich_static",
+    "stream_incremental_ingest",
     "stream_interval_join",
     "stream_lag_per_key",
     "stream_lag_per_key_event_time",

@@ -451,3 +451,84 @@ def test_stream_near_dedup_matches_batch_and_is_multi_batch(spark, sf_small, tmp
         ).select("doc_id").collect()
     )
     assert got == want and len(want) > 0
+
+
+def test_stream_incremental_ingest_matches_batch_chain(spark, sf_small, tmp_path):
+    """foreachBatch ingest composite (streaming/ingest.py): with static
+    stores, the union of per-micro-batch survivor sets must equal the
+    one-shot batch chain (line clean → exact-vs-store → near-vs-store →
+    quality gate) over the whole 4-slice crawl, the run must actually be
+    incremental (>= 3 micro-batches), survivors must be exactly the novel
+    slice (every other slice dies at its designated stage — the same
+    attribution the batch composite test proves), and the counts
+    side-output re-summed with the store must equal the one-shot
+    merge_line_counts."""
+    from cdc_wastewater_analysis_ml_spark.operators import text as T
+    from cdc_wastewater_analysis_ml_spark.operators.dedup import (
+        dedup_incremental_exact,
+        dedup_incremental_near,
+    )
+    from cdc_wastewater_analysis_ml_spark.operators.lines import (
+        build_line_store,
+        merge_line_counts,
+        remove_hot_lines_vs_store,
+    )
+    from cdc_wastewater_analysis_ml_spark.plans.registry_ext import _NOVEL_OFFSET
+    from cdc_wastewater_analysis_ml_spark.plans.registry_lines import (
+        _ingest_delta,
+        _lined_docs,
+    )
+    from cdc_wastewater_analysis_ml_spark.sources import load_table
+    from cdc_wastewater_analysis_ml_spark.streaming import (
+        merged_store,
+        read_docs_stream,
+        stream_incremental_ingest,
+    )
+    from pyspark.sql import functions as F
+
+    store_raw = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    line_store = build_line_store(_lined_docs(spark, sf_small))
+    delta = _ingest_delta(spark, sf_small)
+    src, sink, counts, ckpt = (
+        str(tmp_path / n) for n in ("src", "sink", "counts", "ckpt")
+    )
+    delta.repartition(3).write.mode("overwrite").parquet(src)
+
+    q = stream_incremental_ingest(
+        read_docs_stream(spark, src, maxFilesPerTrigger=1),
+        line_store, store_raw, sink, counts, ckpt,
+        max_occurrences=2, min_chars=0, threshold=0.3, min_tokens=6,
+    )
+    _drain(q)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 3, f"expected >=3 micro-batches, got {n_batches}"
+
+    got = {
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(sink).select("doc_id", "text").collect()
+    }
+    cleaned = remove_hot_lines_vs_store(
+        delta, line_store, max_occurrences=2, min_chars=0
+    ).select("doc_id", F.col("text_clean").alias("text"))
+    one_shot = dedup_incremental_near(
+        dedup_incremental_exact(cleaned, store_raw, "text", "doc_id"),
+        store_raw, "text", "doc_id", threshold=0.3,
+    ).filter(T.token_count("text") >= 6)
+    want = {(r.doc_id, r.text) for r in one_shot.collect()}
+    assert got == want and len(want) > 0
+    # Stage attribution: only the novel slice survives all four gates.
+    assert all(
+        _NOVEL_OFFSET <= doc_id < _NOVEL_OFFSET + 10_000_000_000
+        for doc_id, _ in got
+    )
+
+    refreshed = {
+        r.line_dig: r.n
+        for r in merged_store(
+            line_store, spark.read.parquet(counts).select("line_dig", "n")
+        ).collect()
+    }
+    want_counts = {
+        r.line_dig: r.n for r in merge_line_counts(line_store, delta).collect()
+    }
+    assert refreshed == want_counts
