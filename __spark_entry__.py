@@ -49,7 +49,12 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # jaccard_verify_pairs, dedup_incremental_near — consumers below are
     # every query routing through any of them (call-path granularity per
     # the r8/r9 precedent; connected_components and the candidate
-    # generators are byte-untouched).
+    # generators are byte-untouched).  Session 2 (r10 review): the
+    # barrier+gate block is deduplicated into _adaptive_hashed_verify,
+    # which now gates each side's reduction on its DISTINCT candidate-id
+    # count (the pair-count proxy disabled the side-A reduction in the
+    # asymmetric case it was built for) and persists a private projection
+    # instead of the caller's pairs handle — same consumer set.
     "operators/dedup.py": 10,
     "operators/caching.py": 5,
     # r6: chunk_documents rejects stride > chunk_tokens (ADVICE r5 #1 —
@@ -239,10 +244,14 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "pipeline_corpus_curation",
         # jaccard_verify_pairs route:
         "dedup_cluster_cc",
-        # dedup_incremental_near routes:
+        # dedup_incremental_near routes (stream_incremental_ingest chains
+        # it per micro-batch via streaming/ingest.py — r10 review: the
+        # tuple is the route map, so the composite must be listed here,
+        # not only under its own modules):
         "dedup_incremental_near",
         "stream_dedup_incremental_near",
         "pipeline_incremental_ingest",
+        "stream_incremental_ingest",
     ),
     "operators/windows.py": (
         "window_lag",

@@ -339,12 +339,13 @@ def _verify_jaccard_exploded_hashed(
     a side when its candidate-id set is NOT a selective broadcastable
     subset (saturated corpora, id sets past the ~4 MB broadcast budget) —
     the filter then costs its stages and buys nothing (see
-    :func:`minhash_lsh_verified`'s adaptive gate).  The flags are PER SIDE
-    (r10) because the incremental delta-vs-store shape is asymmetric: the
-    ``id_a`` set is bounded by the (tiny) delta even when the store side
-    is saturated, so filtering ``ex_a`` cuts the store's entire exploded
-    contribution from that side regardless of how selective the ``id_b``
-    set is — :func:`dedup_incremental_near` gates the two independently.
+    :func:`_adaptive_hashed_verify`, the shared gate).  The flags are PER
+    SIDE (r10) because the incremental delta-vs-store shape is
+    asymmetric: the ``id_a`` set is bounded by the (tiny) delta even when
+    the store side is saturated, so filtering ``ex_a`` cuts the store's
+    entire exploded contribution from that side regardless of how
+    selective the ``id_b`` set is — the shared gate measures each side's
+    DISTINCT id count independently.
 
     r10: this is now THE verify plan for every candidates→verify consumer
     (:func:`minhash_lsh_verified`, :func:`jaccard_verify_pairs`,
@@ -385,6 +386,62 @@ def _verify_jaccard_exploded_hashed(
     return j.select("id_a", "id_b", F.round(jac, 6).alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
+
+
+def _adaptive_hashed_verify(
+    sh: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    threshold: float,
+    n_docs: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Big-corpus verify dispatch shared by the three candidates→verify
+    consumers (the gate previously lived as three hand-kept copies — r10
+    review): materialize the candidate relation under one barrier, gate
+    each side's semi-join reduction on its DISTINCT candidate-id count,
+    and run the digest verify.  Returns ``(verified, persisted_pairs)``;
+    the caller owns the returned pin (scopes it onto the plan it
+    returns).
+
+    The pair relation is re-projected before persisting so a
+    caller-owned (possibly caller-persisted) ``pairs`` handle is never
+    cached — or later uncached by a scope finalizer — behind the
+    caller's back (r10 review; the projection is plan-identical, the
+    cache entry is just privately owned).
+
+    Per-side gates (r10 review fix): the filter set a reduction
+    broadcasts is ``pairs.select(id_x).distinct()``, so the gate
+    measures exactly that set — the distinct id count must fit the
+    ~4 MB broadcast budget (``_SEMIJOIN_MAX_IDS``) and cover at most
+    half the shingled docs (selectivity: filtering removes nothing when
+    most docs are candidates anyway).  The previous pair-COUNT proxy
+    (``2·pairs ≤ min(0.5·docs, MAX_IDS)``) over-estimated both id sets
+    and in particular disabled the side-A reduction in the asymmetric
+    delta-vs-store case the per-side flags were built for — a small
+    delta matching MANY store docs each has a huge pair count but a tiny
+    distinct ``id_a`` set.  One agg job over the freshly persisted pairs
+    yields both distinct counts and doubles as the materialization
+    barrier AQE needs to plan the filters as broadcasts (PROBE_r09 A/B:
+    left lazy, the reduction never engages).
+    """
+    pairs = pairs.select("id_a", "id_b").persist()
+    counts = pairs.agg(
+        F.countDistinct("id_a").alias("na"),
+        F.countDistinct("id_b").alias("nb"),
+    ).collect()[0]
+
+    def _gate(n_ids: int) -> bool:
+        return n_ids <= _SEMIJOIN_MAX_IDS and 2 * n_ids <= n_docs
+
+    out = _verify_jaccard_exploded_hashed(
+        sh,
+        pairs,
+        id_col,
+        threshold,
+        reduce_a=_gate(counts["na"]),
+        reduce_b=_gate(counts["nb"]),
+    )
+    return out, pairs
 
 
 def minhash_lsh_verified(
@@ -498,26 +555,18 @@ def minhash_lsh_verified(
             sh, cand, id_col, threshold, reduce_a=False, reduce_b=False
         )
         return scoped_persist(out, sh, banded)
-    # Big corpus: materialize the candidate relation (small product of the
-    # front half) so its four verify consumers read a warm cache AND —
-    # load-bearing — AQE sees its true size before the main action plans
-    # the filter semi-joins as broadcasts (left lazy, the exploded
-    # exchanges materialize concurrently and the reduction never engages:
-    # 1116 MB vs 444 MB at ov100).  The barrier also fills the sh/banded
-    # caches before their concurrent verify consumers can race them (the
-    # r8 dedup_incremental_near lesson) — amortized at this scale.
-    # Engage the filters only when the candidate ids are a SELECTIVE,
-    # BROADCASTABLE subset: on a corpus where most docs are candidates
-    # they remove nothing, and past the ~4 MB broadcast budget AQE
-    # demotes them to full shuffles of the exploded relation — worse than
-    # no filter (A/B: +456 MB).
-    cand = cand.persist()
-    n_pairs = cand.count()
-    n_docs = sh.count()  # cached scan — sh materialized by the barrier
-    reduce = 2 * n_pairs <= min(0.5 * n_docs, float(_SEMIJOIN_MAX_IDS))
-    out = _verify_jaccard_exploded_hashed(
-        sh, cand, id_col, threshold, reduce_a=reduce, reduce_b=reduce
-    )
+    # Big corpus: the shared adaptive dispatch (_adaptive_hashed_verify)
+    # materializes the candidate relation — load-bearing: AQE sees its
+    # true size before the main action plans the filter semi-joins as
+    # broadcasts (left lazy, the exploded exchanges materialize
+    # concurrently and the reduction never engages: 1116 MB vs 444 MB at
+    # ov100) — and gates each side's reduction on its DISTINCT candidate
+    # id count (selective + broadcastable, per the helper's docstring).
+    # The sh.count() barrier fills the sh/banded caches before their
+    # concurrent verify consumers can race them (the r8
+    # dedup_incremental_near lesson) — amortized at this scale.
+    n_docs = sh.count()
+    out, cand = _adaptive_hashed_verify(sh, cand, id_col, threshold, n_docs)
     return scoped_persist(out, sh, banded, cand)
 
 
@@ -844,21 +893,15 @@ def jaccard_verify_pairs(
             sh, pairs, id_col, threshold, reduce_a=False, reduce_b=False
         )
         return scoped_persist(transfer_cache_scope(pairs, out), sh)
-    # Big corpus: materialize the candidate relation so AQE sees its true
-    # size before planning the filter semi-joins as broadcasts (lazy, the
-    # exploded exchanges race the id-set stages and the reduction never
-    # engages — PROBE_r09 A/B), and so its verify consumers read a warm
-    # cache.  Engage the filters only when the candidate ids are a
-    # SELECTIVE, BROADCASTABLE subset — same gate as
-    # minhash_lsh_verified, same A/B evidence.
-    pairs = pairs.persist()
-    n_pairs = pairs.count()
+    # Big corpus: the shared adaptive dispatch (barrier + per-side
+    # distinct-id gates — _adaptive_hashed_verify's docstring has the
+    # evidence trail).  The caller-owned pairs handle itself is never
+    # persisted (r10 review) — only the helper's private projection,
+    # whose pin is scoped to the returned plan; the caller's generator
+    # pins still transfer off the original handle.
     n_docs = sh.count()  # materializes the shingle cache (r8 race lesson)
-    reduce = 2 * n_pairs <= min(0.5 * n_docs, float(_SEMIJOIN_MAX_IDS))
-    out = _verify_jaccard_exploded_hashed(
-        sh, pairs, id_col, threshold, reduce_a=reduce, reduce_b=reduce
-    )
-    return scoped_persist(transfer_cache_scope(pairs, out), sh, pairs)
+    out, pairs_p = _adaptive_hashed_verify(sh, pairs, id_col, threshold, n_docs)
+    return scoped_persist(transfer_cache_scope(pairs, out), sh, pairs_p)
 
 
 def dedup_incremental_exact(
@@ -1043,17 +1086,13 @@ def dedup_incremental_near(
     )
     # r10: hashed/semi-join verify adopted from the r9 minhash_lsh_verified
     # rework (PROBE_r09 A/B evidence) — digest keys unconditional, the
-    # reduction gated PER SIDE because this shape is asymmetric:
-    #
-    # - side A ids ⊆ the DELTA, so the id_a filter set is tiny even when
-    #   the store is saturated, and filtering ex_a removes the WHOLE
-    #   store's exploded contribution from that join side (the union
-    #   relation is store-dominated by construction).  Gate: the set must
-    #   merely be broadcastable — past the ~4 MB budget AQE demotes the
-    #   semi-join to a full shuffle of ex_a, paying the exchange twice.
-    # - side B ids are matched STORE docs (≤ n_pairs, but potentially a
-    #   large store fraction on a boilerplate-heavy corpus): the canonical
-    #   selectivity gate from minhash_lsh_verified applies.
+    # reduction gated PER SIDE through the shared dispatch because this
+    # shape is asymmetric: side A ids ⊆ the DELTA (a tiny distinct set
+    # even when the store is saturated and each delta doc matches many
+    # store docs — the distinct-id gate engages there, where the old
+    # pair-count proxy wrongly disqualified it); side B ids are matched
+    # STORE docs, gated by the same selectivity + broadcastability test
+    # against the union relation.
     #
     # Small inputs (Catalyst estimate, either side unknown → small) skip
     # the reduction and the extra candidate barrier entirely — the fixed
@@ -1071,20 +1110,16 @@ def dedup_incremental_near(
         matched = verified.select(F.col("id_a").alias(id_col)).distinct()
         out = new_df.join(matched, id_col, "left_anti")
         return scoped_persist(transfer_cache_scope(cand, out), sh)
-    # Candidate barrier: persisted + counted so AQE knows the filter-set
-    # sizes before the main action plans the semi-joins as broadcasts
-    # (left lazy the reduction never engages — PROBE_r09), and so the
-    # pair relation's verify consumers read a warm cache.
-    pairs = transfer_cache_scope(cand, pairs.persist())
-    n_pairs = pairs.count()
-    reduce_a = n_pairs <= _SEMIJOIN_MAX_IDS
-    reduce_b = 2 * n_pairs <= min(0.5 * n_docs, float(_SEMIJOIN_MAX_IDS))
-    verified = _verify_jaccard_exploded_hashed(
-        sh, pairs, id_col, threshold, reduce_a=reduce_a, reduce_b=reduce_b
+    # Candidate barrier + per-side gates via the shared dispatch (the
+    # candidate generator's pins re-home onto the persisted projection,
+    # then onto the plan actually returned).
+    verified, pairs_p = _adaptive_hashed_verify(
+        sh, pairs, id_col, threshold, n_docs
     )
+    pairs_p = transfer_cache_scope(cand, pairs_p)
     matched = verified.select(F.col("id_a").alias(id_col)).distinct()
     out = new_df.join(matched, id_col, "left_anti")
-    return scoped_persist(transfer_cache_scope(pairs, out), sh, pairs)
+    return scoped_persist(transfer_cache_scope(pairs_p, out), sh, pairs_p)
 
 
 def connected_components(

@@ -244,6 +244,45 @@ def _hashable_cols(df: DataFrame) -> list[str]:
     return [f.name for f in df.schema.fields if not has_map(f.dataType)]
 
 
+def _salt_draw(df: DataFrame, partition_by: list[str]) -> Column:
+    """The within-value salt draw for :func:`compact_small_files`'s
+    ``partition_by`` path.  The salt must vary WITHIN a hive value (it
+    exists to fan a skewed value over several files), so it hashes the
+    NON-partition columns only — partition columns are constant inside a
+    directory and would make the draw degenerate.  ``xxhash64`` rejects
+    MapType (anywhere in a nested type); fall back to a JSON rendering
+    of the data columns where none are hashable.  Every branch is
+    retry-stable: a non-deterministic draw (the rejected r9
+    ``monotonically_increasing_id``) feeding ``repartition()`` re-hashes
+    rows to different partitions under task retry — the classic
+    duplicate/lost-row shuffle hazard (r9 ADVICE).  The salt only
+    spreads placement, so identical rows sharing a slot is fine.
+
+    Extracted (r10 review) so tests can pin the expression per schema
+    shape instead of trusting the docstring.
+    """
+    data_cols = [c for c in df.columns if c not in set(partition_by)]
+    hashable = [c for c in _hashable_cols(df) if c not in set(partition_by)]
+    if hashable:
+        return F.xxhash64(*[F.col(c) for c in hashable])
+    if data_cols:
+        return F.xxhash64(F.to_json(F.struct(*data_cols)))
+    # Partition columns only: rows of a value are IDENTICAL, so no
+    # deterministic function of row content can vary within the value —
+    # and the case is unreachable for any layout the compaction could
+    # write back anyway (Spark's writer rejects partitioning on every
+    # column: ALL_PARTITION_COLUMNS_NOT_ALLOWED).  The prior silent
+    # F.lit(0) fallback stuffed a skewed value into one single-task file
+    # and then died cryptically at the write (r10 review) — fail fast
+    # with the real reason instead.
+    raise ValueError(
+        "compact_small_files: partition_by covers every column — Spark "
+        "cannot write a table whose columns are all partition columns "
+        "(ALL_PARTITION_COLUMNS_NOT_ALLOWED); keep at least one data "
+        "column or drop partition_by"
+    )
+
+
 def compact_small_files(
     spark: SparkSession,
     path: str,
@@ -340,28 +379,9 @@ def compact_small_files(
         for c, k in zip(partition_by, slot_keys):
             cond = cond & F.col(c).eqNullSafe(F.col(k))
         salted = df.join(slots_b, cond).drop(*slot_keys)
-        # The salt must vary WITHIN a hive value (it exists to fan a skewed
-        # value over several files), so it hashes the NON-partition columns
-        # only — partition columns are constant inside a directory and
-        # would make the draw degenerate.  xxhash64 rejects MapType
-        # (anywhere in a nested type); fall back to a JSON rendering of the
-        # data columns where none are hashable.  Both draws are
-        # DETERMINISTIC: a non-deterministic one (the r9
-        # monotonically_increasing_id fallback) feeding repartition()
-        # re-hashes rows to different partitions under task retry — the
-        # classic duplicate/lost-row shuffle hazard (r9 ADVICE).  The salt
-        # only spreads placement, so identical rows sharing a slot is fine.
-        data_cols = [c for c in df.columns if c not in set(partition_by)]
-        hashable = [
-            c for c in _hashable_cols(df) if c not in set(partition_by)
-        ]
-        if hashable:
-            draw = F.xxhash64(*[F.col(c) for c in hashable])
-        elif data_cols:
-            draw = F.xxhash64(F.to_json(F.struct(*data_cols)))
-        else:  # partition columns only: every row of a value is identical
-            draw = F.lit(0)
-        salt = F.pmod(draw, F.col("__slots"))
+        # Retry-stable within-value draw — expression per schema shape
+        # pinned by tests via _salt_draw (r10 review).
+        salt = F.pmod(_salt_draw(df, partition_by), F.col("__slots"))
         shaped = salted.repartition(
             n_out, *[F.col(c) for c in partition_by], salt
         ).drop("__slots")

@@ -100,6 +100,14 @@ def get_spark(
                     None if shuffle_partitions is None else str(shuffle_partitions)
                 ),
                 "spark.master": master,
+                # app_name defaults to a concrete string rather than None:
+                # only a caller who CHANGED it asked for anything (r10
+                # review — the third silently-dropped build arg).
+                "spark.app.name": (
+                    app_name
+                    if app_name != "cdc-wastewater-analysis-ml-spark"
+                    else None
+                ),
             }
             for conf, want in requested.items():
                 if want is None:

@@ -292,6 +292,11 @@ def test_get_spark_preserves_a_live_sessions_confs(spark):
     assert got is spark
     assert spark.conf.get("spark.sql.shuffle.partitions") == before_parts
     assert spark.sparkContext.appName == before_name
+    # A changed app name alone is also an explicit, dropped request — it
+    # must warn too (r10 review: it was the third silently-dropped build
+    # arg after master/shuffle_partitions).
+    with pytest.warns(RuntimeWarning, match="app.name"):
+        assert get_spark("something-else") is spark
     # ...and a matching (or defaulted) request stays warning-free.
     with _warnings.catch_warnings():
         _warnings.simplefilter("error")

@@ -345,6 +345,34 @@ def test_compact_small_files_all_map_schema_deterministic_salt(spark, tmp_path):
     assert back.select("payload").filter(
         F.col("payload")["k"].isNull()
     ).count() == 0
+    # Pin the draw EXPRESSION, not just the outcome (r10 review: count
+    # parity holds for a non-deterministic draw too, so the prior
+    # assertions never guarded the regression they were written for):
+    # the all-map schema must route the to_json rendering, and nothing
+    # in the draw may be the rejected monotonically_increasing_id.
+    from cdc_wastewater_analysis_ml_spark.operators.layout import _salt_draw
+
+    expr = str(_salt_draw(df, ["pt"]))
+    assert "xxhash64" in expr and "to_json" in expr
+    assert "monotonically" not in expr
+
+
+def test_salt_draw_partition_cols_only_fails_fast(spark):
+    """Schema whose every column is a partition column: rows of a value
+    are literally identical, so no deterministic row-content draw can
+    exist — and Spark's own writer rejects all-partition-column tables
+    (ALL_PARTITION_COLUMNS_NOT_ALLOWED), so the compaction could never
+    write the result either.  The draw must fail fast with the real
+    reason (r10 review: the prior silent F.lit(0) collapsed a skewed
+    value into one single-task file, then died cryptically at the
+    write)."""
+    import pytest
+
+    from cdc_wastewater_analysis_ml_spark.operators.layout import _salt_draw
+
+    df = spark.range(10).select((F.col("id") % 3).alias("pt"))
+    with pytest.raises(ValueError, match="ALL_PARTITION_COLUMNS"):
+        _salt_draw(df, ["pt"])
 
 
 def test_dir_bytes_local_fallback_matches_jvm(spark, tmp_path):
