@@ -278,15 +278,28 @@ _SEMIJOIN_MAX_IDS = 400_000
 _SEMIJOIN_MIN_INPUT_BYTES = 16 * 1024 * 1024
 
 
+#: Estimates at/above this are Catalyst's STAT-LESS sentinel, not a size:
+#: RDD-backed and other stat-less leaves default ``sizeInBytes`` to
+#: ``spark.sql.defaultSizeInBytes`` (Long.Max), and upstream operators
+#: only ever shrink or cap it.  2^60 ≈ 1.15 EB sits orders of magnitude
+#: above any real corpus estimate (100 TB ≈ 2^47) and well below any
+#: selectivity-scaled sentinel worth trusting.
+_STATLESS_SENTINEL_BYTES = 1 << 60
+
+
 def _estimated_bytes(df: DataFrame) -> int:
     """Catalyst's optimizer size estimate for ``df`` — driver-side plan
     metadata, runs no job.  Returns -1 where the internal JVM handle is
-    unavailable (Spark Connect): callers treat that as small/unknown and
-    stay on the lazy conservative plan."""
+    unavailable (Spark Connect) OR the estimate is the stat-less
+    ``defaultSizeInBytes`` sentinel (RDD-backed / no-stats lineage, r9
+    ADVICE — a tiny in-memory corpus must not route to the eager
+    big-corpus path on a fictitious Long.Max estimate): callers treat
+    both as small/unknown and stay on the lazy conservative plan."""
     try:
-        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:
         return -1
+    return -1 if est >= _STATLESS_SENTINEL_BYTES else est
 
 
 def _verify_jaccard_exploded_hashed(

@@ -439,6 +439,37 @@ def test_estimated_bytes_connect_fallback():
     assert _estimated_bytes(_NoJdf()) == -1
 
 
+def test_estimated_bytes_statless_lineage_reads_unknown(spark):
+    """An RDD-backed DataFrame has no stats, so Catalyst reports the
+    defaultSizeInBytes sentinel (Long.Max) — _estimated_bytes must map
+    that to -1/unknown so a tiny in-memory corpus stays on the lazy
+    conservative plan instead of routing to the eager big-corpus path on
+    a fictitious estimate (r9 ADVICE).  A parquet-backed frame of the
+    same rows keeps its real (small, positive) file-derived estimate."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from cdc_wastewater_analysis_ml_spark.operators.dedup import (
+        _estimated_bytes,
+    )
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ])
+    rows = [(i, f"doc {i} body") for i in range(10)]
+    rdd_backed = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows), schema
+    )
+    assert _estimated_bytes(rdd_backed) == -1
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(d)
+        est = _estimated_bytes(spark.read.parquet(d))
+        assert 0 < est < 16 * 1024 * 1024
+
+
 def test_fused_lsh_verified_hot_bucket_guard(spark):
     """The fused operator carries the same hot-bucket guard contract."""
     docs = spark.range(200).select(

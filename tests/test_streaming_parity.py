@@ -303,7 +303,7 @@ def test_stream_dedup_within_watermark_bounded_state_contract(spark, tmp_path):
         sdf.writeStream.format("memory").queryName("dd_wm_sink")
         .outputMode("append").trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    _drain(q, 120)
     got = spark.sql("SELECT user_id, ts FROM dd_wm_sink").toPandas()
     counts = got.groupby("user_id").size().to_dict()
     assert counts == {1: 2, 3: 1, 9: 1}, counts  # K=1 re-admitted, K=3 deduped
@@ -339,7 +339,7 @@ def test_stream_sink_parquet_exactly_once_across_restart(spark, tmp_path):
             read_events_stream(spark, src_dir).select("event_id", "user_id"),
             out_dir, ckpt,
         )
-        q.awaitTermination(120)
+        _drain(q, 120)
         got = spark.read.parquet(out_dir)
         assert got.count() == expected
         assert got.select("event_id").distinct().count() == expected
