@@ -636,3 +636,40 @@ def test_vs_store_hot_bucket_guard(spark):
     assert out.count() == 5
     # default (no cap): all 5 delta docs match the store and are removed
     assert D.dedup_incremental_near(delta, store, "text", "doc_id").count() == 0
+
+
+def test_adaptive_verify_gates_on_distinct_ids_per_side(spark, monkeypatch):
+    """Pin the r10 gate DECISION, not just result equivalence (which holds
+    for any flag combination, so the equivalence tests above cannot catch
+    a gate regression): _adaptive_hashed_verify must gate each side on its
+    DISTINCT candidate-id count.  The asymmetric delta-vs-store shape is
+    the case the old pair-COUNT proxy got wrong — one delta doc matching
+    60 of 100 store docs has 60 pairs (proxy: 2*60 > 0.5*100 -> both
+    sides off) but a 1-element id_a set, so side A must engage while the
+    unselective side B (60 ids > half the docs) stays off."""
+    captured = {}
+    real = D._verify_jaccard_exploded_hashed
+
+    def spy(sh, pairs, id_col, threshold, *, reduce_a, reduce_b):
+        captured["flags"] = (reduce_a, reduce_b)
+        return real(sh, pairs, id_col, threshold,
+                    reduce_a=reduce_a, reduce_b=reduce_b)
+
+    monkeypatch.setattr(D, "_verify_jaccard_exploded_hashed", spy)
+    sh = spark.createDataFrame(
+        [(i, [f"s{i}", "common"]) for i in range(100)],
+        "doc_id long, __shs array<string>",
+    )
+
+    def gates(pair_rows):
+        pairs = spark.createDataFrame(pair_rows, "id_a long, id_b long")
+        out, pairs_p = D._adaptive_hashed_verify(sh, pairs, "doc_id", 0.1, 100)
+        pairs_p.unpersist()
+        return captured.pop("flags")
+
+    # Asymmetric: 1 distinct id_a, 60 distinct id_b over 100 docs.
+    assert gates([(0, b) for b in range(1, 61)]) == (True, False)
+    # Selective symmetric: 10 ids per side -> both engage.
+    assert gates([(a, a + 1) for a in range(0, 20, 2)]) == (True, True)
+    # Saturated symmetric: 60 ids per side (> half the docs) -> both off.
+    assert gates([(a, a + 1) for a in range(1, 61)]) == (False, False)
