@@ -54,7 +54,13 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # which now gates each side's reduction on its DISTINCT candidate-id
     # count (the pair-count proxy disabled the side-A reduction in the
     # asymmetric case it was built for) and persists a private projection
-    # instead of the caller's pairs handle — same consumer set.
+    # instead of the caller's pairs handle — same consumer set.  Session 3
+    # (r10 review): threshold validated BEFORE the eager barrier (error
+    # path only — a failing call no longer orphans the private pair
+    # cache), and the stat-less estimate sentinel lowered 2^60 → 2^50 to
+    # catch Project-width-scaled sentinels (routing-only for fictitious
+    # estimates; every real input's plan and results unchanged, both
+    # paths result-equivalent by test) — same consumer set.
     "operators/dedup.py": 10,
     "operators/caching.py": 5,
     # r6: chunk_documents rejects stride > chunk_tokens (ADVICE r5 #1 —
@@ -126,7 +132,9 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # r10: the reuse path WARNS when an explicitly-passed master /
     # shuffle_partitions differs from the live session's (r9 ADVICE — the
     # silent-drop was intended but unsignalled).  Warning-only: no conf is
-    # set differently, consumer set stays empty.
+    # set differently, consumer set stays empty.  Session 3: the default
+    # app-name literal hoisted into _DEFAULT_APP_NAME (shared by signature
+    # and comparison — behavior-neutral, consumer set stays empty).
     "session.py": 10,
     # r7: docstring-only (Pillow injection recipe, VERDICT r6 task 8) — no
     # executable change, consumer set empty.
@@ -366,6 +374,14 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "corpus_line_store_merge",
         "stream_line_dedup",
         "pipeline_incremental_ingest",
+        # r10 review: the tuple is the forward route map, so the two
+        # r10-new queries that route build_line_store /
+        # merge_line_counts_bucketed / remove_hot_lines_vs_store must be
+        # listed the moment they exist — a future lines.py change that
+        # bumps the round must stale them too, not ride the coincidence
+        # that they were new when the module last changed.
+        "pipeline_ingest_store_refresh",
+        "stream_incremental_ingest",
     ),
     # r10 AST-affected blocks: pipeline_incremental_ingest (its oracle
     # helper now composes the shared _INGEST_DELTA_CTE) and the new

@@ -278,13 +278,19 @@ _SEMIJOIN_MAX_IDS = 400_000
 _SEMIJOIN_MIN_INPUT_BYTES = 16 * 1024 * 1024
 
 
-#: Estimates at/above this are Catalyst's STAT-LESS sentinel, not a size:
-#: RDD-backed and other stat-less leaves default ``sizeInBytes`` to
-#: ``spark.sql.defaultSizeInBytes`` (Long.Max), and upstream operators
-#: only ever shrink or cap it.  2^60 ≈ 1.15 EB sits orders of magnitude
-#: above any real corpus estimate (100 TB ≈ 2^47) and well below any
-#: selectivity-scaled sentinel worth trusting.
-_STATLESS_SENTINEL_BYTES = 1 << 60
+#: Estimates at/above this are a STAT-LESS artifact, not a size: RDD-backed
+#: and other stat-less leaves default ``sizeInBytes`` to
+#: ``spark.sql.defaultSizeInBytes`` (Long.Max), and the default (non-CBO)
+#: stats visitor only ever SCALES that downward — a Project multiplies the
+#: child estimate by the output/child row-width ratio, so a narrow
+#: projection of a stat-less leaf lands at Long.Max/width_ratio, orders of
+#: magnitude below Long.Max yet still fictitious (r10 review: a
+#: 2-column select from a wide RDD-backed frame reads ~2^58, which a
+#: Long.Max-only check waves through to the eager path).  2^50 ≈ 1.1 PB
+#: still sits 8× above the 100 TB design envelope — no real single-input
+#: estimate reaches it — while catching width-scaled sentinels down to a
+#: 1/8192 projection ratio.
+_STATLESS_SENTINEL_BYTES = 1 << 50
 
 
 def _estimated_bytes(df: DataFrame) -> int:
@@ -437,6 +443,16 @@ def _adaptive_hashed_verify(
     barrier AQE needs to plan the filters as broadcasts (PROBE_r09 A/B:
     left lazy, the reduction never engages).
     """
+    if threshold <= 0:
+        # Validate BEFORE the eager barrier (r10 review): the digest
+        # verify raises the same error, but only after this helper has
+        # already run candidate generation and persisted the private pair
+        # cache — which the exception would then orphan for the session
+        # lifetime (no handle survives to unpersist it).
+        raise ValueError(
+            "threshold must be > 0 (zero-overlap pairs are dropped by the "
+            "intersection join)"
+        )
     pairs = pairs.select("id_a", "id_b").persist()
     counts = pairs.agg(
         F.countDistinct("id_a").alias("na"),

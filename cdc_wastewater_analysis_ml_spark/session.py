@@ -61,8 +61,14 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+#: Shared by the signature default and the reuse-warning comparison below —
+#: two hardcoded copies could drift, making every default-argument call
+#: warn spuriously (r10 review).
+_DEFAULT_APP_NAME = "cdc-wastewater-analysis-ml-spark"
+
+
 def get_spark(
-    app_name: str = "cdc-wastewater-analysis-ml-spark",
+    app_name: str = _DEFAULT_APP_NAME,
     master: str | None = None,
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
@@ -104,9 +110,7 @@ def get_spark(
                 # only a caller who CHANGED it asked for anything (r10
                 # review — the third silently-dropped build arg).
                 "spark.app.name": (
-                    app_name
-                    if app_name != "cdc-wastewater-analysis-ml-spark"
-                    else None
+                    app_name if app_name != _DEFAULT_APP_NAME else None
                 ),
             }
             for conf, want in requested.items():

@@ -462,6 +462,22 @@ def test_estimated_bytes_statless_lineage_reads_unknown(spark):
     )
     assert _estimated_bytes(rdd_backed) == -1
 
+    # r10 review: the default (non-CBO) stats visitor SCALES the sentinel —
+    # a Project multiplies the child estimate by the output/child row-width
+    # ratio, so a narrow projection of a wide stat-less frame reads
+    # Long.Max/width_ratio: far below Long.Max, still pure fiction.  The
+    # sentinel cut-off must catch the scaled value too, or the projection
+    # routes a tiny in-memory corpus to the eager big-corpus path.
+    wide_schema = StructType(
+        [StructField("doc_id", LongType())]
+        + [StructField(f"pad_{i}", StringType()) for i in range(30)]
+    )
+    wide_rows = [tuple([i] + ["x" * 50] * 30) for i in range(10)]
+    wide_rdd_backed = spark.createDataFrame(
+        spark.sparkContext.parallelize(wide_rows), wide_schema
+    )
+    assert _estimated_bytes(wide_rdd_backed.select("doc_id", "pad_0")) == -1
+
     import tempfile
 
     with tempfile.TemporaryDirectory() as d:

@@ -112,3 +112,38 @@ def test_consumer_lists_name_real_queries():
     }
     unknown = {m: ns for m, ns in unknown.items() if ns}
     assert not unknown, f"consumer names not in registry: {unknown}"
+
+
+def test_mid_round_snapshot_does_not_advance_epoch(tmp_path):
+    """r10 seam: when a session is interrupted, the driver commits
+    ``round N: end-of-round snapshot`` MID-round and building continues
+    after it (observed r4 and r10).  The snapshot is not a verification
+    event — the round-N driver check still lies ahead — so it must advance
+    neither the epoch nor the diff base: edits after it belong to round N
+    (the check that will verify them), and edits it committed must stay
+    visible to the changed-files audit."""
+    subprocess.run(["git", "-C", str(tmp_path), "init", "-q"], check=True)
+    env_args = ["-c", "user.email=t@t", "-c", "user.name=t"]
+
+    def commit(msg):
+        (tmp_path / "f").write_text(msg)
+        subprocess.run(
+            ["git", "-C", str(tmp_path), *env_args, "add", "."], check=True
+        )
+        subprocess.run(
+            ["git", "-C", str(tmp_path), *env_args, "commit", "-q", "-m", msg],
+            check=True,
+        )
+
+    commit("round 9: verdict/advice/correctness/bench")
+    verdict_sha = subprocess.run(
+        ["git", "-C", str(tmp_path), "rev-parse", "HEAD"],
+        check=True, capture_output=True, text=True,
+    ).stdout.strip()
+    assert staleness.current_round(tmp_path) == 10
+    commit("builder work, session 1")
+    commit("round 10: end-of-round snapshot (33 turns, 979s)")
+    # Building continues in a restarted session: still round 10, still
+    # diffing against the round-9 verdict.
+    assert staleness.current_round(tmp_path) == 10
+    assert staleness.base_commit(tmp_path) == verdict_sha

@@ -37,8 +37,8 @@ def repo_root() -> Path:
 
 
 def current_round(root: Path) -> int:
-    """Round currently being built = 1 + the round of the latest ``round N:``
-    driver marker commit.
+    """Round currently being built = 1 + the round of the latest
+    ``round N: verdict`` driver marker commit.
 
     Derived from the MARKER, not from the ``CORRECTNESS_r*.json`` artifacts
     (the r6 judge seam): the driver drops ``CORRECTNESS_r{N}.json`` BEFORE it
@@ -49,10 +49,19 @@ def current_round(root: Path) -> int:
     advance together, so marker-derived rounds keep "changed since base" and
     "registered at current round" consistent at every commit, including the
     judge seam (VERDICT r6 task 1).
+
+    Only the VERDICT marker advances the epoch (r10 seam): the driver also
+    commits ``round N: end-of-round snapshot`` checkpoints, and when a round
+    is split across interrupted sessions a snapshot can land MID-round with
+    building continuing after it (observed r4 and r10).  A snapshot is not a
+    verification event — the round-N driver check still lies ahead — so
+    treating it as the epoch boundary would demand round-N+1 registration
+    for edits the round-N check will verify, and (worse) hide the round's
+    earlier, snapshot-committed edits from the changed-files audit.
     """
     try:
         out = _git(
-            root, "log", "-E", "--grep", r"^round [0-9]+:", "-n", "1",
+            root, "log", "-E", "--grep", r"^round [0-9]+: verdict", "-n", "1",
             "--format=%s",
         ).strip()
     except subprocess.CalledProcessError:  # unborn branch: no commits at all
@@ -80,9 +89,12 @@ def _git(root: Path, *args: str) -> str:
 
 
 def base_commit(root: Path) -> str | None:
-    """The previous round's driver commit (subject ``round N: ...``)."""
+    """The previous round's driver VERDICT commit (subject ``round N:
+    verdict/...``) — snapshots don't advance the diff base, matching
+    :func:`current_round`'s epoch rule."""
     out = _git(
-        root, "log", "-E", "--grep", r"^round [0-9]+:", "-n", "1", "--format=%H"
+        root, "log", "-E", "--grep", r"^round [0-9]+: verdict", "-n", "1",
+        "--format=%H",
     ).strip()
     return out or None
 
