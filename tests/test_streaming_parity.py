@@ -532,3 +532,85 @@ def test_stream_incremental_ingest_matches_batch_chain(spark, sf_small, tmp_path
         r.line_dig: r.n for r in merge_line_counts(line_store, delta).collect()
     }
     assert refreshed == want_counts
+
+
+def test_stream_incremental_ingest_replayed_batch_is_idempotent(
+    spark, sf_small, tmp_path
+):
+    """foreachBatch is at-least-once: if the process dies AFTER a batch's
+    sink writes but BEFORE its checkpoint commit lands, the restarted
+    query re-runs the same batch_id with the same data.  The composite's
+    retry-idempotence claim (overwrite into per-batch ``batch_id=N/``
+    dirs) must hold under that replay: survivors are not duplicated and —
+    the sharper hazard — the counts side-output is not double-counted
+    into the store refresh.  Simulated faithfully by deleting the LAST
+    checkpoint commit file (the offsets log survives, so the restart
+    reconstructs the identical batch) and restarting."""
+    from pathlib import Path
+
+    from cdc_wastewater_analysis_ml_spark.operators.lines import build_line_store
+    from cdc_wastewater_analysis_ml_spark.plans.registry_lines import (
+        _ingest_delta,
+        _lined_docs,
+    )
+    from cdc_wastewater_analysis_ml_spark.sources import load_table
+    from cdc_wastewater_analysis_ml_spark.streaming import (
+        read_docs_stream,
+        stream_incremental_ingest,
+    )
+
+    store_raw = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    line_store = build_line_store(_lined_docs(spark, sf_small))
+    src, sink, counts, ckpt = (
+        str(tmp_path / n) for n in ("src", "sink", "counts", "ckpt")
+    )
+    _ingest_delta(spark, sf_small).repartition(3).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    def run():
+        q = stream_incremental_ingest(
+            read_docs_stream(spark, src, maxFilesPerTrigger=1),
+            line_store, store_raw, sink, counts, ckpt,
+            max_occurrences=2, min_chars=0, threshold=0.3, min_tokens=6,
+        )
+        _drain(q)
+        return q
+
+    run()
+    survivors = sorted(
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(sink).select("doc_id", "text").collect()
+    )
+    count_totals = sorted(
+        (r.line_dig, r.n)
+        for r in spark.read.parquet(counts).select("line_dig", "n").collect()
+    )
+    assert len(survivors) > 0 and len(count_totals) > 0
+
+    commits = sorted(
+        (p for p in Path(ckpt, "commits").iterdir() if p.name.isdigit()),
+        key=lambda p: int(p.name),
+    )
+    assert len(commits) >= 3  # one per ingest file under maxFilesPerTrigger=1
+    commits[-1].unlink()  # die between sink write and checkpoint commit
+    # The local checksummed FS leaves a .N.crc sidecar the crashed process
+    # would never have written; left behind it fails the replay's atomic
+    # commit rename (FileAlreadyExists -> misreported as a concurrent
+    # query), so remove it with the commit file it shadows.
+    crc = commits[-1].with_name(f".{commits[-1].name}.crc")
+    if crc.exists():
+        crc.unlink()
+
+    q2 = run()
+    replayed = [p for p in q2.recentProgress if p["numInputRows"] > 0]
+    assert replayed, "restart must actually re-run the uncommitted batch"
+
+    assert sorted(
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(sink).select("doc_id", "text").collect()
+    ) == survivors
+    assert sorted(
+        (r.line_dig, r.n)
+        for r in spark.read.parquet(counts).select("line_dig", "n").collect()
+    ) == count_totals
