@@ -23,8 +23,11 @@ the medians (the signal of record) past that horizon — BENCH_r05 lost the
 sum-of-medians and ~34 medians to tail truncation.  The stdout line is now
 compact (~1.6 KB: scalar summary first, medians dict LAST so truncation
 from the front can never eat them) and the full detail — every per-query
-sample of every run — goes to ``BENCH_DETAIL.json`` next to this file
-instead of stdout.
+sample of every run — goes to a detail sidecar instead of stdout:
+``BENCH_DETAIL.json`` next to this file when ``SPARK_GRAFT_WRITE_DETAIL=1``
+(the committed idle-protocol artifact), ``/tmp/BENCH_DETAIL_last.json``
+otherwise (so ad-hoc / driver / verify-recipe runs can never clobber the
+committed record — the recurring r8-r10 trap).
 
 **Warm-up builds one-time artifacts (r6, VERDICT r5 task 1b)**: the
 persisted-IVF index build (~9 s, memoized per sf) previously landed in
@@ -204,7 +207,21 @@ def main() -> None:
     # Full per-run detail goes to a sidecar file, NOT stdout: the driver's
     # record keeps only the tail of stdout, and the medians dict must never
     # be pushed past that horizon by lower-value detail.
-    with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_DETAIL.json"), "w") as fh:
+    #
+    # The repo-root BENCH_DETAIL.json is a COMMITTED idle-protocol artifact
+    # (sf0.1, machine load < 0.5); unconditionally rewriting it here meant
+    # every other bench invocation — the driver's post-commit run, the
+    # verify recipe's sf0.01 CLI step — clobbered the committed record,
+    # a restore-it-again trap three rounds running (r8-r10).  The artifact
+    # is now written only on explicit request (SPARK_GRAFT_WRITE_DETAIL=1,
+    # set by the recording protocol); every other run parks the detail in
+    # /tmp for ad-hoc diffing.
+    detail_path = (
+        os.path.join(os.path.dirname(__file__) or ".", "BENCH_DETAIL.json")
+        if os.environ.get("SPARK_GRAFT_WRITE_DETAIL") == "1"
+        else "/tmp/BENCH_DETAIL_last.json"
+    )
+    with open(detail_path, "w") as fh:
         json.dump(
             {
                 "sf": sf,
