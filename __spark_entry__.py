@@ -161,9 +161,14 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # helper changed); listed at file granularity per the mechanical rule.
     "plans/registry.py": 7,
     # r8: sim_recall_cost_sweep gains the lshm (multi-table) row and the
-    # new sim_cosine_lsh_multi block lands (AST-affected set = these two;
-    # quality_linear_score untouched, re-greened r7).
-    "plans/registry_quality.py": 8,
+    # new sim_cosine_lsh_multi block lands (those two re-greened r8-r10).
+    # r10 session 3: quality_linear_score's `score` column is now the RAW
+    # IEEE quotient of its two exact integer columns instead of
+    # round(·, 6) — an sf0.1 oracle sweep caught the rounding diverging
+    # cross-engine on exact .5-at-the-7th-digit boundaries (3 of 112
+    # boundary rows flipped; see the query docstring).  AST-affected set =
+    # that one block.
+    "plans/registry_quality.py": 10,
     # r8: operators/analytic.py WIRED (r7 judge task 1 — landed in the r7
     # snapshot with zero consumers): top_bigrams negative-slice crash fixed
     # (greatest(n-1, 0)); all six ops now gated by the new
@@ -354,10 +359,11 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "analytic_top_bigrams",
         "analytic_edit_distance",
     ),
-    "plans/registry_quality.py": (
-        "sim_recall_cost_sweep",
-        "sim_cosine_lsh_multi",
-    ),
+    # r10 diff = the quality_linear_score block only (score un-rounding);
+    # the r8 sweep/lshm blocks are byte-untouched and keep their r8-r10
+    # rows — listing them here would spuriously stale two healthy rows out
+    # of an exactly-full rotation prefix.
+    "plans/registry_quality.py": ("quality_linear_score",),
     # r10 diff = compact_small_files (write-path operator, no registry
     # query routes through it); layout_zorder_key rides its r9 row —
     # _bucket and the zorder key expression are byte-untouched.

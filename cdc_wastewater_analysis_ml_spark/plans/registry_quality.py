@@ -403,7 +403,7 @@ _QUALITY_SQL = f"""
                AS BIGINT) AS score_milli
       FROM t)
     SELECT doc_id, n_tokens, score_milli,
-           round(score_milli / (n_tokens * 1000.0), 6) AS score,
+           score_milli / (n_tokens * 1000.0) AS score,
            score_milli > 0 AS keep
     FROM s
 """
@@ -422,6 +422,19 @@ def q_quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (transform → element_at → aggregate): no shuffle, no UDF, no explode —
     the whole scorer runs inside the parquet scan stage, which is the
     difference between "score 100 TB" and "shuffle 100 TB" (plan-tested).
+
+    ``score`` is the RAW IEEE quotient of the two exact integer columns,
+    deliberately NOT rounded (r10): both engines divide identical
+    integers, so the doubles are bit-identical — whereas ``round(x, 6)``
+    DIVERGES on this column, because integer/integer quotients land on
+    exact ``5``-at-the-7th-digit boundaries constantly (112 of 5000 docs
+    at sf0.1: token counts are round numbers, milli-weights integers) and
+    Spark (BigDecimal HALF_UP on the binary value) vs DuckDB (scaled
+    multiply) disagree about which side of the boundary the nearest
+    double sits on — observed as 3 flipped rows at sf0.1.  The house
+    round-floats-to-6dp rule exists for DERIVED floats whose upstream
+    arithmetic differs between engines; here rounding was the only
+    divergent step.
     """
     from ..operators import text as T
 
@@ -441,7 +454,7 @@ def q_quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         "score_milli",
-        F.round(F.col("score_milli") / (F.col("n_tokens") * F.lit(1000.0)), 6)
+        (F.col("score_milli") / (F.col("n_tokens") * F.lit(1000.0)))
         .alias("score"),
         (F.col("score_milli") > 0).alias("keep"),
     )
