@@ -25,9 +25,12 @@ compact (~1.6 KB: scalar summary first, medians dict LAST so truncation
 from the front can never eat them) and the full detail — every per-query
 sample of every run — goes to a detail sidecar instead of stdout:
 ``BENCH_DETAIL.json`` next to this file when ``SPARK_GRAFT_WRITE_DETAIL=1``
-(the committed idle-protocol artifact), ``/tmp/BENCH_DETAIL_last.json``
-otherwise (so ad-hoc / driver / verify-recipe runs can never clobber the
-committed record — the recurring r8-r10 trap).
+(the committed idle-protocol artifact), a per-user tempdir path otherwise
+(so ad-hoc / driver / verify-recipe runs can never clobber the committed
+record — the recurring r8-r10 trap).  The sidecar write is best-effort
+(r10 ADVICE): a fixed shared-/tmp path could pre-exist owned by another
+user (or be a planted symlink), and an OSError there must not discard the
+completed run before the stdout summary — the signal of record — prints.
 
 **Warm-up builds one-time artifacts (r6, VERDICT r5 task 1b)**: the
 persisted-IVF index build (~9 s, memoized per sf) previously landed in
@@ -44,6 +47,7 @@ import json
 import os
 import re
 import statistics
+import tempfile
 import time
 
 from cdc_wastewater_analysis_ml_spark.plans.registry import QUERIES
@@ -216,25 +220,37 @@ def main() -> None:
     # is now written only on explicit request (SPARK_GRAFT_WRITE_DETAIL=1,
     # set by the recording protocol); every other run parks the detail in
     # /tmp for ad-hoc diffing.
+    # The ad-hoc sidecar path is per-user (r10 ADVICE): a fixed shared-/tmp
+    # name can pre-exist owned by another user — or be a planted symlink —
+    # making open(..., "w") raise and discard the whole completed run before
+    # the summary prints.  Suffixing the uid keeps the path predictable for
+    # ad-hoc diffing while making cross-user collisions impossible; the
+    # write is additionally best-effort so no sidecar failure mode (ENOSPC,
+    # EPERM, read-only tmp) can ever eat the stdout summary.
     detail_path = (
         os.path.join(os.path.dirname(__file__) or ".", "BENCH_DETAIL.json")
         if os.environ.get("SPARK_GRAFT_WRITE_DETAIL") == "1"
-        else "/tmp/BENCH_DETAIL_last.json"
-    )
-    with open(detail_path, "w") as fh:
-        json.dump(
-            {
-                "sf": sf,
-                "runs_per_query": runs,
-                "first_run_total": round(sum(first.values()), 3),
-                "first_run": first,
-                "samples": detail,
-                "medians": medians,
-                "value": round(sum(medians.values()), 3),
-            },
-            fh,
-            indent=1,
+        else os.path.join(
+            tempfile.gettempdir(), f"BENCH_DETAIL_last.{os.getuid()}.json"
         )
+    )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(
+                {
+                    "sf": sf,
+                    "runs_per_query": runs,
+                    "first_run_total": round(sum(first.values()), 3),
+                    "first_run": first,
+                    "samples": detail,
+                    "medians": medians,
+                    "value": round(sum(medians.values()), 3),
+                },
+                fh,
+                indent=1,
+            )
+    except OSError as exc:
+        print(f"bench: detail sidecar write failed ({exc}); continuing", flush=True)
 
     # ONE compact JSON line (~1.8 KB): scalar summary first, medians next,
     # and compact DUPLICATES of the two totals ("v" = value, "frt" =

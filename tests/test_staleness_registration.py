@@ -147,3 +147,39 @@ def test_mid_round_snapshot_does_not_advance_epoch(tmp_path):
     # diffing against the round-9 verdict.
     assert staleness.current_round(tmp_path) == 10
     assert staleness.base_commit(tmp_path) == verdict_sha
+
+
+def test_body_verdict_mention_does_not_advance_epoch(tmp_path):
+    """r10 ADVICE: ``git log --grep`` matches any line of the MESSAGE, so a
+    snapshot commit whose BODY quotes "round N: verdict ..." is selected by
+    the grep while its subject is still a snapshot.  The subject parse must
+    reject it and keep scanning to the most recent GENUINE verdict commit —
+    neither advancing the epoch (the old loose parse matched
+    ``round (\\d+):`` against the snapshot subject) nor losing the diff
+    base to the fallback."""
+    subprocess.run(["git", "-C", str(tmp_path), "init", "-q"], check=True)
+    env_args = ["-c", "user.email=t@t", "-c", "user.name=t"]
+
+    def commit(msg):
+        (tmp_path / "f").write_text(msg)
+        subprocess.run(
+            ["git", "-C", str(tmp_path), *env_args, "add", "."], check=True
+        )
+        subprocess.run(
+            ["git", "-C", str(tmp_path), *env_args, "commit", "-q", "-m", msg],
+            check=True,
+        )
+
+    commit("round 9: verdict/advice/correctness/bench")
+    verdict_sha = subprocess.run(
+        ["git", "-C", str(tmp_path), "rev-parse", "HEAD"],
+        check=True, capture_output=True, text=True,
+    ).stdout.strip()
+    # Snapshot whose body quotes the verdict marker on a line of its own:
+    # the --grep hit lands on this commit, but its subject is a snapshot.
+    commit(
+        "round 10: end-of-round snapshot (12 turns)\n\n"
+        "round 10: verdict still pending; carrying the r9 task list."
+    )
+    assert staleness.current_round(tmp_path) == 10
+    assert staleness.base_commit(tmp_path) == verdict_sha

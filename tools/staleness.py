@@ -60,15 +60,24 @@ def current_round(root: Path) -> int:
     earlier, snapshot-committed edits from the changed-files audit.
     """
     try:
-        out = _git(
-            root, "log", "-E", "--grep", r"^round [0-9]+: verdict", "-n", "1",
+        hits = _git(
+            root, "log", "-E", "--grep", r"^round [0-9]+: verdict",
             "--format=%s",
-        ).strip()
+        ).splitlines()
     except subprocess.CalledProcessError:  # unborn branch: no commits at all
-        out = ""
-    m = re.match(r"round (\d+):", out)
-    if m:
-        return int(m.group(1)) + 1
+        hits = []
+    # The grep above matches any line of the MESSAGE, not just the subject
+    # (r10 ADVICE): a snapshot whose BODY quotes "round N: verdict" would be
+    # selected while its subject is still "round N: end-of-round snapshot" —
+    # and a loose `round (\d+):` subject parse would then silently
+    # reintroduce the mid-round epoch-advance seam.  Each hit's SUBJECT is
+    # therefore re-validated against the verdict marker, skipping past
+    # body-only hits to the most recent GENUINE verdict commit (not straight
+    # to the artifact fallback, which mis-counts during the judge seam).
+    for subject in hits:
+        m = re.match(r"round (\d+): verdict", subject)
+        if m:
+            return int(m.group(1)) + 1
     # No marker yet (round 1, or a fresh clone without driver history):
     # fall back to the artifact count so the audit still has an epoch.
     rounds = [
@@ -91,11 +100,20 @@ def _git(root: Path, *args: str) -> str:
 def base_commit(root: Path) -> str | None:
     """The previous round's driver VERDICT commit (subject ``round N:
     verdict/...``) — snapshots don't advance the diff base, matching
-    :func:`current_round`'s epoch rule."""
-    out = _git(
-        root, "log", "-E", "--grep", r"^round [0-9]+: verdict", "-n", "1",
-        "--format=%H",
-    ).strip()
+    :func:`current_round`'s epoch rule.  Mirrors the subject re-validation
+    (r10 ADVICE): the grep matches message BODIES too, so the selected
+    commit's %s must itself carry the verdict marker or we fall back to
+    no-base, keeping the diff base and the epoch in lockstep."""
+    hits = _git(
+        root, "log", "-E", "--grep", r"^round [0-9]+: verdict",
+        "--format=%H %s",
+    ).splitlines()
+    out = ""
+    for line in hits:
+        sha, _, subject = line.partition(" ")
+        if re.match(r"round \d+: verdict", subject):
+            out = sha
+            break
     return out or None
 
 
