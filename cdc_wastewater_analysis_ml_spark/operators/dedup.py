@@ -256,7 +256,9 @@ def _verify_jaccard_exploded(
         "id_b",
     )
     jac = F.col("__inter") / (F.col("__na") + F.col("__nb") - F.col("__inter"))
-    return j.select("id_a", "id_b", F.round(jac, 6).alias("jaccard")).filter(
+    # Raw integer-quotient publication + raw-threshold filter, mirroring
+    # the hashed variant (r11; rationale there).
+    return j.select("id_a", "id_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
 
@@ -402,7 +404,15 @@ def _verify_jaccard_exploded_hashed(
         "id_b",
     )
     jac = F.col("__inter") / (F.col("__na") + F.col("__nb") - F.col("__inter"))
-    return j.select("id_a", "id_b", F.round(jac, 6).alias("jaccard")).filter(
+    # RAW IEEE quotient, not round(·, 6) (r11, the quality_linear_score
+    # rule): both operands are exact integers, so the single double
+    # division is bit-identical cross-engine — the house 6dp rounding is
+    # for floats whose UPSTREAM arithmetic differs, and on an integer
+    # quotient it only ADDS the .5-at-the-7th-digit boundary class where
+    # Spark's BigDecimal-HALF_UP and DuckDB's scaled multiply can disagree
+    # (shingle-set unions hit 2^7·5^b sizes on real fixtures).  The
+    # threshold filter compares the raw value for the same reason.
+    return j.select("id_a", "id_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
 
@@ -735,6 +745,7 @@ def ngram_jaccard_pairs(
     id_col: str,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    hash_verify_shingles: bool = True,
 ) -> DataFrame:
     """Exact pairwise Jaccard over word-shingle sets, pairs ≥ threshold.
 
@@ -742,6 +753,19 @@ def ngram_jaccard_pairs(
     Jaccard via |A|+|B|−|A∩B|.  At scale this runs AFTER an LSH candidate
     filter (the verification stage); standalone it is quadratic in docs that
     share a shingle — which is exactly the set it must inspect anyway.
+
+    ``hash_verify_shingles`` (default on, r11 — the last string-keyed
+    shuffle in the dedup family, VERDICT r10 task 1): the exploded shingle
+    column is narrowed to a 64-bit ``xxhash64`` digest BEFORE the persist,
+    so the self-join and the size aggregate shuffle 8-byte longs instead of
+    10-40-byte shingle strings, exactly as
+    :func:`_verify_jaccard_exploded_hashed` does for the candidates→verify
+    consumers (measured there: ~3× verify-stage byte cut, PROBE_r09/r10).
+    Distinct-set sizes and intersection counts — hence every Jaccard
+    value — are preserved exactly unless two distinct shingles of one pair
+    collide in 64 bits (≈ m²/2⁶⁵ per pair; the failure mode is one Jaccard
+    nudged up, never a wrong join).  ``False`` restores the byte-exact
+    string-keyed plan.
     """
     # The exploded shingle relation feeds three consumers (both join sides +
     # the size aggregate); persist so shingling runs once.  explode_outer:
@@ -754,7 +778,20 @@ def ngram_jaccard_pairs(
         F.explode_outer(
             F.array_distinct(word_shingles(text_col, shingle_n))
         ).alias("sh"),
-    ).persist()
+    )
+    if hash_verify_shingles:
+        # NULL-preserving digest: xxhash64 SKIPS null arguments (returns
+        # the bare seed hash, not NULL), which would collapse every
+        # null-text doc's placeholder row onto one shared join key — a
+        # spurious hot bucket joining all null docs pairwise.  The when()
+        # keeps the null-never-matches invariant of the string plan.
+        sh = sh.select(
+            F.col(id_col),
+            F.when(
+                F.col("sh").isNotNull(), F.xxhash64(F.col("sh"))
+            ).alias("sh"),
+        )
+    sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -367,7 +367,10 @@ def recall_at_k(truth: DataFrame, approx: dict[str, DataFrame]) -> DataFrame:
                 F.lit(method).alias("method"),
                 F.col("hits"),
                 F.col("truth_n"),
-                F.round(F.col("hits") / F.col("truth_n"), 6).alias("recall"),
+                # Raw IEEE quotient of two exact integers — bit-identical
+                # cross-engine, so no 6dp guard (r11, the integer-quotient
+                # rule; see _verify_jaccard_exploded_hashed).
+                (F.col("hits") / F.col("truth_n")).alias("recall"),
             )
         )
         out = row if out is None else out.unionByName(row)

@@ -488,7 +488,7 @@ def q_minhash_lsh(spark, sf_dir):
                 FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
                 GROUP BY 1, 2)
     SELECT id_a, id_b,
-           round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+           inter * 1.0 / (sa.sz + sb.sz - inter) AS jaccard
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
@@ -496,11 +496,16 @@ def q_minhash_lsh(spark, sf_dir):
     """,
 )
 def q_ngram_jaccard(spark, sf_dir):
-    """Exact shingle-set Jaccard ≥ 0.5 pairs (LSH verification stage)."""
-    out = D.ngram_jaccard_pairs(
+    """Exact shingle-set Jaccard ≥ 0.5 pairs (LSH verification stage).
+
+    r11: publishes the RAW IEEE quotient — both operands are exact
+    integers, so the single division is bit-identical cross-engine and the
+    house 6dp round only added the .5-at-the-7th-digit boundary class
+    (see _verify_jaccard_exploded_hashed).  The operator self-joins on
+    64-bit shingle digests by default (VERDICT r10 task 1)."""
+    return D.ngram_jaccard_pairs(
         _augmented_docs(spark, sf_dir), "text", "doc_id", shingle_n=3, threshold=0.5
-    )
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    ).select("id_a", "id_b", "jaccard")
 
 
 def _simhash_bit_sql(j: int) -> str:

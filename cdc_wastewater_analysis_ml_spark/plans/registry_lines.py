@@ -412,9 +412,9 @@ def _ingest_stages_sql() -> str:
       SELECT DISTINCT id_new FROM cand
       JOIN shs_n a ON a.doc_id = id_new
       JOIN shs_s b ON b.doc_id = id_store
-      WHERE round(len(list_intersect(a.shs, b.shs)) * 1.0
-                  / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))),
-                  6) >= 0.3),
+      WHERE len(list_intersect(a.shs, b.shs)) * 1.0
+            / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))
+            >= 0.3),
     qual AS (
       SELECT doc_id, text FROM ex
       WHERE doc_id NOT IN (SELECT id_new FROM matched)

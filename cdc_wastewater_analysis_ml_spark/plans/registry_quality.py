@@ -105,7 +105,7 @@ def _sweep_row_sql(method: str, param: int, scored: str, topk: str) -> str:
            CAST((SELECT count(*) FROM {scored}) AS BIGINT) AS candidates,
            CAST(({hits}) AS BIGINT) AS hits,
            CAST((SELECT n FROM tn) AS BIGINT) AS truth_n,
-           round(({hits}) * 1.0 / (SELECT n FROM tn), 6) AS recall"""
+           ({hits}) * 1.0 / (SELECT n FROM tn) AS recall"""
 
 
 def _sweep_sql() -> str:
@@ -197,7 +197,8 @@ def _sweep_row(
             F.col("candidates"),
             F.col("hits"),
             F.col("truth_n"),
-            F.round(F.col("hits") / F.col("truth_n"), 6).alias("recall"),
+            # Raw IEEE integer quotient (r11; see recall_at_k).
+            (F.col("hits") / F.col("truth_n")).alias("recall"),
         )
     )
 

@@ -334,15 +334,15 @@ _RECALL_SQL = f"""
            CAST((SELECT count(*) FROM ivf JOIN exact USING (query_id, neighbor_id))
                 AS BIGINT) AS hits,
            CAST((SELECT n FROM tn) AS BIGINT) AS truth_n,
-           round((SELECT count(*) FROM ivf JOIN exact USING (query_id, neighbor_id))
-                 * 1.0 / (SELECT n FROM tn), 6) AS recall
+           (SELECT count(*) FROM ivf JOIN exact USING (query_id, neighbor_id))
+           * 1.0 / (SELECT n FROM tn) AS recall
     UNION ALL
     SELECT 'lsh',
            CAST((SELECT count(*) FROM lsh JOIN exact USING (query_id, neighbor_id))
                 AS BIGINT),
            CAST((SELECT n FROM tn) AS BIGINT),
-           round((SELECT count(*) FROM lsh JOIN exact USING (query_id, neighbor_id))
-                 * 1.0 / (SELECT n FROM tn), 6)
+           (SELECT count(*) FROM lsh JOIN exact USING (query_id, neighbor_id))
+           * 1.0 / (SELECT n FROM tn)
 """
 
 
@@ -1067,9 +1067,9 @@ def _lsh_verified_sql() -> str:
                   FROM docs d),
           scored AS (
             SELECT id_a, id_b,
-                   round(len(list_intersect(sa.shs, sb.shs)) * 1.0
-                         / (len(sa.shs) + len(sb.shs)
-                            - len(list_intersect(sa.shs, sb.shs))), 6) AS jaccard
+                   len(list_intersect(sa.shs, sb.shs)) * 1.0
+                   / (len(sa.shs) + len(sb.shs)
+                      - len(list_intersect(sa.shs, sb.shs))) AS jaccard
             FROM cand
             JOIN shs sa ON sa.doc_id = id_a
             JOIN shs sb ON sb.doc_id = id_b)
@@ -1372,9 +1372,9 @@ def _incremental_near_sql() -> str:
         SELECT DISTINCT id_new FROM cand
         JOIN shs_n a ON a.doc_id = id_new
         JOIN shs_s b ON b.doc_id = id_store
-        WHERE round(len(list_intersect(a.shs, b.shs)) * 1.0
-                    / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))),
-                    6) >= 0.3)
+        WHERE len(list_intersect(a.shs, b.shs)) * 1.0
+              / (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))
+              >= 0.3)
     SELECT doc_id FROM newb
     WHERE doc_id NOT IN (SELECT id_new FROM matched)
     """

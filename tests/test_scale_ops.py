@@ -355,6 +355,53 @@ def test_lsh_verified_digest_verify_hashes_before_exchange(spark, sf_small):
     assert first_hash > first_exchange, plan[:2000]
 
 
+def test_ngram_jaccard_digest_matches_string_keys(spark, sf_small):
+    """r11 (VERDICT r10 task 1): ngram_jaccard_pairs self-joins on 64-bit
+    xxhash64 shingle digests by default — the last string-keyed shuffle in
+    the dedup family.  The pair set and every raw-quotient Jaccard value
+    must be bit-identical to the string-keyed opt-out on any real corpus
+    (collisions ~2^-65 per shingle pair; none on this fixture)."""
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    string_keyed = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.2, hash_verify_shingles=False
+        ).collect()
+    }
+    digest_keyed = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.2, hash_verify_shingles=True
+        ).collect()
+    }
+    assert digest_keyed == string_keyed and len(digest_keyed) > 0
+
+
+def test_ngram_jaccard_digest_null_text_never_pairs(spark):
+    """The digest projection must PRESERVE the null placeholder rows that
+    explode_outer emits for null/empty-text docs: xxhash64 SKIPS null
+    arguments and returns the bare seed hash instead of NULL, so an
+    unguarded digest would collapse every null-text doc onto one shared
+    join key — a spurious all-pairs bucket among exactly the docs that
+    have no shingles at all.  Null-text docs must pair with nothing, and
+    real pairs must be unaffected."""
+    docs = spark.createDataFrame(
+        [
+            (1, None),
+            (2, None),
+            (3, ""),
+            (4, "the quick brown fox jumps over the lazy dog"),
+            (5, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = D.ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.1, hash_verify_shingles=True
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in rows} == {(4, 5)}
+    assert rows[0].jaccard == 1.0
+
+
 def test_lsh_verified_semijoin_reduction_matches_unreduced(spark, sf_small):
     """The engaged semi-join reduction (big-corpus path — fixtures too
     small to trigger it through the operator) must be a pure plan
