@@ -61,7 +61,18 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # catch Project-width-scaled sentinels (routing-only for fictitious
     # estimates; every real input's plan and results unchanged, both
     # paths result-equivalent by test) — same consumer set.
-    "operators/dedup.py": 10,
+    # r11: (a) ngram_jaccard_pairs self-joins on xxhash64 shingle digests
+    # by default (VERDICT r10 task 1 — the last string-keyed shuffle in
+    # the family; null-guarded because xxhash64 skips null args), and
+    # (b) BOTH verify helpers (_verify_jaccard_exploded{,_hashed}) publish
+    # the RAW integer-quotient jaccard and filter on it instead of
+    # round(·, 6) — the quality_linear_score boundary class (integer/
+    # integer quotients are bit-identical cross-engine; rounding them is
+    # the only divergent step).  Changed functions: ngram_jaccard_pairs +
+    # the two verify helpers — consumers = every query routing through
+    # them (call-path granularity; candidate generators, simhash, kgram,
+    # embedding and incremental-exact paths are byte-untouched).
+    "operators/dedup.py": 11,
     "operators/caching.py": 5,
     # r6: chunk_documents rejects stride > chunk_tokens (ADVICE r5 #1 —
     # additive guard; module-granularity rule → whole corpus family, which
@@ -92,12 +103,22 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # handle used to unpersist the shingle cache before the driver's
     # action; results identical, plan identical, only cache lifetime
     # changes).  AST-affected set = that one block.
-    "plans/registry_scale.py": 8,
+    # r11: three ORACLE helpers drop the boundary-class round() on
+    # integer-quotient jaccard/recall (_lsh_verified_sql,
+    # _incremental_near_sql, _RECALL_SQL) — consumers = their blocks plus
+    # the cross-module importers (registry_corpus composes
+    # _lsh_verified_sql into the cc/best/curation closures;
+    # registry_stream_ext re-exports _incremental_near_sql).
+    "plans/registry_scale.py": 11,
     # r7: _AUG_CTE/_augmented_docs id offset 100000 → 10^10 (the sf10 probe
     # collided the old offset with real doc_ids — results of every
     # augmented-corpus query change).  Cross-module consumers via the
     # _augmented_docs/_lsh_verified_sql imports are listed here too.
-    "plans/registry_ext.py": 7,
+    # r11: AST-affected block = q_ngram_jaccard only (raw-quotient
+    # publication, oracle round() dropped in kind) — consumer set trimmed
+    # to it; every other r7-listed consumer's block is byte-untouched and
+    # keeps its latest row.
+    "plans/registry_ext.py": 11,
     # r4: global_row_number added (operators/windows.py) and wired into
     # sort_rows_ranked; the pre-existing window ops are textually unchanged
     # but module-granularity staleness is the rule (r2 lesson).
@@ -113,7 +134,10 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # lsh_multi_scored / cosine_topk_lsh_multi — pure function additions,
     # every pre-existing op textually unchanged); consumers = the new query
     # + the sweep that now calls the new path.
-    "operators/similarity.py": 8,
+    # r11: recall_at_k publishes the raw hits/truth_n integer quotient
+    # (boundary-class round removed; see the r11 dedup.py entry) —
+    # consumers = the two recall queries.
+    "operators/similarity.py": 11,
     "operators/text.py": 4,
     # r7: RUNTIME_CONFS gained canChangeCachedPlanOutputPartitioning=true —
     # a PHYSICAL-layout conf (AQE may coalesce cached-plan output
@@ -168,7 +192,9 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # cross-engine on exact .5-at-the-7th-digit boundaries (3 of 112
     # boundary rows flipped; see the query docstring).  AST-affected set =
     # that one block.
-    "plans/registry_quality.py": 10,
+    # r11: _sweep_row / _sweep_row_sql publish the raw hits/truth_n
+    # quotient (same boundary class) — AST-affected set = the sweep block.
+    "plans/registry_quality.py": 11,
     # r8: operators/analytic.py WIRED (r7 judge task 1 — landed in the r7
     # snapshot with zero consumers): top_bigrams negative-slice crash fixed
     # (greatest(n-1, 0)); all six ops now gated by the new
@@ -204,7 +230,11 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # additionally splits _ingest_stages_sql out of _ingest_sql
     # (composite oracle text byte-identical by construction) and adds the
     # new stream_incremental_ingest block.
-    "plans/registry_lines.py": 10,
+    # r11: _ingest_stages_sql drops the boundary-class round() on the
+    # near-dedup jaccard filter (raw quotient, matching the operator) —
+    # consumers = the two queries composing it; pipeline_ingest_store_
+    # refresh uses only the unchanged _INGEST_DELTA_CTE and keeps its row.
+    "plans/registry_lines.py": 11,
     # r10 NEW module: foreachBatch streaming twin of the WHOLE ingest
     # composite (r9 VERDICT "What's missing #4") — line clean → exact →
     # near → quality gate chained per micro-batch, counts side-output.
@@ -251,6 +281,8 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
     # dedup_incremental_near (hashed-verify adoption): consumers = every
     # query routing through any of those four functions.
     "operators/dedup.py": (
+        # ngram_jaccard_pairs route (r11 digest keys + raw quotient):
+        "dedup_ngram_jaccard",
         # minhash_lsh_verified routes:
         "dedup_lsh_verified",
         "dedup_cluster_best",
@@ -327,9 +359,18 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "sample_resample_mixture",
         "stream_sample_fraction",
     ),
-    # r8 diff: only the q_dedup_incremental_near block changed (cache-scope
-    # transfer on the returned projection).
-    "plans/registry_scale.py": ("dedup_incremental_near",),
+    # r11 diff: the three oracle helpers above — consumers include the
+    # cross-module closures composed from _lsh_verified_sql and the
+    # stream twin of _incremental_near_sql.
+    "plans/registry_scale.py": (
+        "dedup_lsh_verified",
+        "dedup_incremental_near",
+        "stream_dedup_incremental_near",
+        "sim_recall_at_k",
+        "dedup_cluster_cc",
+        "dedup_cluster_best",
+        "pipeline_corpus_curation",
+    ),
     # r6 diff: only the _chunk_sql() oracle helper changed (null-faithful,
     # ADVICE r5 #2) — mentioned solely by the corpus_chunk_documents block;
     # session 2 ADDS the unigram-LM + packing blocks (never verified).
@@ -363,7 +404,7 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
     # the r8 sweep/lshm blocks are byte-untouched and keep their r8-r10
     # rows — listing them here would spuriously stale two healthy rows out
     # of an exactly-full rotation prefix.
-    "plans/registry_quality.py": ("quality_linear_score",),
+    "plans/registry_quality.py": ("sim_recall_cost_sweep",),
     # r10 diff = compact_small_files (write-path operator, no registry
     # query routes through it); layout_zorder_key rides its r9 row —
     # _bucket and the zorder key expression are byte-untouched.
@@ -395,29 +436,22 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
     # byte-untouched and keep their r9 rows.
     "plans/registry_lines.py": (
         "pipeline_incremental_ingest",
-        "pipeline_ingest_store_refresh",
         "stream_incremental_ingest",
     ),
     "streaming/ingest.py": ("stream_incremental_ingest",),
     "streaming/lines.py": ("stream_line_dedup",),
     "session.py": (),
     "operators/multimodal.py": (),
-    "plans/registry_ext.py": (
-        "dedup_minhash_signatures",
-        "dedup_minhash_lsh",
-        "dedup_ngram_jaccard",
-        "dedup_simhash",
-        # cross-module consumers of the changed _augmented_docs /
-        # _lsh_verified_sql (blocks live in registry_scale/registry_corpus)
-        "dedup_lsh_verified",
-        "dedup_cluster_cc",
-        "dedup_cluster_best",
-        "pipeline_corpus_curation",
-    ),
+    "plans/registry_ext.py": ("dedup_ngram_jaccard",),
     "operators/relational.py": (),
+    # r11 diff = recall_at_k only: consumers are the query calling it
+    # (sim_recall_at_k) and the sweep (its registry twin _sweep_row changed
+    # in kind; listed under plans/registry_quality.py too).  The r8-added
+    # lsh-multi functions are byte-untouched — sim_cosine_lsh_multi keeps
+    # its r10 row.
     "operators/similarity.py": (
+        "sim_recall_at_k",
         "sim_recall_cost_sweep",
-        "sim_cosine_lsh_multi",
     ),
     "operators/text.py": (),
     # r4 additive: scan_json/scan_orc (+ sinks) are new functions consumed
