@@ -108,7 +108,10 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # _incremental_near_sql, _RECALL_SQL) — consumers = their blocks plus
     # the cross-module importers (registry_corpus composes
     # _lsh_verified_sql into the cc/best/curation closures;
-    # registry_stream_ext re-exports _incremental_near_sql).
+    # registry_stream_ext re-exports _incremental_near_sql) — and the
+    # three sketch blocks (agg_approx_distinct/quantiles, freqitems) are
+    # converted from rows-only to oracle-gated exact+within_tol relations
+    # (VERDICT r10 task 5).
     "plans/registry_scale.py": 11,
     # r7: _AUG_CTE/_augmented_docs id offset 100000 → 10^10 (the sf10 probe
     # collided the old offset with real doc_ids — results of every
@@ -361,7 +364,8 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
     ),
     # r11 diff: the three oracle helpers above — consumers include the
     # cross-module closures composed from _lsh_verified_sql and the
-    # stream twin of _incremental_near_sql.
+    # stream twin of _incremental_near_sql.  Plus the three sketch blocks
+    # converted from rows-only to oracle-gated (VERDICT r10 task 5).
     "plans/registry_scale.py": (
         "dedup_lsh_verified",
         "dedup_incremental_near",
@@ -370,6 +374,9 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "dedup_cluster_cc",
         "dedup_cluster_best",
         "pipeline_corpus_curation",
+        "agg_approx_distinct",
+        "agg_approx_quantiles",
+        "topk_approx_freqitems",
     ),
     # r6 diff: only the _chunk_sql() oracle helper changed (null-faithful,
     # ADVICE r5 #2) — mentioned solely by the corpus_chunk_documents block;
