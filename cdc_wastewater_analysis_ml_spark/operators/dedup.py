@@ -417,6 +417,89 @@ def _verify_jaccard_exploded_hashed(
     )
 
 
+def _verify_jaccard_packed(
+    sh: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    threshold: float,
+    reduce_a: bool = True,
+    reduce_b: bool = True,
+) -> DataFrame:
+    """Array-packed digest verify — the r11 answer to the 3.7 GB stage the
+    sf10 profile pinned on :func:`_verify_jaccard_exploded_hashed`'s
+    pair-expansion exchange (67% of ``dedup_lsh_verified``'s 5499 MB).
+
+    The exploded plan replicates each candidate pair once PER SHINGLE of
+    side A through the second intersection exchange — 24 bytes
+    (id_a, id_b, digest) per shingle instance.  This plan instead joins
+    each pair to its two docs' packed ``array<long>`` digest rows and
+    counts ``size(array_intersect(...))`` per pair: the pair-expansion
+    exchange carries ONE row per pair with side A's digest array inline —
+    8 bytes per shingle plus 16 per pair, a ~3× byte cut on the dominant
+    stage at identical results (sf10 A/B in PROBE_r11 notes).  Intersection
+    counts are exact because ``__shs`` is ``array_distinct`` per doc and
+    the per-doc digest arrays stay distinct modulo the same ~2⁻⁶⁵
+    collision bound as the exploded digest plan.
+
+    Wide-row caveats, addressed: (a) mis-broadcast on deceptive
+    compressed stats is forbidden by the engine-wide AQE broadcast cap
+    (RUNTIME_CONFS, sized for worst-case dictionary expansion — same guard
+    the exploded plan relies on); (b) a pair whose intersection is empty
+    SURVIVES the inner joins here (the exploded plan drops it at the
+    digest equi-join), yielding jaccard 0 — dropped by the same
+    ``threshold > 0`` contract both plans enforce.
+
+    Same per-side semi-join reduction contract as the exploded variant:
+    ``pairs`` must be persisted AND materialized when either flag is set,
+    and a side's filter only pays when its distinct-id set is selective
+    and broadcastable (:func:`_adaptive_hashed_verify` owns the gates).
+    """
+    if threshold <= 0:
+        raise ValueError(
+            "threshold must be > 0 (zero-intersection pairs survive the "
+            "packed joins with jaccard 0 and must be filtered)"
+        )
+    hs = sh.select(
+        F.col(id_col),
+        F.transform(F.col("__shs"), lambda s: F.xxhash64(s)).alias("__hs"),
+        F.size(F.col("__shs")).alias("__n"),
+    )
+    a = hs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__hs").alias("__ha"),
+        F.col("__n").alias("__na"),
+    )
+    b = hs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__hs").alias("__hb"),
+        F.col("__n").alias("__nb"),
+    )
+    if reduce_a:
+        a = a.join(pairs.select("id_a").distinct(), "id_a", "left_semi")
+    if reduce_b:
+        b = b.join(pairs.select("id_b").distinct(), "id_b", "left_semi")
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect(F.col("__ha"), F.col("__hb")))
+    jac = inter / (F.col("__na") + F.col("__nb") - inter)
+    # Raw integer-quotient publication (r11 rule; see the exploded plan).
+    return j.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+#: The digest-verify implementation every candidates->verify consumer
+#: routes through (r11 A/B seam, tools/verify_ab.py).  ADOPTED: the
+#: packed-array plan, on measurement at every rung with bit-identical
+#: checksums (steady-state shuffle MB / wall s, exploded -> packed):
+#:   dedup_lsh_verified    sf10  5527 -> 2203 MB, 81.2 -> 35.8 s
+#:                         ov100  877 ->  726 MB, 43.0 -> 35.9 s
+#:                         sf0.1  2.4 ->  2.4 MB,  2.8 ->  2.0 s
+#:   dedup_incremental_near sf10 4843 -> 2071 MB, 93.5 -> 60.0 s
+#: The exploded-digest plan remains as the A/B reference and regression
+#: oracle (equivalence-tested in tests/test_scale_ops.py).
+_HASHED_VERIFY_IMPL = _verify_jaccard_packed
+
+
 def _adaptive_hashed_verify(
     sh: DataFrame,
     pairs: DataFrame,
@@ -472,7 +555,7 @@ def _adaptive_hashed_verify(
     def _gate(n_ids: int) -> bool:
         return n_ids <= _SEMIJOIN_MAX_IDS and 2 * n_ids <= n_docs
 
-    out = _verify_jaccard_exploded_hashed(
+    out = _HASHED_VERIFY_IMPL(
         sh,
         pairs,
         id_col,
@@ -590,7 +673,7 @@ def minhash_lsh_verified(
         # action + distinct sets + broadcasts) exceeds the exchange it
         # removes (+1.4 s at the 5k-doc rung, A/B'd) — plain digest
         # verify, whole operator one lazy plan.
-        out = _verify_jaccard_exploded_hashed(
+        out = _HASHED_VERIFY_IMPL(
             sh, cand, id_col, threshold, reduce_a=False, reduce_b=False
         )
         return scoped_persist(out, sh, banded)
@@ -955,7 +1038,7 @@ def jaccard_verify_pairs(
         out = _verify_jaccard_exploded(sh, pairs, id_col, threshold)
         return scoped_persist(transfer_cache_scope(pairs, out), sh)
     if _estimated_bytes(df) < _SEMIJOIN_MIN_INPUT_BYTES:
-        out = _verify_jaccard_exploded_hashed(
+        out = _HASHED_VERIFY_IMPL(
             sh, pairs, id_col, threshold, reduce_a=False, reduce_b=False
         )
         return scoped_persist(transfer_cache_scope(pairs, out), sh)
@@ -1170,7 +1253,7 @@ def dedup_incremental_near(
         or est_store < 0
         or est_new + est_store < _SEMIJOIN_MIN_INPUT_BYTES
     ):
-        verified = _verify_jaccard_exploded_hashed(
+        verified = _HASHED_VERIFY_IMPL(
             sh, pairs, id_col, threshold, reduce_a=False, reduce_b=False
         )
         matched = verified.select(F.col("id_a").alias(id_col)).distinct()

@@ -498,16 +498,22 @@ def test_recall_cost_sweep_invariants(spark, sf_small):
     assert lshm["candidates"] < brute["candidates"]
 
 
-def test_lsh_verify_never_joins_shingle_arrays(spark, sf_small):
-    """r7: the Jaccard verify stage must count intersections over narrow
-    exploded (id, shingle) rows — shingle ARRAYS must never be a join
-    input.  Array-carrying relations compress deceptively well, so any
-    engine-chosen broadcast of them is a latent OOM (the sf10 probe killed
-    exactly that), and a pinned merge join sorts gigabytes of wide records
-    instead.  Mechanically: no array_intersect in the plan, and a
-    Generate/explode feeds the verify joins."""
+def test_lsh_verify_packed_digest_arrays(spark, sf_small):
+    """r11 REVERSAL of the r7 no-arrays pin, on measurement: the verify
+    stage now joins packed ``array<long>`` DIGEST rows and counts
+    ``size(array_intersect(...))`` per pair — the exploded-digest plan
+    replicated every pair once per shingle through the pair-expansion
+    exchange, and the sf10 A/B cut that stage ~3× at bit-identical results
+    (tools/verify_ab.py; 5527→2203 MB, 81→36 s).  The r7 concern (string
+    arrays compress deceptively → engine-chosen broadcast OOM) is carried
+    by two guards the plan must keep: the arrays that reach a join are
+    64-bit digests hashed map-side (8 B/element, not 10-40 B strings), and
+    the engine-wide AQE broadcast cap bounds any build side.  Mechanically:
+    array_intersect present, digests computed via xxhash64 transform, no
+    raw-shingle string column in any exchange, and no cartesian/nested-loop
+    fallback."""
     plan = _plan(spark, sf_small, "dedup_lsh_verified")
-    assert "array_intersect" not in plan, plan
-    assert "Generate explode" in plan, plan
+    assert "array_intersect" in plan, plan
+    assert "xxhash64" in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan

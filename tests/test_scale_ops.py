@@ -355,6 +355,75 @@ def test_lsh_verified_digest_verify_hashes_before_exchange(spark, sf_small):
     assert first_hash > first_exchange, plan[:2000]
 
 
+def test_packed_verify_matches_exploded_and_string(spark, sf_small):
+    """r11 (VERDICT r10 task 3): the packed-array digest verify — adopted
+    after the sf10 A/B cut the dominant pair-expansion exchange ~3×
+    (tools/verify_ab.py; numbers in DEVNOTES/PROBE_r11) — must produce the
+    SAME pair set and bit-identical raw-quotient Jaccard values as both the
+    exploded-digest plan and the byte-exact string plan."""
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+
+    def run(impl):
+        old = D._HASHED_VERIFY_IMPL
+        D._HASHED_VERIFY_IMPL = impl
+        try:
+            return {
+                (r.id_a, r.id_b): r.jaccard
+                for r in D.minhash_lsh_verified(
+                    docs, "text", "doc_id", threshold=0.3
+                ).collect()
+            }
+        finally:
+            D._HASHED_VERIFY_IMPL = old
+
+    packed = run(D._verify_jaccard_packed)
+    exploded = run(D._verify_jaccard_exploded_hashed)
+    string_keyed = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.minhash_lsh_verified(
+            docs, "text", "doc_id", threshold=0.3, hash_verify_shingles=False
+        ).collect()
+    }
+    assert packed == exploded == string_keyed and len(packed) > 0
+
+
+def test_packed_verify_drops_zero_intersection_pairs(spark):
+    """Plan-shape delta the equivalence fixture can't isolate: a candidate
+    pair with NO common shingle survives the packed plan's inner joins
+    (jaccard 0) where the exploded plan drops it at the digest equi-join —
+    the threshold filter must make the outputs identical.  Also pins the
+    per-side reduction flags on the packed plan."""
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd ee ff"),
+            (2, "aa bb cc dd ee gg"),
+            (3, "zz yy xx ww vv uu"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = docs.select(
+        F.col("doc_id"),
+        F.array_distinct(
+            D.word_shingles("text", 3)
+        ).alias("__shs"),
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a long, id_b long"
+    ).persist()
+    pairs.count()
+    for ra in (False, True):
+        for rb in (False, True):
+            got = {
+                (r.id_a, r.id_b): r.jaccard
+                for r in D._verify_jaccard_packed(
+                    sh, pairs, "doc_id", 0.3, reduce_a=ra, reduce_b=rb
+                ).collect()
+            }
+            assert set(got) == {(1, 2)}, (ra, rb)
+            assert got[(1, 2)] == pytest.approx(3 / 5), (ra, rb)
+    pairs.unpersist()
+
+
 def test_ngram_jaccard_digest_matches_string_keys(spark, sf_small):
     """r11 (VERDICT r10 task 1): ngram_jaccard_pairs self-joins on 64-bit
     xxhash64 shingle digests by default — the last string-keyed shuffle in
@@ -711,14 +780,16 @@ def test_adaptive_verify_gates_on_distinct_ids_per_side(spark, monkeypatch):
     sides off) but a 1-element id_a set, so side A must engage while the
     unselective side B (60 ids > half the docs) stays off."""
     captured = {}
-    real = D._verify_jaccard_exploded_hashed
+    real = D._HASHED_VERIFY_IMPL
 
     def spy(sh, pairs, id_col, threshold, *, reduce_a, reduce_b):
         captured["flags"] = (reduce_a, reduce_b)
         return real(sh, pairs, id_col, threshold,
                     reduce_a=reduce_a, reduce_b=reduce_b)
 
-    monkeypatch.setattr(D, "_verify_jaccard_exploded_hashed", spy)
+    # The gate dispatches through the r11 A/B seam — spy the seam, so the
+    # pin holds regardless of which verify implementation is adopted.
+    monkeypatch.setattr(D, "_HASHED_VERIFY_IMPL", spy)
     sh = spark.createDataFrame(
         [(i, [f"s{i}", "common"]) for i in range(100)],
         "doc_id long, __shs array<string>",
