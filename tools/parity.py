@@ -24,9 +24,16 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.01"
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in FIXTURE_TABLES:
-        con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        try:
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        except duckdb.Error:
+            # Synthetic scale fixtures (tools/gen_scale_fixture.py) carry
+            # only documents/embeddings; queries over absent tables fail
+            # per-query instead of blocking the whole sweep (r11 — the sf1
+            # heaviest-queries oracle sweep runs on such a fixture).
+            pass
     return con
 
 

@@ -71,6 +71,10 @@ DEFAULT_QUERIES = [
     # the exchange-free-capable plan) — probed so the refresh stays a
     # digest-width shuffle as the store grows.
     "pipeline_ingest_store_refresh",
+    # r11: standalone exact-Jaccard self-join, newly digest-keyed (VERDICT
+    # r10 task 1) — probed so the 8-byte-key claim has a per-round ladder
+    # row like its verify-stage siblings.
+    "dedup_ngram_jaccard",
 ]
 
 SF01 = "/root/testdata/sf0.1"
