@@ -70,8 +70,14 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # integer quotients are bit-identical cross-engine; rounding them is
     # the only divergent step).  Changed functions: ngram_jaccard_pairs +
     # the two verify helpers — consumers = every query routing through
-    # them (call-path granularity; candidate generators, simhash, kgram,
-    # embedding and incremental-exact paths are byte-untouched).
+    # them (call-path granularity; candidate generators, simhash,
+    # embedding and incremental-exact paths are byte-untouched).  Session
+    # additions, same round: (c) the packed-array verify is ADOPTED as the
+    # _HASHED_VERIFY_IMPL seam default (sf10 A/B: lsh_verified 5527→2203 MB
+    # at bit-identical checksums — same consumer set as (b)), and
+    # (d) substring_kgram_pairs keys its span self-join on xxhash64 longs
+    # instead of md5 hex strings (sf10 2300→987 MB; + dedup_substring_kgram
+    # to the consumer set).
     "operators/dedup.py": 11,
     "operators/caching.py": 5,
     # r6: chunk_documents rejects stride > chunk_tokens (ADVICE r5 #1 —
@@ -286,6 +292,8 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
     "operators/dedup.py": (
         # ngram_jaccard_pairs route (r11 digest keys + raw quotient):
         "dedup_ngram_jaccard",
+        # substring_kgram_pairs route (r11 xxhash64 span keys):
+        "dedup_substring_kgram",
         # minhash_lsh_verified routes:
         "dedup_lsh_verified",
         "dedup_cluster_best",

@@ -1446,12 +1446,20 @@ def substring_kgram_pairs(
     cannot contain a k-token span; whole-short-doc duplication is
     :func:`dedup_exact`'s job).
 
-    Scale shape: explode DISTINCT k-shingles per doc, digest to md5 — the
-    shuffle carries a 32-char key + id, never text; pairs emerge from a
-    self-equi-join on the digest, so only docs sharing a span ever meet.
-    ``max_bucket_size`` drops spans occurring in more than that many docs
-    (boilerplate headers/footers) — the same hot-bucket guard as the LSH
-    family, and the knob that bounds the join's worst case at 100 TB.
+    Scale shape: explode DISTINCT k-shingles per doc, digest to a 64-bit
+    ``xxhash64`` — the shuffle carries an 8-byte key + id, never text (r11:
+    previously a 32-char md5 hex string, 4-5× the key bytes on every
+    exchange of the span relation; the digest is join-internal — only
+    (id_a, id_b, distinct-span count) is ever published, and the count is
+    hash-agnostic modulo the same ~2⁻⁶⁵ per-span collision bound as the
+    verify family.  Probe ladder at sf10: 2300.5 → 987.2 MB shuffle (−57%),
+    steady wall 49.5 → 32.1 s, sf0.1 23.2 → 9.9 MB, exponent 0.66 → 0.56 —
+    PROBE_r11 vs the md5 interim rows; oracle-identical at sf0.01 and
+    sf1).  Pairs emerge from a self-equi-join on the
+    digest, so only docs sharing a span ever meet.  ``max_bucket_size``
+    drops spans occurring in more than that many docs (boilerplate
+    headers/footers) — the same hot-bucket guard as the LSH family, and
+    the knob that bounds the join's worst case at 100 TB.
     """
     spans = (
         fan_out(df)
@@ -1463,7 +1471,7 @@ def substring_kgram_pairs(
             ).alias("__sh"),
         )
         .filter(F.col("__sh").isNotNull())
-        .select(id_col, F.md5("__sh").alias("__h"))
+        .select(id_col, F.xxhash64("__sh").alias("__h"))
         .persist()
     )
     if max_bucket_size is not None:

@@ -71,11 +71,14 @@ DEFAULT_QUERIES = [
     # the exchange-free-capable plan) — probed so the refresh stays a
     # digest-width shuffle as the store grows.
     "pipeline_ingest_store_refresh",
-    # r11: standalone exact-Jaccard self-join, newly digest-keyed (VERDICT
-    # r10 task 1) — probed so the 8-byte-key claim has a per-round ladder
-    # row like its verify-stage siblings.
-    "dedup_ngram_jaccard",
 ]
+# NOT in the ladder: dedup_ngram_jaccard.  Standalone exact Jaccard is
+# BY CONTRACT quadratic in docs sharing a shingle (its docstring: at scale
+# it runs AFTER an LSH candidate filter), and the canonical sf10 rung's
+# saturated 31-word vocabulary makes every shingle hot — the r11 attempt
+# to ladder it ran the self-join into the ground (~10^10 intermediate
+# rows), which measures the contract, not a regression.  Its digest-key
+# win is recorded at the sf1 and ov100 rungs instead (DEVNOTES r11).
 
 SF01 = "/root/testdata/sf0.1"
 SF1 = "/tmp/spark_graft_sf1"
