@@ -27,10 +27,13 @@ sample of every run — goes to a detail sidecar instead of stdout:
 ``BENCH_DETAIL.json`` next to this file when ``SPARK_GRAFT_WRITE_DETAIL=1``
 (the committed idle-protocol artifact), a per-user tempdir path otherwise
 (so ad-hoc / driver / verify-recipe runs can never clobber the committed
-record — the recurring r8-r10 trap).  The sidecar write is best-effort
-(r10 ADVICE): a fixed shared-/tmp path could pre-exist owned by another
-user (or be a planted symlink), and an OSError there must not discard the
-completed run before the stdout summary — the signal of record — prints.
+record — the recurring r8-r10 trap).  The sidecar writes AFTER the stdout
+summary (r11 review), so no sidecar failure can eat the signal of record;
+the ad-hoc tempdir write is additionally best-effort (r10 ADVICE: a fixed
+shared-/tmp path could pre-exist owned by another user, or be a planted
+symlink) while the committed-artifact write fails loudly — a silently
+stale BENCH_DETAIL.json next to a fresh summary would corrupt the
+recording protocol.
 
 **Warm-up builds one-time artifacts (r6, VERDICT r5 task 1b)**: the
 persisted-IVF index build (~9 s, memoized per sf) previously landed in
@@ -220,38 +223,6 @@ def main() -> None:
     # is now written only on explicit request (SPARK_GRAFT_WRITE_DETAIL=1,
     # set by the recording protocol); every other run parks the detail in
     # /tmp for ad-hoc diffing.
-    # The ad-hoc sidecar path is per-user (r10 ADVICE): a fixed shared-/tmp
-    # name can pre-exist owned by another user — or be a planted symlink —
-    # making open(..., "w") raise and discard the whole completed run before
-    # the summary prints.  Suffixing the uid keeps the path predictable for
-    # ad-hoc diffing while making cross-user collisions impossible; the
-    # write is additionally best-effort so no sidecar failure mode (ENOSPC,
-    # EPERM, read-only tmp) can ever eat the stdout summary.
-    detail_path = (
-        os.path.join(os.path.dirname(__file__) or ".", "BENCH_DETAIL.json")
-        if os.environ.get("SPARK_GRAFT_WRITE_DETAIL") == "1"
-        else os.path.join(
-            tempfile.gettempdir(), f"BENCH_DETAIL_last.{os.getuid()}.json"
-        )
-    )
-    try:
-        with open(detail_path, "w") as fh:
-            json.dump(
-                {
-                    "sf": sf,
-                    "runs_per_query": runs,
-                    "first_run_total": round(sum(first.values()), 3),
-                    "first_run": first,
-                    "samples": detail,
-                    "medians": medians,
-                    "value": round(sum(medians.values()), 3),
-                },
-                fh,
-                indent=1,
-            )
-    except OSError as exc:
-        print(f"bench: detail sidecar write failed ({exc}); continuing", flush=True)
-
     # ONE compact JSON line (~1.8 KB): scalar summary first, medians next,
     # and compact DUPLICATES of the two totals ("v" = value, "frt" =
     # first_run_total) at the very END.  The driver's record keeps only the
@@ -274,6 +245,42 @@ def main() -> None:
             }
         )
     )
+
+    # Sidecar AFTER the summary (r11 review): the stdout line — the signal
+    # of record — can no longer be lost to ANY sidecar failure mode.  The
+    # ad-hoc path is per-user in tempdir (r10 ADVICE: a fixed shared-/tmp
+    # name can pre-exist owned by another user, or be a planted symlink)
+    # and best-effort; the COMMITTED idle-protocol artifact
+    # (SPARK_GRAFT_WRITE_DETAIL=1) fails LOUDLY instead — a silently stale
+    # BENCH_DETAIL.json next to a fresh summary is the recording-protocol
+    # inconsistency the opt-in exists to prevent.
+    committed = os.environ.get("SPARK_GRAFT_WRITE_DETAIL") == "1"
+    detail_path = (
+        os.path.join(os.path.dirname(__file__) or ".", "BENCH_DETAIL.json")
+        if committed
+        else os.path.join(
+            tempfile.gettempdir(), f"BENCH_DETAIL_last.{os.getuid()}.json"
+        )
+    )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(
+                {
+                    "sf": sf,
+                    "runs_per_query": runs,
+                    "first_run_total": round(sum(first.values()), 3),
+                    "first_run": first,
+                    "samples": detail,
+                    "medians": medians,
+                    "value": round(sum(medians.values()), 3),
+                },
+                fh,
+                indent=1,
+            )
+    except OSError as exc:
+        if committed:
+            raise
+        print(f"bench: detail sidecar write failed ({exc}); continuing", flush=True)
 
 
 if __name__ == "__main__":

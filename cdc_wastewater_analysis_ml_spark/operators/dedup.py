@@ -591,23 +591,25 @@ def minhash_lsh_verified(
     "stage the shingle table, then everything derives from it" pipeline
     layout (measured ~25% faster at sf0.1: 2.7→2.0 s steady-state).
 
-    Verification is array-free (:func:`_verify_jaccard_exploded` — r7):
-    intersections are COUNTED over narrow exploded rows, never computed by
-    joining the shingle arrays, so no relation in the verify stage can be
-    mis-broadcast on deceptive compressed stats or drag gigabytes of
-    sorted arrays through an exchange.
+    Verification routes the shared seam (``_HASHED_VERIFY_IMPL`` —
+    :func:`_verify_jaccard_packed` since r11): each candidate pair joins
+    its two docs' packed ``array<long>`` DIGEST rows and intersections are
+    ``size(array_intersect(...))`` per pair.  The r7 array-free rule this
+    reverses targeted deceptively-compressible shingle STRING arrays; the
+    packed plan carries 8-byte digests hashed map-side, is bounded by the
+    engine-wide AQE broadcast cap, and measured ~2.5× less shuffle than
+    the exploded-digest plan on the dominant pair-expansion exchange
+    (sf10 A/B in the seam's docstring).
 
     The banded relation is additionally persisted (as in
     :func:`minhash_lsh_candidates`): the self-join reads it twice, and
     without the pin each side would re-run the 8 md5 transforms over the
     cached shingles.  Both pins release when the caller drops the result.
 
-    ``hash_verify_shingles`` (default on) counts the verify-stage
-    intersections over 64-bit shingle digests instead of raw shingle
-    strings (:func:`_verify_jaccard_exploded_hashed`) — identical Jaccard
-    values up to a ~2⁻⁶⁵·m² per-pair collision chance, for a measured
-    ~3× cut of the verify-stage shuffle (PROBE_r09).  Turn it off to get
-    the byte-exact string-keyed plan.
+    ``hash_verify_shingles`` (default on) runs that digest-keyed seam —
+    identical Jaccard values up to a ~2⁻⁶⁵·m² per-pair collision chance.
+    Turn it off to get the byte-exact string-keyed exploded plan
+    (:func:`_verify_jaccard_exploded`).
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")

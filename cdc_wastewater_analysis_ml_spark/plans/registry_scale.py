@@ -156,7 +156,11 @@ def q_agg_approx_distinct(spark, sf_dir):
     hiding behind a rows-only check.  At 100 TB you run only the sketch
     half; this query is the verification harness that certifies it."""
     ev = load_table(spark, sf_dir, "events")
-    approx = A.agg_approx_distinct_by_key(ev, "event_type", "user_id")
+    # One rsd constant feeds both the sketch and its 3-sigma gate (r11
+    # review): restating the operator default inline would silently detach
+    # the tolerance from the sketch if the rsd is ever tuned.
+    rsd = 0.05
+    approx = A.agg_approx_distinct_by_key(ev, "event_type", "user_id", rsd=rsd)
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_n")
     )
@@ -167,7 +171,7 @@ def q_agg_approx_distinct(spark, sf_dir):
             "exact_n",
             (
                 F.abs(F.col("approx_n") - F.col("exact_n"))
-                <= 3 * 0.05 * F.col("exact_n")
+                <= 3 * rsd * F.col("exact_n")
             ).alias("within_tol"),
         )
     )
@@ -767,48 +771,55 @@ def q_agg_approx_quantiles(spark, sf_dir):
     EXACT interpolated percentiles (R-7, identical definition in Spark's
     ``percentile`` and DuckDB's ``quantile_cont``; 6dp-rounded — the
     interpolation's float arithmetic differs in op order cross-engine) plus
-    ``within_tol``: each sketch percentile must lie inside the exact
-    [p−0.01, p+0.01] percentile envelope — two orders of magnitude looser
-    than the sketch's 1/accuracy=1e-4 rank-error guarantee, evaluated
-    Spark-side so a sketch regression flips the value hash.  The boolean
-    never crosses engines (the oracle asserts TRUE), so no cross-engine
-    float compare is involved."""
+    ``within_tol``, evaluated Spark-side so a sketch regression flips the
+    value hash.  The boolean never crosses engines (the oracle asserts
+    TRUE), so no cross-engine float compare is involved.
+
+    The gate checks the sketch's contract in RANK space (r11 review):
+    ``approx_percentile`` returns an order statistic — the smallest element
+    whose less-than rank is within accuracy error of p·n — so a
+    VALUE-space envelope of exact interpolated percentiles breaks on small
+    groups, where one inter-element gap exceeds any fixed percentile
+    window (e.g. values [0, 10]: sketch p50 = 0, interpolated envelope
+    [4.9, 5.1]).  Rank-space gate: count(value < approx) ≤ (p+tol)·n and
+    count(value ≤ approx) ≥ (p−tol)·n with tol = 0.01 — two orders of
+    magnitude looser than the sketch's 1/accuracy = 1e-4 guarantee, and
+    exact at every group size."""
     ev = load_table(spark, sf_dir, "events")
-    approx = A.agg_approx_quantiles_by_key(ev, "event_type", "value")
     probs = (0.25, 0.50, 0.75)
-    exact = ev.groupBy("event_type").agg(
-        *[
-            F.percentile(F.col("value"), F.lit(p)).alias(f"e{int(p * 100)}")
-            for p in probs
-        ],
-        *[
-            F.percentile(F.col("value"), F.lit(p - 0.01)).alias(
-                f"lo{int(p * 100)}"
+    approx = A.agg_approx_quantiles_by_key(ev, "event_type", "value")
+    j = ev.join(F.broadcast(approx), "event_type")
+    aggs = [
+        F.percentile(F.col("value"), F.lit(p)).alias(f"e{int(p * 100)}")
+        for p in probs
+    ]
+    aggs.append(F.count(F.lit(1)).alias("__n"))
+    for p in probs:
+        name = f"p{int(p * 100)}"
+        aggs.append(
+            F.sum((F.col("value") < F.col(name)).cast("long")).alias(
+                f"lt{int(p * 100)}"
             )
-            for p in probs
-        ],
-        *[
-            F.percentile(F.col("value"), F.lit(p + 0.01)).alias(
-                f"hi{int(p * 100)}"
+        )
+        aggs.append(
+            F.sum((F.col("value") <= F.col(name)).cast("long")).alias(
+                f"le{int(p * 100)}"
             )
-            for p in probs
-        ],
-    )
+        )
+    g = j.groupBy("event_type").agg(*aggs)
     tol = None
     for p in probs:
-        c = (F.col(f"p{int(p * 100)}") >= F.col(f"lo{int(p * 100)}")) & (
-            F.col(f"p{int(p * 100)}") <= F.col(f"hi{int(p * 100)}")
+        k = int(p * 100)
+        c = (F.col(f"lt{k}") <= (p + 0.01) * F.col("__n")) & (
+            F.col(f"le{k}") >= (p - 0.01) * F.col("__n")
         )
         tol = c if tol is None else (tol & c)
-    return (
-        exact.join(approx, "event_type")
-        .select(
-            "event_type",
-            F.round("e25", 6).alias("p25"),
-            F.round("e50", 6).alias("p50"),
-            F.round("e75", 6).alias("p75"),
-            tol.alias("within_tol"),
-        )
+    return g.select(
+        "event_type",
+        F.round("e25", 6).alias("p25"),
+        F.round("e50", 6).alias("p50"),
+        F.round("e75", 6).alias("p75"),
+        tol.alias("within_tol"),
     )
 
 
@@ -1315,18 +1326,25 @@ def q_reshape_unpivot(spark, sf_dir):
            TRUE AS in_candidates
     FROM events
     GROUP BY event_type
-    HAVING count(*) >= 0.1 * (SELECT count(*) FROM events)
+    HAVING count(*) > 0.1 * (SELECT count(*) FROM events)
     """,
 )
 def q_topk_approx_freqitems(spark, sf_dir):
     """Heavy-hitters sketch, ORACLE-GATED (r11, VERDICT r10 task 5): the
     KPS candidate set may hold false positives BY DESIGN, so the published
-    relation is the exact truly-frequent set (count ≥ support·n) with its
-    exact counts, plus ``in_candidates`` — the sketch's one hard guarantee
-    (no false NEGATIVES: every truly frequent item appears in the candidate
-    set), evaluated Spark-side via a left join against the sketch output.
-    The oracle computes the exact rows and asserts TRUE, so a sketch that
-    drops a real heavy hitter flips the value hash."""
+    relation is the exact truly-frequent set with its exact counts, plus
+    ``in_candidates`` — the sketch's one hard guarantee (no false
+    NEGATIVES: every truly frequent item appears in the candidate set),
+    evaluated Spark-side via a left join against the sketch output.  The
+    oracle computes the exact rows and asserts TRUE, so a sketch that
+    drops a real heavy hitter flips the value hash.
+
+    "Truly frequent" is count STRICTLY ABOVE support·n on both engines
+    (r11 review): freqItems' no-false-negative guarantee covers only
+    frequency > support — an item at exactly the threshold may
+    legitimately be absent from the candidate set, so a ``>=`` gate would
+    flag the sketch's documented behavior as a failure on any fixture
+    with a category sitting exactly on the boundary."""
     ev = load_table(spark, sf_dir, "events")
     cand = A.topk_approx_freqitems(ev, "event_type", support=0.1).withColumn(
         "__cand", F.lit(True)
@@ -1336,7 +1354,7 @@ def q_topk_approx_freqitems(spark, sf_dir):
         ev.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("exact_n"))
         .crossJoin(F.broadcast(n_total))
-        .filter(F.col("exact_n") >= 0.1 * F.col("__n"))
+        .filter(F.col("exact_n") > 0.1 * F.col("__n"))
     )
     return (
         frequent.join(F.broadcast(cand), "event_type", "left")

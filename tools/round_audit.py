@@ -275,7 +275,15 @@ def audit(root: Path) -> tuple[list[str], list[str], list[str]]:
 
 
 if __name__ == "__main__":
+    # Support `python tools/round_audit.py` as well as the module form
+    # (`python -m tools.round_audit`): audit() imports tools.staleness, and
+    # script invocation puts tools/ (not the repo root) on sys.path (r11
+    # review — the documented CLI crashed with ModuleNotFoundError).
+    import sys
+
     root = Path(__file__).resolve().parent.parent
+    if str(root) not in sys.path:
+        sys.path.insert(0, str(root))
     unclassified, stale, overdue = audit(root)
     sites = collect_sites(root)
     kinds: dict[str, int] = {}

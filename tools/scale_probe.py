@@ -102,9 +102,12 @@ if SMALL_LABEL != "sf0.1" and not OUT_NAME:
     )
 
 
-def _session() -> SparkSession:
+def build_session(app_name: str = "scale_probe", port: int = 4049) -> SparkSession:
+    """Probe session: local[32], UI enabled for the REST stage counters.
+    Shared with tools/verify_ab.py (r11 review — the two tools previously
+    carried diverging copies)."""
     b = (
-        SparkSession.builder.appName("scale_probe")
+        SparkSession.builder.appName(app_name)
         .master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
         # Local mode runs all 32 executor threads inside the driver JVM,
@@ -118,15 +121,22 @@ def _session() -> SparkSession:
             os.environ.get("SPARK_GRAFT_PROBE_DRIVER_MEM", "16g"),
         )
         .config("spark.ui.enabled", "true")
-        .config("spark.ui.port", "4049")
+        .config("spark.ui.port", str(port))
     )
     for k, v in RUNTIME_CONFS.items():
         b = b.config(k, v)
     return b.getOrCreate()
 
 
-def _shuffle_totals(app_id: str) -> tuple[int, int]:
-    url = f"http://localhost:4049/api/v1/applications/{app_id}/stages?status=complete"
+def rest_shuffle_totals(spark: SparkSession) -> tuple[int, int]:
+    """Total (write, read) shuffle bytes over completed stages, via the
+    session's OWN UI REST endpoint — ``uiWebUrl`` is the actually-bound
+    address, so a port taken by a neighbor (spark.port.maxRetries bumps
+    the bind) can no longer point the counter at a dead endpoint (r11
+    review; previously a hardcoded localhost:4049)."""
+    app_id = spark.sparkContext.applicationId
+    base = spark.sparkContext.uiWebUrl
+    url = f"{base}/api/v1/applications/{app_id}/stages?status=complete"
     with urllib.request.urlopen(url, timeout=10) as r:
         stages = json.load(r)
     return (
@@ -207,8 +217,7 @@ def probe_path(root: Path) -> Path:
 
 def main() -> None:
     names = sys.argv[1:] or DEFAULT_QUERIES
-    spark = _session()
-    app_id = spark.sparkContext.applicationId
+    spark = build_session()
 
     from cdc_wastewater_analysis_ml_spark.plans.registry import QUERIES
 
@@ -222,13 +231,13 @@ def main() -> None:
             runs = []
             for i in range(2):
                 gc.collect()
-                w0, r0 = _shuffle_totals(app_id)
+                w0, r0 = rest_shuffle_totals(spark)
                 t0 = time.perf_counter()
                 df = QUERIES[name](spark, sf_dir)
                 _force(df)
                 dt = time.perf_counter() - t0
                 time.sleep(0.5)  # let the status store catch up
-                w1, r1 = _shuffle_totals(app_id)
+                w1, r1 = rest_shuffle_totals(spark)
                 runs.append(
                     {
                         "sec": round(dt, 2),
