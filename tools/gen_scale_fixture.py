@@ -15,7 +15,7 @@ explosion that measures nothing):
   ~0.16% exact-duplicate rows (8 per 5000, as observed);
 - embeddings: unit-normalized 64-dim gaussian float32, labels 0-9.
 
-Usage: python -m tools.gen_scale_fixture OUT_DIR [multiplier] [vocab_size]
+Usage: python -m tools.gen_scale_fixture OUT_DIR [multiplier] [vocab_size] [n_files]
 (multiplier default 10; vocab_size default = the 31-word fixture vocab;
 pass a vocab_size to generate the OPEN-vocabulary variant for Heaps-law
 scale experiments — scale it ~ n_docs^0.6 across rungs)
@@ -106,17 +106,44 @@ def gen_embeddings(n_vecs: int, rng: np.random.Generator) -> pa.Table:
     )
 
 
+def _write(table, path: str, n_files: int) -> None:
+    """Single parquet file (the canonical ladder shape), or a directory of
+    ``n_files`` part files — the production shape where ``fan_out``'s
+    single-file guard is its documented no-op.  The r11 experiment measured
+    the guard at ~10% of dedup_lsh_verified's and ~34% of the ingest
+    composite's canonical sf10 probe bytes (DEVNOTES r11); the canonical
+    ladder stays single-file for round-over-round comparability, and this
+    knob makes the artifact bound reproducible."""
+    if n_files <= 1:
+        pq.write_table(table, path)
+        return
+    os.makedirs(path, exist_ok=True)
+    n = table.num_rows
+    for i in range(n_files):
+        lo, hi = i * n // n_files, (i + 1) * n // n_files
+        pq.write_table(table.slice(lo, hi - lo), f"{path}/part-{i:05d}.parquet")
+
+
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
     mult = float(sys.argv[2]) if len(sys.argv) > 2 else 10.0
-    vocab_size = int(sys.argv[3]) if len(sys.argv) > 3 else None
+    # vocab_size "0" (or "-") keeps the default 31-word saturated vocab —
+    # needed to reach the positional n_files without opening the vocabulary.
+    vocab_size = (
+        int(sys.argv[3]) if len(sys.argv) > 3 and sys.argv[3] not in ("0", "-")
+        else None
+    )
+    n_files = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     os.makedirs(out, exist_ok=True)
     rng = np.random.default_rng(43)
     docs = gen_documents(int(5000 * mult), rng, vocab_size)
-    pq.write_table(docs, f"{out}/documents.parquet")
+    _write(docs, f"{out}/documents.parquet", n_files)
     emb = gen_embeddings(int(2000 * mult), rng)
-    pq.write_table(emb, f"{out}/embeddings.parquet")
-    print(f"wrote {docs.num_rows} docs, {emb.num_rows} embeddings -> {out}")
+    _write(emb, f"{out}/embeddings.parquet", n_files)
+    print(
+        f"wrote {docs.num_rows} docs, {emb.num_rows} embeddings -> {out}"
+        + (f" ({n_files} part files/table)" if n_files > 1 else "")
+    )
 
 
 if __name__ == "__main__":
