@@ -424,6 +424,78 @@ def test_packed_verify_drops_zero_intersection_pairs(spark):
     pairs.unpersist()
 
 
+def test_approx_quantile_gate_rank_space_on_small_groups(spark, tmp_path):
+    """r11 review regression: the within_tol gate must hold on SMALL groups
+    where approx_percentile's order-statistic definition puts the sketch
+    value a whole inter-element gap away from the interpolated exact
+    percentile.  The review's failure case: a 2-row group with values
+    [0, 10] — sketch p50 = 0.0, interpolated p50 = 5.0, so the old
+    value-space envelope [4.9, 5.1] flagged the sketch's DOCUMENTED
+    behavior as a failure; the rank-space gate must say True.  A huge
+    skewed group rides along to pin the multi-key path."""
+    import datetime as dt
+
+    rows = [(1, dt.datetime(2024, 1, 1), 1, "tiny", 0.0, "{}"),
+            (2, dt.datetime(2024, 1, 1), 1, "tiny", 10.0, "{}")]
+    rows += [
+        (10 + i, dt.datetime(2024, 1, 1), 1, "bulk", float(i % 97), "{}")
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    from cdc_wastewater_analysis_ml_spark.plans.registry import QUERIES
+
+    out = {
+        r["event_type"]: r
+        for r in QUERIES["agg_approx_quantiles"](spark, str(tmp_path)).collect()
+    }
+    assert out["tiny"]["within_tol"] is True
+    assert out["bulk"]["within_tol"] is True
+    # The published exact percentiles stay interpolated (R-7): p50 of
+    # [0, 10] is 5.0 even though the sketch's order statistic is 0.0.
+    assert out["tiny"]["p50"] == pytest.approx(5.0)
+
+
+def test_freqitems_gate_excludes_exact_support_boundary(spark, tmp_path):
+    """r11 review regression: freqItems' no-false-negative guarantee covers
+    only frequency STRICTLY ABOVE support, so a category at exactly
+    support·n must be excluded from the published truly-frequent set (it
+    may legitimately be missing from the sketch's candidates) while
+    anything above the line is included."""
+    import datetime as dt
+
+    # n = 100: "edge" at exactly 10 rows (= 0.1*n, excluded), "hot" at 60,
+    # "warm" at 30 (both included).
+    rows = []
+    for i, (t, k) in enumerate((("edge", 10), ("hot", 60), ("warm", 30))):
+        rows += [
+            (1000 * i + j, dt.datetime(2024, 1, 1), 1, t, 1.0, "{}")
+            for j in range(k)
+        ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    from cdc_wastewater_analysis_ml_spark.plans.registry import QUERIES
+
+    out = {
+        r["event_type"]: r
+        for r in QUERIES["topk_approx_freqitems"](spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {"hot", "warm"}
+    assert out["hot"]["in_candidates"] and out["warm"]["in_candidates"]
+
+
 def test_ngram_jaccard_digest_matches_string_keys(spark, sf_small):
     """r11 (VERDICT r10 task 1): ngram_jaccard_pairs self-joins on 64-bit
     xxhash64 shingle digests by default — the last string-keyed shuffle in
