@@ -78,7 +78,16 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # (d) substring_kgram_pairs keys its span self-join on xxhash64 longs
     # instead of md5 hex strings (sf10 2300→987 MB; + dedup_substring_kgram
     # to the consumer set).
-    "operators/dedup.py": 11,
+    # r12 (ADVICE r11): BOTH digest-verify impls null-guard their xxhash64
+    # shingle digests — xxhash64 SKIPS null args (returns the bare seed
+    # hash), so user-supplied pairs of null-text docs ([NULL] shingle
+    # arrays) previously verified at jaccard=1.0 where the string plan
+    # returns nothing (registry queries unaffected: null docs never
+    # band-match — but module rows re-verify anyway).  Changed functions:
+    # _verify_jaccard_exploded_hashed + _verify_jaccard_packed only —
+    # call-path consumers = the verify-route queries; ngram/kgram route
+    # their own digest plans (untouched, r11-guarded) and keep r11 rows.
+    "operators/dedup.py": 12,
     "operators/caching.py": 5,
     # r6: chunk_documents rejects stride > chunk_tokens (ADVICE r5 #1 —
     # additive guard; module-granularity rule → whole corpus family, which
@@ -118,7 +127,13 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # three sketch blocks (agg_approx_distinct/quantiles, freqitems) are
     # converted from rows-only to oracle-gated exact+within_tol relations
     # (VERDICT r10 task 5).
-    "plans/registry_scale.py": 11,
+    # r12: the two boundary_deferred F.round sites convert to raw
+    # int-quotient publication on their scheduled round (tools/
+    # round_audit.py) — avg_bytes (multimodal_media_stats) and avg_qty
+    # (tpch_pricing_summary), oracle round() dropped in kind — and
+    # sim_cosine_ivf_kmeans converts from rows-only to oracle-gated
+    # (VERDICT r11 task 3).  AST-affected set = those three blocks.
+    "plans/registry_scale.py": 12,
     # r7: _AUG_CTE/_augmented_docs id offset 100000 → 10^10 (the sf10 probe
     # collided the old offset with real doc_ids — results of every
     # augmented-corpus query change).  Cross-module consumers via the
@@ -127,7 +142,18 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # publication, oracle round() dropped in kind) — consumer set trimmed
     # to it; every other r7-listed consumer's block is byte-untouched and
     # keeps its latest row.
-    "plans/registry_ext.py": 11,
+    # r12: the metrics-family boundary_deferred F.round sites convert to
+    # raw int-quotient publication on schedule (accuracy; report
+    # precision/recall/f1 incl. macro/weighted rows; roc_curve tpr/fpr;
+    # pr_curve precision/recall), oracle round() dropped in kind —
+    # AST-affected set = those four blocks.
+    "plans/registry_ext.py": 12,
+    # r12: pipeline_feature_engineering publishes user_target_mean as the
+    # raw avg(0/1) int quotient and feeds the same raw value into
+    # interact_v_mean's portable floor-rounding (scheduled
+    # boundary_deferred conversion; oracle mirrors both) — AST-affected
+    # set = that one block.
+    "plans/registry_ml.py": 12,
     # r4: global_row_number added (operators/windows.py) and wired into
     # sort_rows_ranked; the pre-existing window ops are textually unchanged
     # but module-granularity staleness is the rule (r2 lesson).
@@ -212,7 +238,11 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     "plans/registry_analytic.py": 8,
     # r8: registry.py diff is the registry_analytic tail import ONLY —
     # empty AST-affected query set, file-granularity listing per the rule.
-    "plans/registry.py": 8,
+    # r12: agg_conditional_rate + agg_conditional_rate_joined publish the
+    # raw 100.0*avg(0/1) / 100.0*detected/total quotients (scheduled
+    # boundary_deferred conversion; oracle round() dropped in kind) —
+    # AST-affected set = those two blocks.
+    "plans/registry.py": 12,
     # r10: compact_small_files only (r9 ADVICE — null-safe slot join so
     # NULL hive-partition rows survive compaction, deterministic
     # non-partition-column salt draw).  Write-path only, no registry
@@ -277,6 +307,8 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "ml_gbt_pca_metrics",
         "ml_linear_probability_pca_metrics",
     ),
+    # r12: the user_target_mean raw-quotient conversion.
+    "plans/registry_ml.py": ("pipeline_feature_engineering",),
     "plans/ml.py": (
         "ml_split_stratified_counts",
         "ml_gbt_metrics",
@@ -289,11 +321,11 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
     # minhash_lsh_verified (call-site kwargs) + jaccard_verify_pairs +
     # dedup_incremental_near (hashed-verify adoption): consumers = every
     # query routing through any of those four functions.
+    # r12 diff = the two _verify_jaccard_* impls only (null-guarded
+    # digests): consumer tuple trimmed to the verify routes — ngram/kgram
+    # publish their own (already null-guarded) digest plans, byte-untouched
+    # this round, and keep their r11 rows.
     "operators/dedup.py": (
-        # ngram_jaccard_pairs route (r11 digest keys + raw quotient):
-        "dedup_ngram_jaccard",
-        # substring_kgram_pairs route (r11 xxhash64 span keys):
-        "dedup_substring_kgram",
         # minhash_lsh_verified routes:
         "dedup_lsh_verified",
         "dedup_cluster_best",
@@ -374,17 +406,16 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
     # cross-module closures composed from _lsh_verified_sql and the
     # stream twin of _incremental_near_sql.  Plus the three sketch blocks
     # converted from rows-only to oracle-gated (VERDICT r10 task 5).
+    # r12 diff: the avg_bytes / avg_qty raw-quotient conversions + the
+    # sim_cosine_ivf_kmeans block converted from rows-only to oracle-gated
+    # (exact query_id/truth_n columns + Spark-side recall-contract boolean,
+    # VERDICT r11 task 3) — AST-affected set = those three blocks (the r11
+    # consumers re-greened in the r11 prefix and their helpers are
+    # byte-untouched this round).
     "plans/registry_scale.py": (
-        "dedup_lsh_verified",
-        "dedup_incremental_near",
-        "stream_dedup_incremental_near",
-        "sim_recall_at_k",
-        "dedup_cluster_cc",
-        "dedup_cluster_best",
-        "pipeline_corpus_curation",
-        "agg_approx_distinct",
-        "agg_approx_quantiles",
-        "topk_approx_freqitems",
+        "multimodal_media_stats",
+        "tpch_pricing_summary",
+        "sim_cosine_ivf_kmeans",
     ),
     # r6 diff: only the _chunk_sql() oracle helper changed (null-faithful,
     # ADVICE r5 #2) — mentioned solely by the corpus_chunk_documents block;
@@ -398,7 +429,11 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         # r6 session 2 additive block (never verified)
         "stream_cdc_upsert",
     ),
-    "plans/registry.py": (),
+    # r12: the conditional-rate raw-quotient conversions.
+    "plans/registry.py": (
+        "agg_conditional_rate",
+        "agg_conditional_rate_joined",
+    ),
     "operators/analytic.py": (
         "analytic_locf_fill",
         "analytic_ntile",
@@ -457,7 +492,13 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
     "streaming/lines.py": ("stream_line_dedup",),
     "session.py": (),
     "operators/multimodal.py": (),
-    "plans/registry_ext.py": ("dedup_ngram_jaccard",),
+    # r12: the metrics-family raw-quotient conversions.
+    "plans/registry_ext.py": (
+        "metric_accuracy",
+        "metric_classification_report",
+        "metric_roc_curve",
+        "metric_pr_curve",
+    ),
     "operators/relational.py": (),
     # r11 diff = recall_at_k only: consumers are the query calling it
     # (sim_recall_at_k) and the sweep (its registry twin _sweep_row changed

@@ -141,6 +141,38 @@ HEADLINE = [
 ]
 
 
+def write_detail_sidecar(committed: bool, payload: dict) -> str:
+    """Write the full per-run detail record; returns the path written.
+
+    Committed mode (``SPARK_GRAFT_WRITE_DETAIL=1``) writes the repo-root
+    ``BENCH_DETAIL.json`` artifact directly (repo-owned path; failures must
+    propagate loudly — a stale committed record is worse than a crash).
+    The ad-hoc path is a FIXED PREDICTABLE name in the shared tempdir, so
+    it is written via mkstemp + atomic ``os.replace`` (r11 ADVICE:
+    ``open(path, "w")`` on a predictable name FOLLOWS a pre-planted
+    symlink and silently reuses an attacker-owned regular file; rename
+    replaces either without ever opening it)."""
+    if committed:
+        path = os.path.join(os.path.dirname(__file__) or ".", "BENCH_DETAIL.json")
+        with open(path, "w") as fh:
+            json.dump(payload, fh, indent=1)
+        return path
+    path = os.path.join(
+        tempfile.gettempdir(), f"BENCH_DETAIL_last.{os.getuid()}.json"
+    )
+    fd, tmp = tempfile.mkstemp(
+        prefix="BENCH_DETAIL_", suffix=".json", dir=tempfile.gettempdir()
+    )
+    try:
+        with os.fdopen(fd, "w") as fh:
+            json.dump(payload, fh, indent=1)
+        os.replace(tmp, path)
+    except BaseException:
+        os.unlink(tmp)
+        raise
+    return path
+
+
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -248,35 +280,26 @@ def main() -> None:
 
     # Sidecar AFTER the summary (r11 review): the stdout line — the signal
     # of record — can no longer be lost to ANY sidecar failure mode.  The
-    # ad-hoc path is per-user in tempdir (r10 ADVICE: a fixed shared-/tmp
-    # name can pre-exist owned by another user, or be a planted symlink)
-    # and best-effort; the COMMITTED idle-protocol artifact
+    # ad-hoc path is per-user in tempdir (r10 ADVICE) and written via
+    # mkstemp + atomic rename (r11 ADVICE: open("w") on the fixed
+    # predictable name would still FOLLOW a pre-planted symlink; rename
+    # replaces it without opening) and best-effort; the COMMITTED
+    # idle-protocol artifact
     # (SPARK_GRAFT_WRITE_DETAIL=1) fails LOUDLY instead — a silently stale
     # BENCH_DETAIL.json next to a fresh summary is the recording-protocol
     # inconsistency the opt-in exists to prevent.
     committed = os.environ.get("SPARK_GRAFT_WRITE_DETAIL") == "1"
-    detail_path = (
-        os.path.join(os.path.dirname(__file__) or ".", "BENCH_DETAIL.json")
-        if committed
-        else os.path.join(
-            tempfile.gettempdir(), f"BENCH_DETAIL_last.{os.getuid()}.json"
-        )
-    )
+    payload = {
+        "sf": sf,
+        "runs_per_query": runs,
+        "first_run_total": round(sum(first.values()), 3),
+        "first_run": first,
+        "samples": detail,
+        "medians": medians,
+        "value": round(sum(medians.values()), 3),
+    }
     try:
-        with open(detail_path, "w") as fh:
-            json.dump(
-                {
-                    "sf": sf,
-                    "runs_per_query": runs,
-                    "first_run_total": round(sum(first.values()), 3),
-                    "first_run": first,
-                    "samples": detail,
-                    "medians": medians,
-                    "value": round(sum(medians.values()), 3),
-                },
-                fh,
-                indent=1,
-            )
+        write_detail_sidecar(committed, payload)
     except OSError as exc:
         if committed:
             raise

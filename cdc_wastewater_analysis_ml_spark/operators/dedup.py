@@ -380,9 +380,20 @@ def _verify_jaccard_exploded_hashed(
             "threshold must be > 0 (zero-overlap pairs are dropped by the "
             "intersection join)"
         )
+    # NULL-preserving digest (r12 ADVICE): xxhash64 SKIPS null arguments and
+    # returns the bare seed hash, so an unguarded digest would give every
+    # null shingle (word_shingles(null text) yields [NULL]) ONE shared join
+    # key and pair all null-text docs at jaccard 1.0 — where the string
+    # plan's equi-join (null never matches null) drops them.  The
+    # when(isNotNull) keeps the digest NULL, which the __h equi-join drops
+    # exactly like the string plan (pinned in
+    # test_verify_null_text_never_pairs).
     ex = sh.select(
         F.col(id_col), F.explode(F.col("__shs")).alias("__s")
-    ).select(F.col(id_col), F.xxhash64(F.col("__s")).alias("__h"))
+    ).select(
+        F.col(id_col),
+        F.when(F.col("__s").isNotNull(), F.xxhash64(F.col("__s"))).alias("__h"),
+    )
     ex_a = ex.select(F.col(id_col).alias("id_a"), "__h")
     ex_b = ex.select(F.col(id_col).alias("id_b"), "__h")
     if reduce_a:
@@ -459,9 +470,21 @@ def _verify_jaccard_packed(
             "threshold must be > 0 (zero-intersection pairs survive the "
             "packed joins with jaccard 0 and must be filtered)"
         )
+    # Null shingles are FILTERED out of the digest array (r12 ADVICE):
+    # xxhash64 skips null args (returns the seed hash), so an unfiltered
+    # transform would give every null-text doc ([NULL] from word_shingles)
+    # the same one-element array and pair them all at jaccard 1.0.  Mapping
+    # to a NULL element instead would not do either — ``array_intersect``
+    # MATCHES null elements, unlike the exploded plans' equi-join.  The
+    # size column keeps the ORIGINAL array length so set sizes (hence
+    # jaccard denominators) stay identical to the exploded/string plans,
+    # where the null element counts toward __n but can never intersect.
     hs = sh.select(
         F.col(id_col),
-        F.transform(F.col("__shs"), lambda s: F.xxhash64(s)).alias("__hs"),
+        F.transform(
+            F.filter(F.col("__shs"), lambda s: s.isNotNull()),
+            lambda s: F.xxhash64(s),
+        ).alias("__hs"),
         F.size(F.col("__shs")).alias("__n"),
     )
     a = hs.select(

@@ -348,20 +348,24 @@ def q_value_counts(spark, sf_dir):
     """
     SELECT event_type,
            count(*) AS total,
-           round(100.0 * avg(CASE WHEN value > 50 THEN 1 ELSE 0 END), 6)
+           100.0 * avg(CASE WHEN value > 50 THEN 1 ELSE 0 END)
                AS detection_rate
     FROM events GROUP BY event_type
     """,
 )
 def q_conditional_rate(spark, sf_dir):
-    """Fused single-pass per-group rate (codes.py:143-147; SURVEY §2.4)."""
+    """Fused single-pass per-group rate (codes.py:143-147; SURVEY §2.4).
+
+    RAW quotient publication (r12, the quality_linear_score rule):
+    ``100.0 * avg(0/1)`` is one int-quotient division plus one
+    deterministic IEEE multiply, mirrored op-for-op in the oracle —
+    bit-identical cross-engine, so ``round(·, 6)`` only ADDED the
+    .5-at-the-7th-digit boundary class."""
     ev = load_table(spark, sf_dir, "events").withColumn(
         "flag", S.derive_binary_label("value", 50.0)
     )
     out = A.agg_conditional_rate(ev, "event_type", "flag")
-    return out.select(
-        "event_type", "total", F.round("detection_rate", 6).alias("detection_rate")
-    )
+    return out.select("event_type", "total", "detection_rate")
 
 
 @register(
@@ -375,25 +379,23 @@ def q_conditional_rate(spark, sf_dir):
                  WHERE flag = 1 GROUP BY day)
     SELECT t.day, t.total_rows,
            coalesce(d.detected_rows, 0) AS detected_rows,
-           round(100.0 * coalesce(d.detected_rows, 0) / t.total_rows, 6)
+           100.0 * coalesce(d.detected_rows, 0) / t.total_rows
                AS detection_rate
     FROM total t LEFT JOIN det d USING (day)
     """,
 )
 def q_conditional_rate_joined(spark, sf_dir):
     """Literal reference plan: two grouped counts → left join → coalesce →
-    rate (codes.py:143-147)."""
+    rate (codes.py:143-147).  RAW quotient publication (r12): the
+    left-associative ``100.0 * detected / total`` is mirrored op-for-op in
+    the oracle — ``100.0 * int`` is exact, the division is the single
+    divergence-free IEEE op."""
     ev = load_table(spark, sf_dir, "events").select(
         F.col("ts").cast("date").cast("string").alias("day"),
         S.derive_binary_label("value", 50.0).alias("flag"),
     )
     out = A.agg_conditional_rate_joined(ev, "day", "flag")
-    return out.select(
-        "day",
-        "total_rows",
-        "detected_rows",
-        F.round("detection_rate", 6).alias("detection_rate"),
-    )
+    return out.select("day", "total_rows", "detected_rows", "detection_rate")
 
 
 @register(

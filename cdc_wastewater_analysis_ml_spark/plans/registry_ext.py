@@ -63,15 +63,15 @@ def _with_pred(df: DataFrame) -> DataFrame:
     "metric_accuracy",
     _SCORED_CTE
     + """
-    SELECT round(avg(CASE WHEN (CASE WHEN score > 0.5 THEN 1 ELSE 0 END) = label
-                          THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+    SELECT avg(CASE WHEN (CASE WHEN score > 0.5 THEN 1 ELSE 0 END) = label
+                THEN 1.0 ELSE 0.0 END) AS accuracy
     FROM scored
     """,
 )
 def q_metric_accuracy(spark, sf_dir):
     """mean(pred == label) ≙ accuracy_score (codes.py:268)."""
     out = M.metric_accuracy(_with_pred(_scored_events(spark, sf_dir)), "label", "pred")
-    return out.select(F.round("accuracy", 6).alias("accuracy"))
+    return out.select("accuracy")
 
 
 @register(
@@ -151,26 +151,24 @@ def q_metric_confusion(spark, sf_dir):
                      support
               FROM pc)
     SELECT CAST(klass AS VARCHAR) AS klass,
-           round(precision, 6) AS precision,
-           round(recall, 6) AS recall,
-           round(f1, 6) AS f1,
+           precision, recall, f1,
            CAST(support AS BIGINT) AS support
     FROM pcf
     UNION ALL
     SELECT 'macro avg' AS klass,
-           round(sum(precision * 1.0) / sum(1.0), 6),
-           round(sum(recall * 1.0) / sum(1.0), 6),
-           round(sum(f1 * 1.0) / sum(1.0), 6),
+           sum(precision * 1.0) / sum(1.0),
+           sum(recall * 1.0) / sum(1.0),
+           sum(f1 * 1.0) / sum(1.0),
            CAST(sum(support) AS BIGINT)
     FROM pcf
     UNION ALL
     SELECT 'weighted avg' AS klass,
-           round(sum(precision * CAST(support AS DOUBLE))
-                 / sum(CAST(support AS DOUBLE)), 6),
-           round(sum(recall * CAST(support AS DOUBLE))
-                 / sum(CAST(support AS DOUBLE)), 6),
-           round(sum(f1 * CAST(support AS DOUBLE))
-                 / sum(CAST(support AS DOUBLE)), 6),
+           sum(precision * CAST(support AS DOUBLE))
+               / sum(CAST(support AS DOUBLE)),
+           sum(recall * CAST(support AS DOUBLE))
+               / sum(CAST(support AS DOUBLE)),
+           sum(f1 * CAST(support AS DOUBLE))
+               / sum(CAST(support AS DOUBLE)),
            CAST(sum(support) AS BIGINT)
     FROM pcf
     """,
@@ -181,13 +179,7 @@ def q_metric_report(spark, sf_dir):
     out = M.metric_classification_report(
         _with_pred(_scored_events(spark, sf_dir)), "label", "pred"
     )
-    return out.select(
-        "klass",
-        F.round("precision", 6).alias("precision"),
-        F.round("recall", 6).alias("recall"),
-        F.round("f1", 6).alias("f1"),
-        "support",
-    )
+    return out.select("klass", "precision", "recall", "f1", "support")
 
 
 _CURVE_CTE = (
@@ -219,7 +211,7 @@ _CURVE_CTE = (
     "metric_roc_curve",
     _CURVE_CTE
     + """
-    SELECT threshold, tp, fp, round(tpr, 6) AS tpr, round(fpr, 6) AS fpr
+    SELECT threshold, tp, fp, tpr, fpr
     FROM curve
     """,
 )
@@ -227,20 +219,14 @@ def q_roc_curve(spark, sf_dir):
     """(FPR, TPR) at every distinct threshold ≙ roc_curve (codes.py:270) —
     grouped agg + cumulative window, no sklearn."""
     curve = M.binary_curve(_scored_events(spark, sf_dir), "label", "score")
-    return curve.select(
-        "threshold",
-        "tp",
-        "fp",
-        F.round("tpr", 6).alias("tpr"),
-        F.round("fpr", 6).alias("fpr"),
-    )
+    return curve.select("threshold", "tp", "fp", "tpr", "fpr")
 
 
 @register(
     "metric_pr_curve",
     _CURVE_CTE
     + """
-    SELECT threshold, round(precision, 6) AS precision, round(recall, 6) AS recall
+    SELECT threshold, precision, recall
     FROM curve
     """,
 )
@@ -248,11 +234,7 @@ def q_pr_curve(spark, sf_dir):
     """(precision, recall) per threshold ≙ precision_recall_curve
     (codes.py:288)."""
     curve = M.binary_curve(_scored_events(spark, sf_dir), "label", "score")
-    return curve.select(
-        "threshold",
-        F.round("precision", 6).alias("precision"),
-        F.round("recall", 6).alias("recall"),
-    )
+    return curve.select("threshold", "precision", "recall")
 
 
 @register(

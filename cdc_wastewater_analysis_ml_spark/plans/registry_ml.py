@@ -52,8 +52,8 @@ from .registry import register
               FROM g GROUP BY user_id)
     SELECT g.event_id, g.collection_month, g.collection_dayofweek, g.v_missing,
            g.detected, g.log_v, g.log_v_lag1, g.log_v_lag2, g.value_group,
-           round(coalesce(enc.user_target_mean, 0.5), 6) AS user_target_mean,
-           floor(g.log_v * round(coalesce(enc.user_target_mean, 0.5), 6)
+           coalesce(enc.user_target_mean, 0.5) AS user_target_mean,
+           floor(g.log_v * coalesce(enc.user_target_mean, 0.5)
                  * 1000000 + 0.5) / 1000000 AS interact_v_mean
     FROM g LEFT JOIN enc USING (user_id)
     """,
@@ -99,15 +99,20 @@ def q_pipeline_fe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "log_v_lag1",
         "log_v_lag2",
         "value_group",
-        F.round("user_target_mean", 6).alias("user_target_mean"),
+        # RAW quotient publication (r12, the quality_linear_score rule):
+        # avg(0/1 ints) per user is a single int-quotient division —
+        # bit-identical cross-engine — so round(·, 6) only ADDED the
+        # .5-at-the-7th-digit boundary class.  The interaction product
+        # consumes the same raw value on both engines.
+        F.col("user_target_mean").alias("user_target_mean"),
         # Portable rounding: the product of a 6-decimal value and a small
         # rational (k/n mean) lands on .5e-6 decimal boundaries where Spark's
         # BigDecimal HALF_UP and DuckDB's numeric round disagree on the same
-        # double; floor(x*1e6 + 0.5)/1e6 over identical rounded inputs is the
-        # same IEEE op sequence in both engines.
+        # double; floor(x*1e6 + 0.5)/1e6 over identical raw-quotient inputs
+        # is the same IEEE op sequence in both engines.
         (
             F.floor(
-                F.col("log_v") * F.round("user_target_mean", 6) * 1e6 + 0.5
+                F.col("log_v") * F.col("user_target_mean") * 1e6 + 0.5
             )
             / 1e6
         ).alias("interact_v_mean"),

@@ -26,11 +26,15 @@ import __spark_entry__ as entry_mod
 
 
 def test_module_change_invalidates_all_consumers():
+    # >= not ==: a query may route through SEVERAL changed modules and
+    # _CHANGED_IN_ROUND takes the max (r12: metric_accuracy is a
+    # plans/metrics.py consumer whose registry_ext.py block also changed).
     changed = entry_mod._CHANGED_IN_ROUND
     for name in entry_mod._MODULE_CONSUMERS["plans/metrics.py"]:
-        assert changed.get(name) == entry_mod._MODULE_CHANGED_IN_ROUND[
-            "plans/metrics.py"
-        ], f"{name} routes through plans/metrics.py but is not invalidated"
+        assert (
+            changed.get(name, -1)
+            >= entry_mod._MODULE_CHANGED_IN_ROUND["plans/metrics.py"]
+        ), f"{name} routes through plans/metrics.py but is not invalidated"
 
 
 def test_changed_consumers_sort_before_green_queries():

@@ -40,3 +40,24 @@ def test_inventory_is_nonempty_and_ast_keyed():
     # renames the functions import would silently empty the audit).
     sites = collect_sites(ROOT)
     assert sum(sites.values()) >= 50
+
+
+def test_count_drift_under_existing_key_is_flagged(monkeypatch):
+    """r12 ADVICE: a NEW site whose first-arg text collides with an
+    existing key must NOT silently inherit the old disposition.  Simulated
+    by skewing EXPECTED_COUNTS for a real multi-site key both ways."""
+    import tools.round_audit as ra
+
+    key = (
+        "cdc_wastewater_analysis_ml_spark/operators/similarity.py",
+        'scorer(F.col("q_vec"), F.col("c_vec"))',
+    )
+    assert ra.EXPECTED_COUNTS[key] == 4  # real inventory at HEAD
+
+    monkeypatch.setitem(ra.EXPECTED_COUNTS, key, 3)
+    unclassified, _, _ = ra.audit(ROOT)
+    assert any(key[1] in u and "new site" in u for u in unclassified)
+
+    monkeypatch.setitem(ra.EXPECTED_COUNTS, key, 5)
+    _, stale, _ = ra.audit(ROOT)
+    assert any(key[1] in st and "removed" in st for st in stale)

@@ -543,6 +543,64 @@ def test_ngram_jaccard_digest_null_text_never_pairs(spark):
     assert rows[0].jaccard == 1.0
 
 
+def test_verify_null_text_never_pairs(spark):
+    """r12 ADVICE: the digest VERIFY implementations must not pair
+    null-text docs either.  word_shingles(null text) yields ``[NULL]``;
+    xxhash64 SKIPS null args and returns the bare seed hash, so an
+    unguarded digest (exploded) or digest ARRAY (packed — and there
+    ``array_intersect`` even matches NULL elements, unlike an equi-join)
+    would publish jaccard=1.0 for user-supplied pairs of null-text docs
+    where the byte-exact string plan returns nothing.  LSH registry
+    queries never hit this (null docs band-match nothing), but
+    :func:`jaccard_verify_pairs` takes CALLER-supplied pairs."""
+    from cdc_wastewater_analysis_ml_spark.operators.dedup import (
+        _verify_jaccard_exploded_hashed,
+        _verify_jaccard_packed,
+        word_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, None),
+            (2, None),
+            (3, ""),
+            (4, "the quick brown fox jumps over the lazy dog"),
+            (5, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    expected = {(4, 5): 1.0}
+    # Operator level, both seam settings: identical to the string plan.
+    for hashed in (True, False):
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in D.jaccard_verify_pairs(
+                docs, pairs, "text", "doc_id",
+                threshold=0.1, hash_verify_shingles=hashed,
+            ).collect()
+        }
+        assert got == expected, f"hash_verify_shingles={hashed}: {got}"
+    # Both hashed impls directly (the seam hides whichever isn't default).
+    sh = docs.select(
+        F.col("doc_id"),
+        F.array_distinct(word_shingles("text", 3)).alias("__shs"),
+    ).persist()
+    try:
+        for impl in (_verify_jaccard_packed, _verify_jaccard_exploded_hashed):
+            got = {
+                (r.id_a, r.id_b): r.jaccard
+                for r in impl(
+                    sh, pairs, "doc_id", 0.1, reduce_a=False, reduce_b=False
+                ).collect()
+            }
+            assert got == expected, f"{impl.__name__}: {got}"
+    finally:
+        sh.unpersist()
+
+
 def test_lsh_verified_semijoin_reduction_matches_unreduced(spark, sf_small):
     """The engaged semi-join reduction (big-corpus path — fixtures too
     small to trigger it through the operator) must be a pure plan

@@ -21,7 +21,12 @@ This module inventories every ``F.round`` call in the package (AST, keyed by
 list) and requires an explicit DISPOSITION for each; the pytest in
 ``tests/test_round_audit.py`` fails on any unclassified NEW site, any stale
 entry (classification without a matching site), and any deferred boundary
-site whose planned round has passed.  Oracle-SQL ``round()`` text mirrors
+site whose planned round has passed.  Keys whose first-arg source appears at
+SEVERAL sites carry their expected site count in ``EXPECTED_COUNTS`` (r12
+ADVICE: without it, a NEW semantically-different site whose first-argument
+text collides with an existing key in the same file would silently inherit
+the old disposition) — an extra site under a known key is flagged as
+unclassified, a missing one as stale.  Oracle-SQL ``round()`` text mirrors
 the Python side by construction (conversions always land on both sides in
 one diff), so the Python inventory is the single audit surface.
 
@@ -122,11 +127,6 @@ DISPOSITIONS: dict[tuple[str, str], Disposition] = {
         "median of integral quantities: exact int or k/2 midpoint, <=1 decimal"
     ),
     (f"{PKG}/plans/registry.py", '"mean_value"'): _SUMD,
-    (f"{PKG}/plans/registry.py", '"detection_rate"'): _b(
-        "sum(0/1 label)/count — single int quotient; convert with the "
-        "agg_conditional_rate rows when the r8 cohort comes due",
-        planned_round=12,
-    ),
     (f"{PKG}/plans/registry.py", '"avg_value"'): _SUMD,
     (f"{PKG}/plans/registry.py", '"p25"'): _PCTL,
     (f"{PKG}/plans/registry.py", '"p50"'): _PCTL,
@@ -158,26 +158,6 @@ DISPOSITIONS: dict[tuple[str, str], Disposition] = {
         "LOCF-filled float column"
     ),
     # --- plans/registry_ext.py (metrics family; r8 rows -> due r12) --------
-    (f"{PKG}/plans/registry_ext.py", '"accuracy"'): _b(
-        "correct/total int quotient", planned_round=12
-    ),
-    (f"{PKG}/plans/registry_ext.py", '"precision"'): _b(
-        "tp/(tp+fp) int quotient (report + PR curve)", planned_round=12
-    ),
-    (f"{PKG}/plans/registry_ext.py", '"recall"'): _b(
-        "tp/p int quotient (report + PR curve)", planned_round=12
-    ),
-    (f"{PKG}/plans/registry_ext.py", '"f1"'): _b(
-        "2PR/(P+R) over int-quotient P,R: deterministic op chain mirrored "
-        "term-for-term in the oracle — convertible with the report row",
-        planned_round=12,
-    ),
-    (f"{PKG}/plans/registry_ext.py", '"tpr"'): _b(
-        "tp/P int quotient", planned_round=12
-    ),
-    (f"{PKG}/plans/registry_ext.py", '"fpr"'): _b(
-        "fp/N int quotient", planned_round=12
-    ),
     (f"{PKG}/plans/registry_ext.py", '"roc_auc"'): _f(
         "trapezoid sum of float products: accumulation order differs"
     ),
@@ -186,10 +166,6 @@ DISPOSITIONS: dict[tuple[str, str], Disposition] = {
     ),
     # --- plans/registry_ml.py ---------------------------------------------
     (f"{PKG}/plans/registry_ml.py", 'S.log1p_("v_filled")'): _f("log1p float"),
-    (f"{PKG}/plans/registry_ml.py", '"user_target_mean"'): _b(
-        "avg(0/1 target) int quotient; convert with the r8 pipeline rows",
-        planned_round=12,
-    ),
     (f"{PKG}/plans/registry_ml.py", "F.col(c)"): _f(
         "reference-scenario metric table: float metric values, rows-only row"
     ),
@@ -199,11 +175,6 @@ DISPOSITIONS: dict[tuple[str, str], Disposition] = {
         'SIM.cosine(F.col("q_vec"), F.col("c_vec"))',
     ): _COS,
     # --- plans/registry_scale.py ------------------------------------------
-    (f"{PKG}/plans/registry_scale.py", '"avg_bytes"'): _b(
-        "avg(octet_length) int quotient; convert with the r7 multimodal "
-        "row next time it rotates",
-        planned_round=12,
-    ),
     (f"{PKG}/plans/registry_scale.py", 'F.max("value")'): _e(
         "max of doubles: exact element, round is display-identity at 6dp"
     ),
@@ -219,11 +190,6 @@ DISPOSITIONS: dict[tuple[str, str], Disposition] = {
         f"{PKG}/plans/registry_scale.py",
         'F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))',
     ): _SUMD,
-    (f"{PKG}/plans/registry_scale.py", 'F.avg("l_quantity")'): _b(
-        "avg of integral-valued doubles: exact sum / count = int quotient; "
-        "convert with the r7 tpch_pricing_summary row next rotation",
-        planned_round=12,
-    ),
     (f"{PKG}/plans/registry_scale.py", 'F.avg("l_extendedprice")'): _SUMD,
     (f"{PKG}/plans/registry_scale.py", 'F.avg("l_discount")'): _SUMD,
     (f"{PKG}/plans/registry_scale.py", 'F.sum("o_totalprice")'): _CENTS,
@@ -254,6 +220,29 @@ DISPOSITIONS: dict[tuple[str, str], Disposition] = {
     ),
 }
 
+#: Expected number of call sites per key with MORE than one site (default 1).
+#: Reviewed per entry: every multi-site key below is the SAME expression in
+#: the same role (shared cosine/scorer helpers, streaming twins of batch
+#: queries, repeated TPC-H aggregate shapes), so one disposition covering
+#: the recorded count is sound — any count drift fails the audit.
+EXPECTED_COUNTS: dict[tuple[str, str], int] = {
+    (f"{PKG}/operators/dedup.py", 'cosine(F.col("vec_a"), F.col("vec_b"))'): 2,
+    (f"{PKG}/operators/similarity.py", 'scorer(F.col("q_vec"), F.col("c_vec"))'): 4,
+    (f"{PKG}/plans/registry_quality.py", 'SIM.cosine(F.col("q_vec"), F.col("c_vec"))'): 3,
+    (f"{PKG}/plans/registry_scale.py", '"click"'): 2,
+    (f"{PKG}/plans/registry_scale.py", '"value"'): 2,
+    (f"{PKG}/plans/registry_scale.py", '"view"'): 2,
+    (f"{PKG}/plans/registry_scale.py", 'F.sum("l_quantity")'): 2,
+    (f"{PKG}/plans/registry_scale.py", 'F.sum("o_totalprice")'): 3,
+    (
+        f"{PKG}/plans/registry_scale.py",
+        'F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))',
+    ): 4,
+    (f"{PKG}/plans/registry_stream.py", '"value"'): 2,
+    (f"{PKG}/plans/registry_stream.py", '"value_lag1"'): 2,
+    (f"{PKG}/plans/registry_stream.py", '"value_lag2"'): 2,
+}
+
 
 def audit(root: Path) -> tuple[list[str], list[str], list[str]]:
     """Returns (unclassified, stale_entries, overdue_deferred)."""
@@ -262,6 +251,24 @@ def audit(root: Path) -> tuple[list[str], list[str], list[str]]:
     sites = collect_sites(root)
     unclassified = [f"{f}: {s}" for (f, s) in sites if (f, s) not in DISPOSITIONS]
     stale = [f"{f}: {s}" for (f, s) in DISPOSITIONS if (f, s) not in sites]
+    # Per-key count check (r12 ADVICE): a disposition classifies the exact
+    # number of sites recorded when it was written, never "however many
+    # happen to share the key".
+    for key, n in sites.items():
+        if key not in DISPOSITIONS:
+            continue
+        expected = EXPECTED_COUNTS.get(key, 1)
+        f, src = key
+        if n > expected:
+            unclassified.append(
+                f"{f}: {src} ({n} sites, {expected} classified — new site "
+                "under an existing key; bump EXPECTED_COUNTS after review)"
+            )
+        elif n < expected:
+            stale.append(
+                f"{f}: {src} ({n} sites, {expected} classified — a recorded "
+                "site was removed; lower EXPECTED_COUNTS)"
+            )
     rnd = current_round(root)
     overdue = [
         f"{f}: {s} (planned r{d.planned_round}, now r{rnd})"
