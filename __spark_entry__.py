@@ -100,7 +100,9 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # is now the digest-keyed plan, r10 adoption) — comment-only,
     # AST-neutral; dedup_cluster_cc re-verifies anyway via the
     # operators/dedup.py entry.
-    "plans/registry_corpus.py": 10,
+    # r12: the cc block passes with_sizes=True so its verify rides the
+    # size-annotated oriented packed plan (result-neutral, A/B'd).
+    "plans/registry_corpus.py": 12,
     # r6 session 2 NEW module: two-phase partition-offset global prefix sum
     # (consumed by the new corpus_pack_sequences + corpus_shard_assign).
     "operators/prefix.py": 6,

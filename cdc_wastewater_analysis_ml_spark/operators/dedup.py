@@ -48,6 +48,7 @@ def minhash_signatures(
     id_col: str,
     num_hashes: int = 8,
     shingle_n: int = 3,
+    with_size: bool = False,
 ) -> DataFrame:
     """One row per doc: ``minhash_0..k-1`` columns.
 
@@ -55,6 +56,11 @@ def minhash_signatures(
     (lexicographic min over hex strings — identical ordering everywhere).
     Computed with array expressions per row — no explode, no shuffle at all
     until someone aggregates the signatures.
+
+    ``with_size`` (r12) adds ``__n`` = the DISTINCT shingle-set size (the
+    verify stage's set size, so downstream size-ratio/orientation math is
+    exact) — one extra ``array_distinct`` per row, emitted only on request
+    because the minhash itself is distinct-invariant.
     """
     # Materialize the shingle array ONCE per row; the k minhash columns then
     # reference the materialized column.  Inlining word_shingles() into each
@@ -75,6 +81,10 @@ def minhash_signatures(
         )
 
     cols = [F.col(id_col)]
+    if with_size:
+        cols.append(
+            F.size(F.array_distinct(F.col("__shingles"))).alias("__n")
+        )
     for i in range(num_hashes):
         cols.append(seeded_min(i).alias(f"minhash_{i}"))
     return with_shingles.select(*cols)
@@ -164,21 +174,35 @@ def banded_minhash(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    with_size: bool = False,
 ) -> DataFrame:
     """(id, band_id, band_key) banding relation for MinHash-LSH — exposed so
     telemetry (:func:`lsh_bucket_stats`) and candidate generation share one
-    definition."""
+    definition.  ``with_size`` (r12) rides the distinct shingle-set size
+    ``__n`` along (+8 B/row) so candidate pairs can emerge size-annotated."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    return _bands_from_sig(sig, id_col, num_hashes, bands)
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n, with_size=with_size
+    )
+    return _bands_from_sig(
+        sig, id_col, num_hashes, bands, extra_cols=("__n",) if with_size else ()
+    )
 
 
 def _bands_from_sig(
-    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, band_id, band_key) from a ``minhash_0..k-1`` signature relation
-    (shared by :func:`banded_minhash` and :func:`minhash_lsh_verified`)."""
+    """(id, band_id, band_key[, *extra_cols]) from a ``minhash_0..k-1``
+    signature relation (shared by :func:`banded_minhash` and
+    :func:`minhash_lsh_verified`).  ``extra_cols`` rides narrow per-doc
+    annotations (r12: the shingle count ``__n``, +8 B on the banded
+    exchange) through to the candidate join so pairs can emerge
+    size-annotated."""
     r = num_hashes // bands
     band_structs = [
         F.struct(
@@ -190,9 +214,12 @@ def _bands_from_sig(
         for b in range(bands)
     ]
     return sig.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.explode(F.array(*band_structs)).alias("band"),
     ).select(
         id_col,
+        *extra_cols,
         F.col("band.band_id").alias("band_id"),
         F.col("band.band_key").alias("band_key"),
     )
@@ -510,6 +537,101 @@ def _verify_jaccard_packed(
     )
 
 
+def _size_ratio_prefilter(sized_pairs: DataFrame, threshold: float) -> DataFrame:
+    """Drop candidate pairs that PROVABLY cannot reach ``threshold`` from
+    their shingle-set sizes alone: |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥
+    max(|A|,|B|), so jaccard ≤ min/max — a pair with min/max < t can never
+    pass the ``jaccard >= t`` filter.  Result-neutral including in floating
+    point: both quotients are single IEEE divisions of exact integers and
+    rounding is monotone, so jaccard_fp ≤ ratio_fp whenever the exact
+    values are ordered.  ~9% of pairs at t=0.3 on the uniform 8–98 shingle
+    sizes of the probe fixtures (DEVNOTES r11), before the verify pays any
+    per-shingle byte for them.  Requires ``__na``/``__nb`` on the pair
+    relation (size-annotated candidates, r12)."""
+    return sized_pairs.filter(
+        F.least(F.col("__na"), F.col("__nb"))
+        / F.greatest(F.col("__na"), F.col("__nb"))
+        >= threshold
+    )
+
+
+def _verify_jaccard_packed_oriented(
+    sh: DataFrame,
+    sized_pairs: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """:func:`_verify_jaccard_packed` with the pair expansion ORIENTED by
+    the smaller shingle set (r12, DEVNOTES r11 design (b)): the dominant
+    exchange of the packed plan carries side A's digest array once per
+    pair (~44% of ``dedup_lsh_verified`` post-packing), so carrying
+    min(|A|,|B|) instead of |A| saves E[min]/E[|A|] ≈ 28% of it on the
+    probe fixtures' uniform shingle sizes.  Each pair joins its SMALLER
+    doc's packed digest row first; the expansion exchange (hash by the
+    bigger side's id) then carries the small array.  Jaccard is symmetric
+    and ``__n_small + __n_big`` is IEEE-commutative, so values are
+    bit-identical to the unoriented plan.
+
+    Requires size-annotated pairs (``id_a``, ``id_b``, ``__na``, ``__nb``
+    — from :func:`minhash_lsh_candidates` ``with_sizes=True`` or the fused
+    operator).  NO per-side semi-join reduction: orientation scatters each
+    original side's ids across both join keys, which breaks exactly the
+    asymmetric delta-vs-store reduction (DEVNOTES r11) — callers dispatch
+    here only in the both-gates-off regime (:func:`_adaptive_hashed_verify`
+    owns that decision; the small-corpus paths are gates-off by
+    definition)."""
+    if threshold <= 0:
+        raise ValueError(
+            "threshold must be > 0 (zero-intersection pairs survive the "
+            "packed joins with jaccard 0 and must be filtered)"
+        )
+    # Same null-filtered digest projection as _verify_jaccard_packed (r12
+    # ADVICE guard; sizes keep the ORIGINAL array length for parity).
+    hs = sh.select(
+        F.col(id_col),
+        F.transform(
+            F.filter(F.col("__shs"), lambda s: s.isNotNull()),
+            lambda s: F.xxhash64(s),
+        ).alias("__hs"),
+        F.size(F.col("__shs")).alias("__n"),
+    )
+    a_small = F.col("__na") <= F.col("__nb")
+    op = sized_pairs.select(
+        "id_a",
+        "id_b",
+        F.when(a_small, F.col("id_a")).otherwise(F.col("id_b")).alias("__k_small"),
+        F.when(a_small, F.col("id_b")).otherwise(F.col("id_a")).alias("__k_big"),
+    )
+    small = hs.select(
+        F.col(id_col).alias("__k_small"),
+        F.col("__hs").alias("__h_small"),
+        F.col("__n").alias("__n_small"),
+    )
+    big = hs.select(
+        F.col(id_col).alias("__k_big"),
+        F.col("__hs").alias("__h_big"),
+        F.col("__n").alias("__n_big"),
+    )
+    # Declared join order is load-bearing (CBO reordering is off): join the
+    # small side's array first, so the second join's pair-expansion
+    # exchange — the plan's dominant stage — carries the SMALL array.
+    # __k_small is projection-pruned after join 1.
+    j = op.join(small, "__k_small").join(big, "__k_big")
+    inter = F.size(F.array_intersect(F.col("__h_small"), F.col("__h_big")))
+    jac = inter / (F.col("__n_small") + F.col("__n_big") - inter)
+    # Raw integer-quotient publication (r11 rule; see the exploded plan).
+    return j.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+#: r12 orientation seam (A/B'd by tools/verify_ab.py alongside the impl
+#: seam below): when True AND the impl seam is the packed plan, size-
+#: annotated both-gates-off verifies route _verify_jaccard_packed_oriented
+#: (+ the provable size-ratio prefilter at candidate time).
+_ORIENT_SIZED_VERIFY = True
+
+
 #: The digest-verify implementation every candidates->verify consumer
 #: routes through (r11 A/B seam, tools/verify_ab.py).  ADOPTED: the
 #: packed-array plan, on measurement at every rung with bit-identical
@@ -529,6 +651,7 @@ def _adaptive_hashed_verify(
     id_col: str,
     threshold: float,
     n_docs: int,
+    sized: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Big-corpus verify dispatch shared by the three candidates→verify
     consumers (the gate previously lived as three hand-kept copies — r10
@@ -569,7 +692,8 @@ def _adaptive_hashed_verify(
             "threshold must be > 0 (zero-overlap pairs are dropped by the "
             "intersection join)"
         )
-    pairs = pairs.select("id_a", "id_b").persist()
+    cols = ["id_a", "id_b", "__na", "__nb"] if sized else ["id_a", "id_b"]
+    pairs = pairs.select(*cols).persist()
     counts = pairs.agg(
         F.countDistinct("id_a").alias("na"),
         F.countDistinct("id_b").alias("nb"),
@@ -578,13 +702,25 @@ def _adaptive_hashed_verify(
     def _gate(n_ids: int) -> bool:
         return n_ids <= _SEMIJOIN_MAX_IDS and 2 * n_ids <= n_docs
 
+    reduce_a, reduce_b = _gate(counts["na"]), _gate(counts["nb"])
+    if (
+        sized
+        and not (reduce_a or reduce_b)
+        and _ORIENT_SIZED_VERIFY
+        and _HASHED_VERIFY_IMPL is _verify_jaccard_packed
+    ):
+        # Saturated (both-gates-off) regime with size-annotated pairs:
+        # orientation is safe — there is no per-side semi-join reduction
+        # for it to break — and the smaller-side expansion is a pure byte
+        # cut (r12; A/B in tools/verify_ab.py).
+        return _verify_jaccard_packed_oriented(sh, pairs, id_col, threshold), pairs
     out = _HASHED_VERIFY_IMPL(
         sh,
-        pairs,
+        pairs.select("id_a", "id_b"),
         id_col,
         threshold,
-        reduce_a=_gate(counts["na"]),
-        reduce_b=_gate(counts["nb"]),
+        reduce_a=reduce_a,
+        reduce_b=reduce_b,
     )
     return out, pairs
 
@@ -651,15 +787,40 @@ def minhash_lsh_verified(
             F.transform(F.col("__shs"), lambda s: F.md5(F.concat(F.lit(prefix), s)))
         )
 
-    sig = sh.select(
-        F.col(id_col), *[seeded_min(i).alias(f"minhash_{i}") for i in range(num_hashes)]
+    # r12 size-annotation (DEVNOTES r11 design (b)): when the packed seam +
+    # orientation are active, the shingle COUNT rides the banded relation
+    # (+8 B/row on its exchange) so candidates emerge size-annotated —
+    # enabling the provable size-ratio prefilter at candidate time and the
+    # smaller-side-oriented pair expansion in the verify.  Off-seam (the
+    # A/B reference variants) this is byte-for-byte the r11 plan.
+    orient = (
+        hash_verify_shingles
+        and _ORIENT_SIZED_VERIFY
+        and _HASHED_VERIFY_IMPL is _verify_jaccard_packed
     )
-    banded = _bands_from_sig(sig, id_col, num_hashes, bands).persist()
+    size_cols = [F.size(F.col("__shs")).alias("__n")] if orient else []
+    sig = sh.select(
+        F.col(id_col),
+        *size_cols,
+        *[seeded_min(i).alias(f"minhash_{i}") for i in range(num_hashes)],
+    )
+    banded = _bands_from_sig(
+        sig, id_col, num_hashes, bands, extra_cols=("__n",) if orient else ()
+    ).persist()
     guarded = _bucket_guard(
         banded, id_col, max_bucket_size, hot_bucket_action, "minhash_lsh_verified"
     )
     a = guarded.alias("a")
     b = guarded.alias("b")
+    pair_cols = [
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+    ]
+    if orient:
+        pair_cols += [
+            F.col("a.__n").alias("__na"),
+            F.col("b.__n").alias("__nb"),
+        ]
     cand = (
         a.join(
             b,
@@ -669,11 +830,13 @@ def minhash_lsh_verified(
                 F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
             ],
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        .select(*pair_cols)
         .distinct()
     )
+    if orient:
+        # Provable cut BEFORE any per-shingle byte is paid for the pair
+        # (jaccard <= min/max; result-neutral, see the helper).
+        cand = _size_ratio_prefilter(cand, threshold)
     if not hash_verify_shingles:
         out = _verify_jaccard_exploded(sh, cand, id_col, threshold)
         return scoped_persist(out, sh, banded)
@@ -697,10 +860,14 @@ def minhash_lsh_verified(
         # small enough that the reduction's fixed cost (an eager barrier
         # action + distinct sets + broadcasts) exceeds the exchange it
         # removes (+1.4 s at the 5k-doc rung, A/B'd) — plain digest
-        # verify, whole operator one lazy plan.
-        out = _HASHED_VERIFY_IMPL(
-            sh, cand, id_col, threshold, reduce_a=False, reduce_b=False
-        )
+        # verify, whole operator one lazy plan.  Gates-off by definition,
+        # so the size-annotated path orients (r12).
+        if orient:
+            out = _verify_jaccard_packed_oriented(sh, cand, id_col, threshold)
+        else:
+            out = _HASHED_VERIFY_IMPL(
+                sh, cand, id_col, threshold, reduce_a=False, reduce_b=False
+            )
         return scoped_persist(out, sh, banded)
     # Big corpus: the shared adaptive dispatch (_adaptive_hashed_verify)
     # materializes the candidate relation — load-bearing: AQE sees its
@@ -713,7 +880,9 @@ def minhash_lsh_verified(
     # concurrent verify consumers can race them (the r8
     # dedup_incremental_near lesson) — amortized at this scale.
     n_docs = sh.count()
-    out, cand = _adaptive_hashed_verify(sh, cand, id_col, threshold, n_docs)
+    out, cand = _adaptive_hashed_verify(
+        sh, cand, id_col, threshold, n_docs, sized=orient
+    )
     return scoped_persist(out, sh, banded, cand)
 
 
@@ -726,6 +895,7 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     max_bucket_size: int | None = None,
     hot_bucket_action: str = "error",
+    with_sizes: bool = False,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH.
 
@@ -738,8 +908,17 @@ def minhash_lsh_candidates(
     ``max_bucket_size`` guards the adversarial case (mass-duplicated docs →
     one bucket → quadratic pairs): see :func:`_bucket_guard`.  Default off —
     enable it on any corpus that has not been exact-deduped first.
+
+    ``with_sizes`` (r12) annotates each pair with the two docs' DISTINCT
+    shingle-set sizes (``__na``/``__nb``, +16 B/pair) by riding ``__n`` on
+    the banded relation — :func:`jaccard_verify_pairs` then applies the
+    provable size-ratio prefilter and the smaller-side-oriented packed
+    verify (DEVNOTES r11 design (b)).  Default off so the published
+    candidate schema is unchanged.
     """
-    banded = banded_minhash(df, text_col, id_col, num_hashes, bands, shingle_n)
+    banded = banded_minhash(
+        df, text_col, id_col, num_hashes, bands, shingle_n, with_size=with_sizes
+    )
     # Self-join against a broadcast side re-executes the whole signature
     # pipeline (no exchange reuse under BroadcastExchange) — persist the
     # banded relation so the md5 work runs once.  At full scale this is the
@@ -751,6 +930,12 @@ def minhash_lsh_candidates(
     )
     a = guarded.alias("a")
     b = guarded.alias("b")
+    pair_cols = [
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+    ]
+    if with_sizes:
+        pair_cols += [F.col("a.__n").alias("__na"), F.col("b.__n").alias("__nb")]
     out = (
         a.join(
             b,
@@ -760,9 +945,7 @@ def minhash_lsh_candidates(
                 F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
             ],
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        .select(*pair_cols)
         .distinct()
     )
     return scoped_persist(out, banded)
@@ -1043,13 +1226,33 @@ def jaccard_verify_pairs(
     consumers can race it (the r8 lesson).  ``False`` restores the
     byte-exact string-keyed r7 plan.
     """
+    # Size-annotated pairs (r12): candidates carrying __na/__nb (from
+    # minhash_lsh_candidates(with_sizes=True)) ride the size-ratio
+    # prefilter and — in the both-gates-off regime under the packed seam —
+    # the smaller-side-oriented verify (DEVNOTES r11 design (b)).  The
+    # digest path strips or consumes the columns; the byte-exact string
+    # opt-out strips them so its plan is unchanged.
+    sized = {"__na", "__nb"} <= set(pairs.columns)
+    orient = (
+        sized
+        and hash_verify_shingles
+        and _ORIENT_SIZED_VERIFY
+        and _HASHED_VERIFY_IMPL is _verify_jaccard_packed
+    )
+    pair_cols = ["id_a", "id_b", "__na", "__nb"] if orient else ["id_a", "id_b"]
     if not assume_distinct:
         # Re-home any scoped cache pins onto the rebound handle: the
         # original `pairs` object dies at this rebind, and without the
         # transfer its weakref finalizer would unpersist the generator's
         # banded/shingle caches before the verify plan ever executes.
         pairs = transfer_cache_scope(
-            pairs, pairs.select("id_a", "id_b").distinct()
+            pairs, pairs.select(*pair_cols).distinct()
+        )
+    elif not orient and sized:
+        pairs = transfer_cache_scope(pairs, pairs.select(*pair_cols))
+    if orient:
+        pairs = transfer_cache_scope(
+            pairs, _size_ratio_prefilter(pairs, threshold)
         )
     # Persist the per-doc shingle arrays: the relation feeds the exploded
     # intersection sides AND the size relation, and without the pin the
@@ -1063,9 +1266,12 @@ def jaccard_verify_pairs(
         out = _verify_jaccard_exploded(sh, pairs, id_col, threshold)
         return scoped_persist(transfer_cache_scope(pairs, out), sh)
     if _estimated_bytes(df) < _SEMIJOIN_MIN_INPUT_BYTES:
-        out = _HASHED_VERIFY_IMPL(
-            sh, pairs, id_col, threshold, reduce_a=False, reduce_b=False
-        )
+        if orient:
+            out = _verify_jaccard_packed_oriented(sh, pairs, id_col, threshold)
+        else:
+            out = _HASHED_VERIFY_IMPL(
+                sh, pairs, id_col, threshold, reduce_a=False, reduce_b=False
+            )
         return scoped_persist(transfer_cache_scope(pairs, out), sh)
     # Big corpus: the shared adaptive dispatch (barrier + per-side
     # distinct-id gates — _adaptive_hashed_verify's docstring has the
@@ -1074,7 +1280,9 @@ def jaccard_verify_pairs(
     # whose pin is scoped to the returned plan; the caller's generator
     # pins still transfer off the original handle.
     n_docs = sh.count()  # materializes the shingle cache (r8 race lesson)
-    out, pairs_p = _adaptive_hashed_verify(sh, pairs, id_col, threshold, n_docs)
+    out, pairs_p = _adaptive_hashed_verify(
+        sh, pairs, id_col, threshold, n_docs, sized=orient
+    )
     return scoped_persist(transfer_cache_scope(pairs, out), sh, pairs_p)
 
 
@@ -1109,7 +1317,11 @@ def minhash_lsh_candidates_vs_store(
     hot_bucket_action: str = "error",
 ) -> DataFrame:
     """Candidate near-dup pairs of a NEW batch against an existing corpus:
-    ``(id_new, id_store)`` sharing ≥1 MinHash band bucket.
+    ``(id_new, id_store)`` sharing ≥1 MinHash band bucket.  (No
+    ``with_sizes`` here, unlike the self-join generator: size-annotated
+    candidates were A/B'd for this shape and REJECTED — the annotation
+    bytes exceeded the prefilter's savings in the gated asymmetric regime;
+    see dedup_incremental_near.)
 
     The incremental analogue of :func:`minhash_lsh_candidates`: instead of a
     corpus self-join, the delta's banded signatures equi-join the store's —
@@ -1225,6 +1437,15 @@ def dedup_incremental_near(
                 f"{[r[id_col] for r in colliding]} — route same-id "
                 "re-crawls through dedup_incremental_exact instead"
             )
+    # Size-annotated candidates MEASURED AND REJECTED here (r12): the
+    # sized request (banded +8 B/row on BOTH signature sides, +16 B/pair
+    # through the candidate distinct) cost more than the size-ratio
+    # prefilter saved in the asymmetric gated regime this operator is FOR —
+    # ov100 A/B: 649.9 -> 660.5 MB (+1.6%) and ~+14% steady wall at
+    # identical checksums, vs a negligible -4 MB at the saturated sf10 rung
+    # where orientation engages.  The self-join family keeps the sized path
+    # (it measured strictly positive there); this operator stays unsized so
+    # the per-side semi-join reduction's candidates remain minimal.
     cand = minhash_lsh_candidates_vs_store(
         new_df, store_df, text_col, id_col, num_hashes, bands, shingle_n,
         max_bucket_size, hot_bucket_action,

@@ -68,11 +68,18 @@ def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .registry_ext import _augmented_docs
 
     docs = _augmented_docs(spark, sf_dir)
-    pairs = D.minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=8, bands=4)
+    # with_sizes (r12): candidates carry the two docs' distinct shingle-set
+    # sizes (+16 B/pair, +8 B/row on the banded exchange) so the verify can
+    # apply the provable size-ratio prefilter and orient its pair expansion
+    # by the smaller side — result-neutral by construction (jaccard <=
+    # min/max; orientation is symmetric), equivalence-pinned in
+    # tests/test_scale_ops.py and A/B'd via tools/verify_ab.py.
+    pairs = D.minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=8, bands=4, with_sizes=True
+    )
     # Verification is array-free (r7) and since r10 digest-keyed with the
-    # adaptive semi-join reduction (_verify_jaccard_exploded_hashed —
-    # intersections counted over narrow exploded (id, xxhash64) rows); the
-    # engine-wide 4 MB RUNTIME_CONFS broadcast caps stop any compressed-
+    # adaptive semi-join reduction; since r11 the packed-array digest plan;
+    # the engine-wide 4 MB RUNTIME_CONFS broadcast caps stop any compressed-
     # stats mis-broadcast — no per-call-site join hint exists or is needed.
     # assume_distinct: minhash_lsh_candidates ends in .distinct() (r8).
     verified = D.jaccard_verify_pairs(

@@ -601,6 +601,102 @@ def test_verify_null_text_never_pairs(spark):
         sh.unpersist()
 
 
+def test_oriented_verify_matches_all_plans(spark, sf_small):
+    """r12 (DEVNOTES r11 design (b)): the size-annotated oriented verify —
+    smaller-side pair expansion + size-ratio prefilter — must be a pure
+    plan optimization: identical pair set and bit-identical raw-quotient
+    jaccard values as the unoriented packed seam AND the exploded-hashed
+    reference, through the full fused operator."""
+    import cdc_wastewater_analysis_ml_spark.operators.dedup as DD
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+
+    def run():
+        return sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in DD.minhash_lsh_verified(
+                docs, "text", "doc_id", threshold=0.3
+            ).collect()
+        )
+
+    oriented = run()
+    assert len(oriented) > 0
+    try:
+        DD._ORIENT_SIZED_VERIFY = False
+        unoriented = run()
+        DD._HASHED_VERIFY_IMPL = DD._verify_jaccard_exploded_hashed
+        DD._ORIENT_SIZED_VERIFY = True  # no-op off the packed seam
+        exploded = run()
+    finally:
+        DD._ORIENT_SIZED_VERIFY = True
+        DD._HASHED_VERIFY_IMPL = DD._verify_jaccard_packed
+    assert oriented == unoriented == exploded
+
+
+def test_oriented_verify_null_text_and_asymmetric_sizes(spark):
+    """The oriented impl directly: null-text docs never pair (r12 digest
+    guard), orientation of a strongly asymmetric pair (|A| >> |B|) returns
+    the original (id_a, id_b) orientation with the symmetric jaccard, and
+    the size-ratio prefilter only ever drops sub-threshold pairs."""
+    from cdc_wastewater_analysis_ml_spark.operators.dedup import (
+        _size_ratio_prefilter,
+        _verify_jaccard_packed,
+        _verify_jaccard_packed_oriented,
+        word_shingles,
+    )
+
+    big = "the quick brown fox jumps over the lazy dog " * 8  # many shingles
+    small = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, big), (4, small), (5, big)],
+        "doc_id long, text string",
+    )
+    sh = docs.select(
+        F.col("doc_id"),
+        F.array_distinct(word_shingles("text", 3)).alias("__shs"),
+    ).persist()
+    sizes = {r.doc_id: r.n for r in sh.select("doc_id", F.size("__shs").alias("n")).collect()}
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (4, 5), (3, 5)], "id_a long, id_b long"
+    ).select(
+        "id_a", "id_b"
+    )
+    sized = pairs.withColumn(
+        "__na", F.udf(lambda i: sizes[i], "int")("id_a")
+    ).withColumn("__nb", F.udf(lambda i: sizes[i], "int")("id_b"))
+    try:
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in _verify_jaccard_packed_oriented(
+                sh, sized, "doc_id", 0.1
+            ).collect()
+        }
+        ref = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in _verify_jaccard_packed(
+                sh, pairs, "doc_id", 0.1, reduce_a=False, reduce_b=False
+            ).collect()
+        }
+        assert got == ref
+        assert (1, 2) not in got  # null-text docs never pair
+        assert got[(3, 5)] == 1.0  # identical big docs
+        # (3, 4) and (4, 5): small's shingles are a subset of big's —
+        # jaccard = |small|/|big|, published in ORIGINAL orientation.
+        assert got[(3, 4)] == sizes[4] / sizes[3]
+        # Prefilter: at a threshold above |small|/|big| the asymmetric
+        # pairs are provably sub-threshold and dropped; (3,5) survives.
+        ratio = sizes[4] / sizes[3]
+        kept = {
+            (r.id_a, r.id_b)
+            for r in _size_ratio_prefilter(sized, ratio + 0.05).collect()
+        }
+        assert kept == {(1, 2), (3, 5)}  # equal-size pairs survive
+        # and everything the prefilter dropped is below that threshold:
+        assert all(v < ratio + 0.05 for k, v in ref.items() if k not in kept)
+    finally:
+        sh.unpersist()
+
+
 def test_lsh_verified_semijoin_reduction_matches_unreduced(spark, sf_small):
     """The engaged semi-join reduction (big-corpus path — fixtures too
     small to trigger it through the operator) must be a pure plan

@@ -28,8 +28,11 @@ from cdc_wastewater_analysis_ml_spark.operators import dedup as D
 from tools.scale_probe import build_session, rest_shuffle_totals
 
 
-def run_variant(name: str, impl, query: str, sf_dir: str, runs: int) -> dict:
+def run_variant(
+    name: str, impl, query: str, sf_dir: str, runs: int, orient: bool = False
+) -> dict:
     D._HASHED_VERIFY_IMPL = impl
+    D._ORIENT_SIZED_VERIFY = orient
     spark = build_session(app_name="verify_ab", port=4053)
     from cdc_wastewater_analysis_ml_spark.plans.registry import QUERIES
 
@@ -61,23 +64,28 @@ def main() -> None:
     query, sf_dir = sys.argv[1], sys.argv[2]
     runs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     results = []
-    for name, impl in (
-        ("exploded", D._verify_jaccard_exploded_hashed),
-        ("packed", D._verify_jaccard_packed),
+    # Third variant since r12: the packed plan with the size-annotated
+    # orientation seam ON (smaller-side pair expansion + size-ratio
+    # prefilter) — the adoption candidate vs the r11 "packed" baseline.
+    for name, impl, orient in (
+        ("exploded", D._verify_jaccard_exploded_hashed, False),
+        ("packed", D._verify_jaccard_packed, False),
+        ("packed_oriented", D._verify_jaccard_packed, True),
     ):
-        r = run_variant(name, impl, query, sf_dir, runs)
+        r = run_variant(name, impl, query, sf_dir, runs, orient)
         print(json.dumps(r), flush=True)
         results.append(r)
-    a, b = results
+    base = results[0]
     print(
         json.dumps(
             {
                 "query": query,
                 "fixture": sf_dir,
-                "checksums_match": a["checksum"] == b["checksum"]
-                and a["rows"] == b["rows"],
-                "steady_exploded": a["runs"][-1],
-                "steady_packed": b["runs"][-1],
+                "checksums_match": all(
+                    r["checksum"] == base["checksum"] and r["rows"] == base["rows"]
+                    for r in results
+                ),
+                **{f"steady_{r['variant']}": r["runs"][-1] for r in results},
             }
         ),
         flush=True,
