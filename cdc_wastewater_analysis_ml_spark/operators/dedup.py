@@ -1210,6 +1210,16 @@ def jaccard_verify_pairs(
     :func:`minhash_lsh_candidates`, which ends in ``.distinct()``) pass
     ``True`` to keep the verify plan identical to r7's.
 
+    Size-annotated pairs (r12): if ``pairs`` carries ``__na``/``__nb``
+    (the two docs' DISTINCT shingle-set sizes, as emitted by
+    :func:`minhash_lsh_candidates` ``with_sizes=True``), the verify applies
+    the provable size-ratio prefilter and — in the both-gates-off regime
+    under the packed seam — the smaller-side-oriented expansion.  CONTRACT:
+    the size columns must be functionally dependent on the ids and equal
+    the verify-side ``size(array_distinct(word_shingles(text, n)))``;
+    inconsistent annotations would survive the pair-distinct as duplicate
+    rows and mis-prefilter.  Pass generator-produced sizes or none.
+
     ``hash_verify_shingles`` (default on, r10): intersections are counted
     over 64-bit ``xxhash64`` shingle digests with the adaptive semi-join
     reduction (:func:`_verify_jaccard_exploded_hashed`) — identical

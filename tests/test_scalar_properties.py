@@ -276,3 +276,25 @@ def test_quantization_error_bounded_by_half_scale(spark, vecs):
         # reported scale is floor-rounded to 1e-6
         assert abs(r["scale"] - scale) <= 1e-6
         assert r["max_abs_err"] <= scale / 2 + 1e-6
+
+
+@given(
+    st.integers(min_value=1, max_value=10**6),
+    st.integers(min_value=1, max_value=10**6),
+    st.integers(min_value=0, max_value=10**6),
+    st.floats(min_value=1e-6, max_value=1.0),
+)
+def test_size_ratio_prefilter_never_drops_a_passing_pair(na, nb, inter, t):
+    """Float-level proof obligation of _size_ratio_prefilter (r12): for ANY
+    set sizes and intersection (inter <= min <= max), the IEEE-evaluated
+    jaccard = inter/(na+nb-inter) never exceeds the IEEE-evaluated ratio
+    min/max — exact-rational ordering (jaccard <= min/max) survives
+    float rounding because fl() is monotone and both quotients are single
+    divisions of exact integers.  Hence `ratio < t` implies `jaccard < t`:
+    the prefilter can only drop pairs the threshold filter would drop."""
+    inter = min(inter, na, nb)
+    jaccard = inter / (na + nb - inter)
+    ratio = min(na, nb) / max(na, nb)
+    assert jaccard <= ratio
+    if ratio < t:
+        assert jaccard < t

@@ -18,6 +18,25 @@ Usage:
     SPARK_GRAFT_PROBE_BIG_LABEL=sf10 \
     SPARK_GRAFT_PROBE_BIG_DIR=/tmp/spark_graft_sf10 \
     SPARK_GRAFT_PROBE_FACTOR=100 python -m tools.scale_probe ...
+
+Fixture-shape decision (r12, VERDICT r11 task 5): the canonical ladder
+MIGRATES to 32-part-file production-shaped fixtures from r13 on.  The
+single-file fixtures trip ``fan_out``'s files<parallelism repartition
+guard — a no-op on any real multi-file table — and the guard's exchanges
+were measured at ~10% (dedup_lsh_verified) to ~34%
+(pipeline_incremental_ingest) of the committed probe bytes, distorting
+exactly the exponents the ladder exists to keep honest.  r12 is the
+dual-record round: PROBE_r12.json is the LAST single-file record (directly
+comparable to r01-r11) and PROBE_MULTIFILE_r12.json is the first
+multi-file record (the r13+ baseline).  Multi-file rungs:
+    python -m tools.gen_scale_fixture /tmp/spark_graft_sf01_mf 1 0 32
+    python -m tools.gen_scale_fixture /tmp/spark_graft_sf10_mf 100 0 32
+    SPARK_GRAFT_PROBE_SMALL_LABEL=sf0.1mf \
+    SPARK_GRAFT_PROBE_SMALL_DIR=/tmp/spark_graft_sf01_mf \
+    SPARK_GRAFT_PROBE_BIG_LABEL=sf10mf \
+    SPARK_GRAFT_PROBE_BIG_DIR=/tmp/spark_graft_sf10_mf \
+    SPARK_GRAFT_PROBE_FACTOR=100 \
+    SPARK_GRAFT_PROBE_OUT=PROBE_MULTIFILE_r{N}.json python -m tools.scale_probe
 """
 
 from __future__ import annotations
