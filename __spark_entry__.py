@@ -87,6 +87,13 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # _verify_jaccard_exploded_hashed + _verify_jaccard_packed only —
     # call-path consumers = the verify-route queries; ngram/kgram route
     # their own digest plans (untouched, r11-guarded) and keep r11 rows.
+    # r12 session 2: the smaller-side-oriented packed verify lands behind
+    # the _ORIENT_SIZED_VERIFY seam (DEVNOTES r11 design (b)) — the fused
+    # operator and size-annotated candidates (minhash_lsh_candidates
+    # with_sizes=True) orient the pair expansion and apply the provable
+    # size-ratio prefilter; minhash_signatures/banded_minhash gained the
+    # optional size column (default-off, plans byte-identical when off,
+    # but module rule: their consumer queries re-verify too).
     "operators/dedup.py": 12,
     "operators/caching.py": 5,
     # r6: chunk_documents rejects stride > chunk_tokens (ADVICE r5 #1 —
@@ -328,6 +335,11 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
     # publish their own (already null-guarded) digest plans, byte-untouched
     # this round, and keep their r11 rows.
     "operators/dedup.py": (
+        # candidate-generator routes (r12 session 2: optional size column
+        # on minhash_signatures/banded_minhash/minhash_lsh_candidates):
+        "dedup_minhash_signatures",
+        "dedup_minhash_lsh",
+        "dedup_lsh_bucket_stats",
         # minhash_lsh_verified routes:
         "dedup_lsh_verified",
         "dedup_cluster_best",
