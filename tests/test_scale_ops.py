@@ -601,6 +601,33 @@ def test_verify_null_text_never_pairs(spark):
         sh.unpersist()
 
 
+def test_lsh_candidates_with_sizes_annotation_is_exact(spark, sf_small):
+    """with_sizes=True must (a) leave the pair SET identical to the default
+    schema and (b) annotate each pair with exactly the verify-side distinct
+    shingle-set sizes (the prefilter/orientation contract)."""
+    from cdc_wastewater_analysis_ml_spark.operators.dedup import word_shingles
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    plain = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_candidates(docs, "text", "doc_id").collect()
+    }
+    sized_rows = D.minhash_lsh_candidates(
+        docs, "text", "doc_id", with_sizes=True
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in sized_rows} == plain and len(plain) > 0
+    sizes = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id",
+            F.size(F.array_distinct(word_shingles("text", 3))).alias("n"),
+        ).collect()
+    }
+    for r in sized_rows:
+        # Row attribute access rejects dunder names; use item access.
+        assert r["__na"] == sizes[r.id_a] and r["__nb"] == sizes[r.id_b], r
+
+
 def test_oriented_verify_matches_all_plans(spark, sf_small):
     """r12 (DEVNOTES r11 design (b)): the size-annotated oriented verify —
     smaller-side pair expansion + size-ratio prefilter — must be a pure
