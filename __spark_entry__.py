@@ -224,10 +224,6 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     "streaming/neardup.py": 6,
     # r7: _delta_docs id offsets follow the _AUG/_NOVEL constants.
     "plans/registry_stream_ext.py": 7,
-    # r7: registry.py diff is the registry_quality tail import ONLY — the
-    # AST audit derives an EMPTY affected-query set (no @register block or
-    # helper changed); listed at file granularity per the mechanical rule.
-    "plans/registry.py": 7,
     # r8: sim_recall_cost_sweep gains the lshm (multi-table) row and the
     # new sim_cosine_lsh_multi block lands (those two re-greened r8-r10).
     # r10 session 3: quality_linear_score's `score` column is now the RAW
@@ -245,8 +241,11 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # plans/registry_analytic.py oracle queries + edge tests.
     "operators/analytic.py": 8,
     "plans/registry_analytic.py": 8,
-    # r8: registry.py diff is the registry_analytic tail import ONLY —
-    # empty AST-affected query set, file-granularity listing per the rule.
+    # r7/r8: registry.py diffs were tail imports only (registry_quality,
+    # registry_analytic) — empty AST-affected query sets, previously listed
+    # as duplicate dict keys at file granularity; the r7 entry was SHADOWED
+    # by this one (last-key-wins) and is folded in here (r12 review — a
+    # duplicate-key guard now fails the test suite on any recurrence).
     # r12: agg_conditional_rate + agg_conditional_rate_joined publish the
     # raw 100.0*avg(0/1) / 100.0*detected/total quotients (scheduled
     # boundary_deferred conversion; oracle round() dropped in kind) —
@@ -340,6 +339,7 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "dedup_minhash_signatures",
         "dedup_minhash_lsh",
         "dedup_lsh_bucket_stats",
+        "analytic_edit_distance",
         # minhash_lsh_verified routes:
         "dedup_lsh_verified",
         "dedup_cluster_best",

@@ -455,6 +455,30 @@ def _verify_jaccard_exploded_hashed(
     )
 
 
+def _packed_digest_relation(sh: DataFrame, id_col: str) -> DataFrame:
+    """(id, __hs array<long>, __n) packed digest relation shared by BOTH
+    packed verify plans (extracted r12 review — the two copies must never
+    diverge or the oriented/unoriented bit-identity contract breaks).
+
+    Null shingles are FILTERED out of the digest array (r12 ADVICE):
+    xxhash64 skips null args (returns the seed hash), so an unfiltered
+    transform would give every null-text doc ([NULL] from word_shingles)
+    the same one-element array and pair them all at jaccard 1.0.  Mapping
+    to a NULL element instead would not do either — ``array_intersect``
+    MATCHES null elements, unlike the exploded plans' equi-join.  The
+    size column keeps the ORIGINAL array length so set sizes (hence
+    jaccard denominators) stay identical to the exploded/string plans,
+    where the null element counts toward __n but can never intersect."""
+    return sh.select(
+        F.col(id_col),
+        F.transform(
+            F.filter(F.col("__shs"), lambda s: s.isNotNull()),
+            lambda s: F.xxhash64(s),
+        ).alias("__hs"),
+        F.size(F.col("__shs")).alias("__n"),
+    )
+
+
 def _verify_jaccard_packed(
     sh: DataFrame,
     pairs: DataFrame,
@@ -497,23 +521,7 @@ def _verify_jaccard_packed(
             "threshold must be > 0 (zero-intersection pairs survive the "
             "packed joins with jaccard 0 and must be filtered)"
         )
-    # Null shingles are FILTERED out of the digest array (r12 ADVICE):
-    # xxhash64 skips null args (returns the seed hash), so an unfiltered
-    # transform would give every null-text doc ([NULL] from word_shingles)
-    # the same one-element array and pair them all at jaccard 1.0.  Mapping
-    # to a NULL element instead would not do either — ``array_intersect``
-    # MATCHES null elements, unlike the exploded plans' equi-join.  The
-    # size column keeps the ORIGINAL array length so set sizes (hence
-    # jaccard denominators) stay identical to the exploded/string plans,
-    # where the null element counts toward __n but can never intersect.
-    hs = sh.select(
-        F.col(id_col),
-        F.transform(
-            F.filter(F.col("__shs"), lambda s: s.isNotNull()),
-            lambda s: F.xxhash64(s),
-        ).alias("__hs"),
-        F.size(F.col("__shs")).alias("__n"),
-    )
+    hs = _packed_digest_relation(sh, id_col)
     a = hs.select(
         F.col(id_col).alias("id_a"),
         F.col("__hs").alias("__ha"),
@@ -585,16 +593,7 @@ def _verify_jaccard_packed_oriented(
             "threshold must be > 0 (zero-intersection pairs survive the "
             "packed joins with jaccard 0 and must be filtered)"
         )
-    # Same null-filtered digest projection as _verify_jaccard_packed (r12
-    # ADVICE guard; sizes keep the ORIGINAL array length for parity).
-    hs = sh.select(
-        F.col(id_col),
-        F.transform(
-            F.filter(F.col("__shs"), lambda s: s.isNotNull()),
-            lambda s: F.xxhash64(s),
-        ).alias("__hs"),
-        F.size(F.col("__shs")).alias("__n"),
-    )
+    hs = _packed_digest_relation(sh, id_col)
     a_small = F.col("__na") <= F.col("__nb")
     op = sized_pairs.select(
         "id_a",
@@ -623,6 +622,16 @@ def _verify_jaccard_packed_oriented(
     return j.select("id_a", "id_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
+
+
+def sized_candidates_active() -> bool:
+    """True iff the size-annotated candidate path is live — the packed
+    impl seam AND the orientation seam are both on.  Registry blocks that
+    opt their candidate generators into ``with_sizes=True`` call this so
+    the A/B reference variants (tools/verify_ab.py flips the seams)
+    measure the FAITHFUL unannotated baseline plan, not the annotated
+    candidates with the annotation stripped (r12 review)."""
+    return _ORIENT_SIZED_VERIFY and _HASHED_VERIFY_IMPL is _verify_jaccard_packed
 
 
 #: r12 orientation seam (A/B'd by tools/verify_ab.py alongside the impl
@@ -703,12 +712,7 @@ def _adaptive_hashed_verify(
         return n_ids <= _SEMIJOIN_MAX_IDS and 2 * n_ids <= n_docs
 
     reduce_a, reduce_b = _gate(counts["na"]), _gate(counts["nb"])
-    if (
-        sized
-        and not (reduce_a or reduce_b)
-        and _ORIENT_SIZED_VERIFY
-        and _HASHED_VERIFY_IMPL is _verify_jaccard_packed
-    ):
+    if sized and not (reduce_a or reduce_b) and sized_candidates_active():
         # Saturated (both-gates-off) regime with size-annotated pairs:
         # orientation is safe — there is no per-side semi-join reduction
         # for it to break — and the smaller-side expansion is a pure byte
@@ -793,11 +797,7 @@ def minhash_lsh_verified(
     # enabling the provable size-ratio prefilter at candidate time and the
     # smaller-side-oriented pair expansion in the verify.  Off-seam (the
     # A/B reference variants) this is byte-for-byte the r11 plan.
-    orient = (
-        hash_verify_shingles
-        and _ORIENT_SIZED_VERIFY
-        and _HASHED_VERIFY_IMPL is _verify_jaccard_packed
-    )
+    orient = hash_verify_shingles and sized_candidates_active()
     size_cols = [F.size(F.col("__shs")).alias("__n")] if orient else []
     sig = sh.select(
         F.col(id_col),
@@ -1243,12 +1243,7 @@ def jaccard_verify_pairs(
     # digest path strips or consumes the columns; the byte-exact string
     # opt-out strips them so its plan is unchanged.
     sized = {"__na", "__nb"} <= set(pairs.columns)
-    orient = (
-        sized
-        and hash_verify_shingles
-        and _ORIENT_SIZED_VERIFY
-        and _HASHED_VERIFY_IMPL is _verify_jaccard_packed
-    )
+    orient = sized and hash_verify_shingles and sized_candidates_active()
     pair_cols = ["id_a", "id_b", "__na", "__nb"] if orient else ["id_a", "id_b"]
     if not assume_distinct:
         # Re-home any scoped cache pins onto the rebound handle: the

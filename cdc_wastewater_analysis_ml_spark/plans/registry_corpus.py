@@ -73,9 +73,12 @@ def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # apply the provable size-ratio prefilter and orient its pair expansion
     # by the smaller side — result-neutral by construction (jaccard <=
     # min/max; orientation is symmetric), equivalence-pinned in
-    # tests/test_scale_ops.py and A/B'd via tools/verify_ab.py.
+    # tests/test_scale_ops.py and A/B'd via tools/verify_ab.py.  Requested
+    # from the seam state (not hardcoded True) so the A/B reference
+    # variants measure the faithful UNANNOTATED baseline plan (r12 review).
     pairs = D.minhash_lsh_candidates(
-        docs, "text", "doc_id", num_hashes=8, bands=4, with_sizes=True
+        docs, "text", "doc_id", num_hashes=8, bands=4,
+        with_sizes=D.sized_candidates_active(),
     )
     # Verification is array-free (r7) and since r10 digest-keyed with the
     # adaptive semi-join reduction; since r11 the packed-array digest plan;

@@ -1428,15 +1428,23 @@ def q_sim_cosine_ivf_kmeans(spark, sf_dir):
     oracle asserts TRUE — but a quantizer/recall regression flips the
     value hash.  All gate relations are ≤ |Q| rows (bounded aggregation of
     the two top-k operators); no driver-side loops."""
+    from ..operators.caching import scoped_persist
+
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = SIM.fit_ivf_centroids(emb, "embedding", nlist=8, seed=42)
     queries = emb.filter(F.col("vec_id") < 10)
+    # Persist the two top-k relations and the per-query join (r12 review):
+    # ivf/truth each feed TWO consumers (the per-query counts and the hits
+    # semi-join) and `per` feeds the gate aggregate AND the published
+    # select — unpersisted, the brute-force |Q|×|corpus| scorer and the
+    # IVF probe join would re-execute per consumer.  All three are ≤
+    # |Q|·k rows; pins release with the returned plan.
     ivf = SIM.cosine_topk_ivf(
         queries, emb, centroids, "vec_id", "embedding", k=5, nprobe=2
-    ).select("query_id", "neighbor_id")
+    ).select("query_id", "neighbor_id").persist()
     truth = SIM.cosine_topk_bruteforce(
         queries, emb, "vec_id", "embedding", k=5
-    ).select("query_id", "neighbor_id")
+    ).select("query_id", "neighbor_id").persist()
     per_truth = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("truth_n"))
     per_ivf = ivf.groupBy("query_id").agg(F.count(F.lit(1)).alias("ivf_n"))
     hits = (
@@ -1448,6 +1456,7 @@ def q_sim_cosine_ivf_kmeans(spark, sf_dir):
         per_truth.join(per_ivf, "query_id", "left")
         .join(hits, "query_id", "left")
         .na.fill({"ivf_n": 0, "hits": 0})
+        .persist()
     )
     gate = per.agg(
         F.avg(F.col("hits") / F.col("truth_n")).alias("avg_recall"),
@@ -1459,7 +1468,8 @@ def q_sim_cosine_ivf_kmeans(spark, sf_dir):
             (F.col("avg_recall") >= 0.4) & (F.col("short_queries") == 0)
         ).alias("within_tol")
     )
-    return per.select("query_id", "truth_n").crossJoin(F.broadcast(gate))
+    out = per.select("query_id", "truth_n").crossJoin(F.broadcast(gate))
+    return scoped_persist(out, ivf, truth, per)
 
 
 @register(

@@ -183,3 +183,28 @@ def test_body_verdict_mention_does_not_advance_epoch(tmp_path):
     )
     assert staleness.current_round(tmp_path) == 10
     assert staleness.base_commit(tmp_path) == verdict_sha
+
+
+def test_no_duplicate_keys_in_hand_maintained_maps():
+    """r12 review: _MODULE_CHANGED_IN_ROUND carried a duplicate
+    "plans/registry.py" key for four rounds — Python dict literals keep the
+    LAST duplicate silently, so an edit to the earlier (shadowed) entry
+    would be ignored and the intended invalidation never applied.  Parse
+    the dict literals and fail on any textual duplicate key."""
+    import ast
+    from pathlib import Path
+
+    src = (Path(__file__).resolve().parent.parent / "__spark_entry__.py").read_text()
+    tree = ast.parse(src)
+    checked = 0
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.AnnAssign) or not isinstance(node.value, ast.Dict):
+            continue
+        name = getattr(node.target, "id", "")
+        if name not in ("_MODULE_CHANGED_IN_ROUND", "_MODULE_CONSUMERS"):
+            continue
+        checked += 1
+        keys = [ast.literal_eval(k) for k in node.value.keys if k is not None]
+        dupes = {k for k in keys if keys.count(k) > 1}
+        assert not dupes, f"{name} has duplicate key(s): {dupes}"
+    assert checked == 2, "expected to find both hand-maintained maps"

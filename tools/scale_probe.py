@@ -270,7 +270,17 @@ def main() -> None:
 
     record = build_record(results, names, BIG_LABEL, FACTOR, SMALL_LABEL)
     root = Path(__file__).resolve().parent.parent
-    out = root / OUT_NAME if OUT_NAME else probe_path(root)
+    if OUT_NAME:
+        # Expand a literal {N} (and {N:02d}-style zero-pad via the same
+        # two-digit convention as probe_path) to the current round, so the
+        # documented SPARK_GRAFT_PROBE_OUT=PROBE_MULTIFILE_r{N}.json recipe
+        # round-stamps itself instead of writing a literal '{N}' filename
+        # (r12 review).
+        from tools.staleness import current_round
+
+        out = root / OUT_NAME.replace("{N}", f"{current_round(root):02d}")
+    else:
+        out = probe_path(root)
     # Merge-don't-clobber: partial probe invocations (one family at a time)
     # accumulate into the same round file.
     if out.exists():
