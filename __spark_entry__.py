@@ -99,7 +99,13 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # r6: chunk_documents rejects stride > chunk_tokens (ADVICE r5 #1 —
     # additive guard; module-granularity rule → whole corpus family, which
     # fully re-verified in the r5 prefix so nothing rides an older row).
-    "operators/corpus.py": 6,
+    # r12: contamination_overlap narrows its join digests md5-hex →
+    # null-guarded xxhash64 (sf10: dominant exchange 971→402 MB, query
+    # 1285→597 MB, steady wall ~25%↓; oracle unchanged — collision bound
+    # rationale as the r11 ngram/kgram narrowings).  Changed function:
+    # contamination_overlap only — call-path consumer = its one query;
+    # every other corpus op is byte-untouched and keeps its latest row.
+    "operators/corpus.py": 12,
     # r5: fraction_to_hex_threshold(1.0) keeps the 'ffffffff' draw
     # (r4 ADVICE #1).
     "operators/sampling.py": 5,
@@ -383,21 +389,12 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "dedup_cluster_best",
         "pipeline_corpus_curation",
     ),
-    "operators/corpus.py": (
-        "corpus_contamination",
-        "corpus_pii_redact",
-        "text_repetition_signals",
-        "corpus_quality_filter",  # dup_fraction signal
-        "corpus_chunk_documents",  # r5-additive chunk_documents
-        # r6 session 2 additive: unigram LM scoring + both packing variants
-        "corpus_unigram_logprob",
-        "corpus_pack_sequences",
-        "corpus_pack_greedy",
-        # r6 session 2 additive: TF-IDF keyword extraction + the curation
-        # composite (routes through pack_token_stream)
-        "corpus_tfidf_top_terms",
-        "pipeline_corpus_curation",
-    ),
+    # r12 diff = contamination_overlap only (digest narrowing): consumer
+    # tuple trimmed to its one query, per the call-path precedent — every
+    # other corpus op (pii/repetition/quality/chunk/LM/pack/tfidf and the
+    # curation composite, which routes text ops + the fused LSH, not
+    # contamination) is byte-untouched this round and keeps its latest row.
+    "operators/corpus.py": ("corpus_contamination",),
     "operators/prefix.py": (
         "corpus_pack_sequences",
         "corpus_shard_assign",

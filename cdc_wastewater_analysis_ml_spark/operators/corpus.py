@@ -52,8 +52,10 @@ def contamination_overlap(
 
     Scale shape: the eval side collapses to a distinct digest set (tiny next
     to the corpus — eval suites are fixed-size); the train side explodes to
-    (doc, digest) pairs.  The equi-join shuffles 32-char md5 digests, not
-    n-gram strings, and the per-doc aggregate is map-side combinable.  With
+    (doc, digest) pairs.  The equi-join shuffles 64-bit ``xxhash64``
+    digests (r12; previously 32-char md5 hex — the digest was most of the
+    dominant exchange's row width), and the per-doc aggregate is map-side
+    combinable.  With
     a small eval suite the digest set is broadcast-able; Catalyst/AQE picks
     that up from sizes, so the plan degrades gracefully if the eval side
     grows.
@@ -75,11 +77,25 @@ def contamination_overlap(
     # (measured 1.7× on this query at sf0.1).  The outer variant skips the
     # inference; its only semantic delta is a null row for null/absent
     # text, which cannot survive the inner digest join below.
+    # 64-bit xxhash64 digests, not 32-char md5 hex (r12 — the r11
+    # ngram/kgram narrowing applied here): the exploded train relation is
+    # this query's dominant exchange (sf10 profile: 971 of 1285 MB) and the
+    # digest is most of the row.  Shared-count semantics are preserved
+    # exactly unless two distinct shingles collide in 64 bits (~m²/2⁶⁵ —
+    # negligible; the failure mode is one n_shared nudged up, not a wrong
+    # join).  NULL-preserving guard is load-bearing: xxhash64 SKIPS null
+    # args (returns the bare seed hash), and explode_outer emits NULL
+    # shingles for null/empty-text docs — unguarded, every such train row
+    # would share one digest with every null eval shingle instead of
+    # never joining (md5(null) was null; the when() keeps that invariant).
+    digest = lambda c: F.when(  # noqa: E731
+        F.col(c).isNotNull(), F.xxhash64(F.col(c))
+    )
     tr = doc_sh.select(
         F.col(id_col),
         F.size("__shs").alias("n_shingles"),
         F.explode_outer("__shs").alias("__sh"),
-    ).select(id_col, "n_shingles", F.md5("__sh").alias("__h"))
+    ).select(id_col, "n_shingles", digest("__sh").alias("__h"))
     ev = (
         fan_out(eval_df)
         .select(
@@ -87,7 +103,7 @@ def contamination_overlap(
                 F.array_distinct(word_shingles(text_col, n))
             ).alias("__sh")
         )
-        .select(F.md5("__sh").alias("__h"))
+        .select(digest("__sh").alias("__h"))
         .distinct()
     )
     hits = tr.join(ev, "__h").groupBy(id_col, "n_shingles").agg(
