@@ -136,6 +136,30 @@ def test_contamination_overlap_counts(spark):
     assert rows[1]["overlap_frac"] == 1.0
 
 
+def test_contamination_null_text_never_matches(spark):
+    """r12 digest narrowing: the xxhash64 join key must keep md5(null)'s
+    never-joins invariant — unguarded, every null/short-text train doc
+    ([NULL] shingle from explode_outer) would share the bare seed hash
+    with a null eval shingle and report spurious contamination."""
+    words = " ".join(f"w{i}" for i in range(10))
+    train = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "too short"), (4, words)],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(9, None), (10, ""), (11, words)], "doc_id long, text string"
+    )
+    out = C.contamination_overlap(train, eval_df, "text", "doc_id", n=8)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # The NULL-text doc (1) and the no-overlap doc (3) never appear.  The
+    # EMPTY-text doc (2) legitimately matches eval doc 10's empty shingle —
+    # "" is a real string, equi-joinable under md5 and xxhash64 alike (the
+    # invariant is null-never-matches, not empty-never-matches).
+    assert set(rows) == {2, 4}
+    assert rows[4]["n_shared"] == 3
+    assert rows[2]["n_shared"] == 1 and rows[2]["n_shingles"] == 1
+
+
 # ---------------------------------------------------------------------------
 # chunking
 # ---------------------------------------------------------------------------
