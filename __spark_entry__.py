@@ -225,11 +225,20 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # whole streaming consumer family re-verifies rather than arguing
     # neutrality (r4 judge, What's-wrong #4).
     "streaming/ops.py": 5,
+    # r4: scan/sink JSON+ORC additions (see sources/readers.py entry);
+    # recorded retroactively at r13 when the overlay gained its
+    # round-match assert — the entry was an inert consumers row before.
+    "sources/sinks.py": 4,
     # r6 NEW modules (consumers = their one new query, never verified):
     # foreachBatch incremental near-dedup + its registry file.
     "streaming/neardup.py": 6,
     # r7: _delta_docs id offsets follow the _AUG/_NOVEL constants.
     "plans/registry_stream_ext.py": 7,
+    # r13: stream_conditional_rate publishes the raw 100.0*avg(0/1)
+    # detection_rate (the last scheduled boundary_deferred site; the
+    # F.round wrapper and the oracle round() drop together) — AST-affected
+    # set = that one block.
+    "plans/registry_stream.py": 13,
     # r8: sim_recall_cost_sweep gains the lshm (multi-table) row and the
     # new sim_cosine_lsh_multi block lands (those two re-greened r8-r10).
     # r10 session 3: quality_linear_score's `score` column is now the RAW
@@ -255,8 +264,12 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # r12: agg_conditional_rate + agg_conditional_rate_joined publish the
     # raw 100.0*avg(0/1) / 100.0*detected/total quotients (scheduled
     # boundary_deferred conversion; oracle round() dropped in kind) —
-    # AST-affected set = those two blocks.
-    "plans/registry.py": 12,
+    # AST-affected set = those two blocks (re-greened in the r12 prefix).
+    # r13: the flagship's 100.0*avg(0/1) detection_rate converts to raw
+    # int-quotient publication on its scheduled round (the LAST
+    # boundary_deferred site in plans/registry.py; oracle round() dropped
+    # in kind) — AST-affected set = the q_flagship block.
+    "plans/registry.py": 13,
     # r10: compact_small_files only (r9 ADVICE — null-safe slot join so
     # NULL hive-partition rows survive compaction, deterministic
     # non-partition-column salt draw).  Write-path only, no registry
@@ -305,9 +318,25 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
 # block-diff against the base commit, so "textually additive" is a computed
 # fact, not a judgment call).
 
-#: Every registry query that transitively routes through a module above.
-_MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
-    "plans/metrics.py": (
+#: Per-(module, round) AST-affected consumer sets — the NARROWING overlay.
+#: The FULL forward route map (module -> every query that transitively
+#: routes through it) is DERIVED from imports + call sites at import time
+#: (tools/staleness.derive_module_routes) and is the fallback whenever a
+#: module's registered round has no overlay entry here: bumping a module's
+#: round in ``_MODULE_CHANGED_IN_ROUND`` without re-deriving the affected
+#: subset in the same diff stales the module's FULL route set instead of
+#: silently inheriting a previous round's trim (ADVICE r12 #3 — the old
+#: single hand-map encoded only the latest trim, so invalidation depended
+#: on per-round manual re-expansion discipline).
+#:
+#: Every key's round must equal the module's current entry in
+#: ``_MODULE_CHANGED_IN_ROUND`` (asserted below): when a round bumps, the
+#: old overlay entry must be deleted and a new one justified in the same
+#: diff — or omitted, accepting the full-route fallback.  Per-round
+#: judgment rationale lives in the ``_MODULE_CHANGED_IN_ROUND`` comments
+#: and git history.
+_ROUND_AFFECTED: dict[tuple[str, int], tuple[str, ...]] = {
+    ("plans/metrics.py", 4): (
         "metric_accuracy",
         "metric_confusion_matrix",
         "metric_classification_report",
@@ -322,8 +351,8 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "ml_linear_probability_pca_metrics",
     ),
     # r12: the user_target_mean raw-quotient conversion.
-    "plans/registry_ml.py": ("pipeline_feature_engineering",),
-    "plans/ml.py": (
+    ("plans/registry_ml.py", 12): ("pipeline_feature_engineering",),
+    ("plans/ml.py", 4): (
         "ml_split_stratified_counts",
         "ml_gbt_metrics",
         "ml_linear_probability_metrics",
@@ -339,7 +368,7 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
     # digests): consumer tuple trimmed to the verify routes — ngram/kgram
     # publish their own (already null-guarded) digest plans, byte-untouched
     # this round, and keep their r11 rows.
-    "operators/dedup.py": (
+    ("operators/dedup.py", 12): (
         # candidate-generator routes (r12 session 2: optional size column
         # on minhash_signatures/banded_minhash/minhash_lsh_candidates):
         "dedup_minhash_signatures",
@@ -361,7 +390,7 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "pipeline_incremental_ingest",
         "stream_incremental_ingest",
     ),
-    "operators/windows.py": (
+    ("operators/windows.py", 4): (
         "window_lag",
         "window_lead",
         "window_running_sum",
@@ -371,7 +400,7 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "pipeline_feature_engineering",
         "pipeline_wastewater_ep1",
     ),
-    "operators/caching.py": (
+    ("operators/caching.py", 5): (
         # routed through the scoped_persist/transfer/release machinery via
         # operators/dedup.py (its only importer) — same consumer family.
         "dedup_minhash_lsh",
@@ -394,19 +423,19 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
     # other corpus op (pii/repetition/quality/chunk/LM/pack/tfidf and the
     # curation composite, which routes text ops + the fused LSH, not
     # contamination) is byte-untouched this round and keeps its latest row.
-    "operators/corpus.py": ("corpus_contamination",),
-    "operators/prefix.py": (
+    ("operators/corpus.py", 12): ("corpus_contamination",),
+    ("operators/prefix.py", 6): (
         "corpus_pack_sequences",
         "corpus_shard_assign",
         "pipeline_corpus_curation",
     ),
     # r6 session 2 NEW module: deterministic shard assignment + sorted-shard
     # writer (consumes operators/prefix.py).
-    "operators/shards.py": ("corpus_shard_assign",),
-    "operators/profile.py": ("profile_events",),
-    "operators/cdc.py": ("cdc_merge_upsert", "stream_cdc_upsert"),
-    "streaming/cdc.py": ("stream_cdc_upsert",),
-    "operators/sampling.py": (
+    ("operators/shards.py", 6): ("corpus_shard_assign",),
+    ("operators/profile.py", 6): ("profile_events",),
+    ("operators/cdc.py", 7): ("cdc_merge_upsert", "stream_cdc_upsert"),
+    ("streaming/cdc.py", 6): ("stream_cdc_upsert",),
+    ("operators/sampling.py", 5): (
         "sample_hash_fraction",
         "sample_mixture_weights",
         "sample_topk_per_key",
@@ -423,7 +452,7 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
     # VERDICT r11 task 3) — AST-affected set = those three blocks (the r11
     # consumers re-greened in the r11 prefix and their helpers are
     # byte-untouched this round).
-    "plans/registry_scale.py": (
+    ("plans/registry_scale.py", 12): (
         "multimodal_media_stats",
         "tpch_pricing_summary",
         "sim_cosine_ivf_kmeans",
@@ -433,19 +462,19 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
     # session 2 ADDS the unigram-LM + packing blocks (never verified).
     # r8: AST-affected block = dedup_cluster_cc (assume_distinct=True call
     # pin); everything else comment-only.
-    "plans/registry_corpus.py": ("dedup_cluster_cc",),
-    "streaming/neardup.py": ("stream_dedup_incremental_near",),
-    "plans/registry_stream_ext.py": (
+    ("plans/registry_corpus.py", 12): ("dedup_cluster_cc",),
+    ("streaming/neardup.py", 6): ("stream_dedup_incremental_near",),
+    ("plans/registry_stream_ext.py", 7): (
         "stream_dedup_incremental_near",
         # r6 session 2 additive block (never verified)
         "stream_cdc_upsert",
     ),
-    # r12: the conditional-rate raw-quotient conversions.
-    "plans/registry.py": (
-        "agg_conditional_rate",
-        "agg_conditional_rate_joined",
-    ),
-    "operators/analytic.py": (
+    # r13: the flagship raw-quotient conversion (q_flagship block only;
+    # the r12 conditional-rate conversions re-greened in the r12 prefix).
+    ("plans/registry.py", 13): ("flagship_weekly_detection_rate",),
+    # r13: the streaming detection_rate raw-quotient conversion.
+    ("plans/registry_stream.py", 13): ("stream_conditional_rate",),
+    ("operators/analytic.py", 8): (
         "analytic_locf_fill",
         "analytic_ntile",
         "analytic_histogram",
@@ -453,7 +482,7 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "analytic_top_bigrams",
         "analytic_edit_distance",
     ),
-    "plans/registry_analytic.py": (
+    ("plans/registry_analytic.py", 8): (
         "analytic_locf_fill",
         "analytic_ntile",
         "analytic_histogram",
@@ -465,19 +494,19 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
     # the r8 sweep/lshm blocks are byte-untouched and keep their r8-r10
     # rows — listing them here would spuriously stale two healthy rows out
     # of an exactly-full rotation prefix.
-    "plans/registry_quality.py": ("sim_recall_cost_sweep",),
+    ("plans/registry_quality.py", 11): ("sim_recall_cost_sweep",),
     # r10 diff = compact_small_files (write-path operator, no registry
     # query routes through it); layout_zorder_key rides its r9 row —
     # _bucket and the zorder key expression are byte-untouched.
-    "operators/layout.py": (),
-    "plans/registry_layout.py": ("layout_zorder_key",),
+    ("operators/layout.py", 10): (),
+    ("plans/registry_layout.py", 9): ("layout_zorder_key",),
     # r9 diff = build_line_store/merge_line_counts signatures (id_col
     # dropped) + merge_line_counts_bucketed: consumers = EVERY query
     # routing through those functions, including the r9-new streaming twin
     # and the ingest composite (both also route through build_line_store —
     # they are r9-new so they verify regardless, but the manifest should
     # not rely on that coincidence).
-    "operators/lines.py": (
+    ("operators/lines.py", 9): (
         "corpus_line_dedup_incremental",
         "corpus_line_store_merge",
         "stream_line_dedup",
@@ -495,32 +524,32 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
     # helper now composes the shared _INGEST_DELTA_CTE) and the new
     # pipeline_ingest_store_refresh; the other line queries' blocks are
     # byte-untouched and keep their r9 rows.
-    "plans/registry_lines.py": (
+    ("plans/registry_lines.py", 11): (
         "pipeline_incremental_ingest",
         "stream_incremental_ingest",
     ),
-    "streaming/ingest.py": ("stream_incremental_ingest",),
-    "streaming/lines.py": ("stream_line_dedup",),
-    "session.py": (),
-    "operators/multimodal.py": (),
+    ("streaming/ingest.py", 10): ("stream_incremental_ingest",),
+    ("streaming/lines.py", 9): ("stream_line_dedup",),
+    ("session.py", 10): (),
+    ("operators/multimodal.py", 7): (),
     # r12: the metrics-family raw-quotient conversions.
-    "plans/registry_ext.py": (
+    ("plans/registry_ext.py", 12): (
         "metric_accuracy",
         "metric_classification_report",
         "metric_roc_curve",
         "metric_pr_curve",
     ),
-    "operators/relational.py": (),
+    ("operators/relational.py", 4): (),
     # r11 diff = recall_at_k only: consumers are the query calling it
     # (sim_recall_at_k) and the sweep (its registry twin _sweep_row changed
     # in kind; listed under plans/registry_quality.py too).  The r8-added
     # lsh-multi functions are byte-untouched — sim_cosine_lsh_multi keeps
     # its r10 row.
-    "operators/similarity.py": (
+    ("operators/similarity.py", 11): (
         "sim_recall_at_k",
         "sim_recall_cost_sweep",
     ),
-    "operators/text.py": (),
+    ("operators/text.py", 4): (),
     # r4 additive: scan_json/scan_orc (+ sinks) are new functions consumed
     # only by the NEW roundtrip queries (never verified before); load_table/
     # scan_csv/scan_parquet are textually unchanged.
@@ -529,7 +558,7 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
     # the roundtrip queries plus the pre-r4-green ts readers the r4 judge
     # identified (the r4/r5-greened window/stream family re-verifies through
     # its own module entries).
-    "sources/readers.py": (
+    ("sources/readers.py", 4): (
         "scan_json_roundtrip",
         "scan_orc_roundtrip",
         "agg_mean_resampled",
@@ -539,13 +568,13 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
         "stream_conditional_rate",
         "stream_lag_per_key",
     ),
-    "sources/sinks.py": ("scan_json_roundtrip", "scan_orc_roundtrip"),
+    ("sources/sinks.py", 4): ("scan_json_roundtrip", "scan_orc_roundtrip"),
     # r4 additive: stream_lag_per_key_reordered (+ the TWS variant) are new
     # functions consumed only by the NEW query below (never verified before,
     # so it sorts to the head of the rotation anyway); pre-existing streaming
     # ops are textually unchanged except read_events_stream gaining **options
     # (a no-op for existing zero-option callers).
-    "streaming/ops.py": (
+    ("streaming/ops.py", 5): (
         "stream_lag_reordered",
         "stream_session_windows",
         "stream_dedup_exact",
@@ -558,15 +587,52 @@ _MODULE_CONSUMERS: dict[str, tuple[str, ...]] = {
     ),
 }
 
-# Strict indexing (not .get): a key typo between the two hand-maintained
-# dicts must fail loudly at import, not silently invalidate nothing — the
-# exact failure mode this mechanism exists to prevent (r3 ADVICE).
-assert set(_MODULE_CHANGED_IN_ROUND) <= set(_MODULE_CONSUMERS), (
-    set(_MODULE_CHANGED_IN_ROUND) - set(_MODULE_CONSUMERS)
-)
+# A key typo in either hand-maintained dict must fail loudly at import, not
+# silently invalidate nothing — the exact failure mode this mechanism exists
+# to prevent (r3 ADVICE).  Module names must be real package files, and
+# every overlay key must match the module's CURRENT registered round (a
+# dead overlay entry from a previous round would silently re-apply an old
+# trim — ADVICE r12 #3).
+for _module in _MODULE_CHANGED_IN_ROUND:
+    assert (Path(__file__).resolve().parent
+            / "cdc_wastewater_analysis_ml_spark" / _module).is_file(), _module
+for _module, _rnd in _ROUND_AFFECTED:
+    assert _MODULE_CHANGED_IN_ROUND.get(_module) == _rnd, (
+        f"_ROUND_AFFECTED[({_module!r}, {_rnd})] does not match "
+        f"_MODULE_CHANGED_IN_ROUND ({_MODULE_CHANGED_IN_ROUND.get(_module)})"
+    )
+
+
+def _derived_routes() -> dict[str, set[str]] | None:
+    """Full forward route map from static analysis; None if unavailable
+    (the consumer falls back to staling EVERYTHING for overlay-less
+    modules — over-verification is the safe failure direction)."""
+    try:
+        from tools.staleness import derive_module_routes
+
+        return derive_module_routes(Path(__file__).resolve().parent)
+    except Exception:
+        return None
+
+
+_DERIVED_ROUTES = _derived_routes()
+
+
+def effective_consumers(module: str, rnd: int) -> set[str]:
+    """Queries staled by ``module`` changing in round ``rnd``: the explicit
+    per-round overlay when one was recorded, else the module's full derived
+    route set, else (derivation unavailable) every registry query."""
+    subset = _ROUND_AFFECTED.get((module, rnd))
+    if subset is not None:
+        return set(subset)
+    if _DERIVED_ROUTES is not None:
+        return set(_DERIVED_ROUTES.get(module, set()))
+    return set(registry.QUERIES)
+
+
 _CHANGED_IN_ROUND: dict[str, int] = {}
 for _module, _rnd in _MODULE_CHANGED_IN_ROUND.items():
-    for _name in _MODULE_CONSUMERS[_module]:
+    for _name in effective_consumers(_module, _rnd):
         # max: a query may route through several changed modules
         _CHANGED_IN_ROUND[_name] = max(_CHANGED_IN_ROUND.get(_name, -1), _rnd)
 

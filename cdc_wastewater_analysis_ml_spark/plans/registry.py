@@ -71,7 +71,7 @@ _V_CTE = (
     """
     SELECT date_trunc('week', ts) AS week_start,
            count(*) AS total,
-           round(100.0 * avg(CASE WHEN value > 50 THEN 1 ELSE 0 END), 6)
+           100.0 * avg(CASE WHEN value > 50 THEN 1 ELSE 0 END)
                AS detection_rate
     FROM events
     GROUP BY 1
@@ -93,7 +93,7 @@ def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         labeled.groupBy(w.alias("w"))
         .agg(
             F.count(F.lit(1)).alias("total"),
-            F.round(F.lit(100.0) * F.avg("influenza_a_detected"), 6).alias(
+            (F.lit(100.0) * F.avg("influenza_a_detected")).alias(
                 "detection_rate"
             ),
         )

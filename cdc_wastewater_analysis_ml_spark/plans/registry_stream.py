@@ -79,7 +79,7 @@ def q_stream_weekly_mean(spark, sf_dir):
     """
     SELECT date_trunc('day', ts) AS day_start, event_type,
            count(*) AS total,
-           round(100.0 * avg(CASE WHEN value > 50 THEN 1 ELSE 0 END), 6)
+           100.0 * avg(CASE WHEN value > 50 THEN 1 ELSE 0 END)
                AS detection_rate
     FROM events GROUP BY 1, 2
     """,
@@ -89,12 +89,7 @@ def q_stream_conditional_rate(spark, sf_dir):
     detection rate as a windowed streaming aggregation."""
     src = read_events_stream(spark, _silver_events_dir(spark, sf_dir))
     out = _run_to_completion(spark, stream_conditional_rate(src), "complete")
-    return out.select(
-        "day_start",
-        "event_type",
-        "total",
-        F.round("detection_rate", 6).alias("detection_rate"),
-    )
+    return out.select("day_start", "event_type", "total", "detection_rate")
 
 
 @register(

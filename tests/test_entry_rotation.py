@@ -30,7 +30,8 @@ def test_module_change_invalidates_all_consumers():
     # _CHANGED_IN_ROUND takes the max (r12: metric_accuracy is a
     # plans/metrics.py consumer whose registry_ext.py block also changed).
     changed = entry_mod._CHANGED_IN_ROUND
-    for name in entry_mod._MODULE_CONSUMERS["plans/metrics.py"]:
+    metrics_rnd = entry_mod._MODULE_CHANGED_IN_ROUND["plans/metrics.py"]
+    for name in entry_mod.effective_consumers("plans/metrics.py", metrics_rnd):
         assert (
             changed.get(name, -1)
             >= entry_mod._MODULE_CHANGED_IN_ROUND["plans/metrics.py"]
@@ -42,7 +43,10 @@ def test_changed_consumers_sort_before_green_queries():
     green = entry_mod._last_green_round()
     stale = [
         n
-        for n in entry_mod._MODULE_CONSUMERS["plans/metrics.py"]
+        for n in entry_mod.effective_consumers(
+            "plans/metrics.py",
+            entry_mod._MODULE_CHANGED_IN_ROUND["plans/metrics.py"],
+        )
         if green.get(n, -1) < entry_mod._CHANGED_IN_ROUND[n]
     ]
     # Every stale metric consumer must outrank every query whose green row

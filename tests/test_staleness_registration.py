@@ -45,18 +45,20 @@ def test_changed_modules_are_registered_at_current_round(audit_ctx):
 
 
 def test_changed_registry_files_list_all_ast_affected_queries(audit_ctx):
-    root, base, _ = audit_ctx
+    root, base, rnd = audit_ctx
     problems = {}
     for rel in staleness.changed_package_files(root, base):
         if not rel.split("/")[-1].startswith("registry"):
             continue
         required = staleness.registry_required_consumers(root, base, rel)
-        listed = set(entry._MODULE_CONSUMERS.get(rel, ()))
+        listed = entry.effective_consumers(
+            rel, entry._MODULE_CHANGED_IN_ROUND.get(rel, -1)
+        )
         if not required <= listed:
             problems[rel] = sorted(required - listed)
     assert not problems, (
-        f"AST-affected @register blocks missing from _MODULE_CONSUMERS: "
-        f"{problems}"
+        f"AST-affected @register blocks missing from the effective consumer "
+        f"set (overlay or derived routes): {problems}"
     )
 
 
@@ -107,8 +109,8 @@ def test_consumer_lists_name_real_queries():
     from cdc_wastewater_analysis_ml_spark.plans.registry import QUERIES
 
     unknown = {
-        mod: [n for n in names if n not in QUERIES]
-        for mod, names in entry._MODULE_CONSUMERS.items()
+        key: [n for n in names if n not in QUERIES]
+        for key, names in entry._ROUND_AFFECTED.items()
     }
     unknown = {m: ns for m, ns in unknown.items() if ns}
     assert not unknown, f"consumer names not in registry: {unknown}"
@@ -201,10 +203,51 @@ def test_no_duplicate_keys_in_hand_maintained_maps():
         if not isinstance(node, ast.AnnAssign) or not isinstance(node.value, ast.Dict):
             continue
         name = getattr(node.target, "id", "")
-        if name not in ("_MODULE_CHANGED_IN_ROUND", "_MODULE_CONSUMERS"):
+        if name not in ("_MODULE_CHANGED_IN_ROUND", "_ROUND_AFFECTED"):
             continue
         checked += 1
         keys = [ast.literal_eval(k) for k in node.value.keys if k is not None]
         dupes = {k for k in keys if keys.count(k) > 1}
         assert not dupes, f"{name} has duplicate key(s): {dupes}"
     assert checked == 2, "expected to find both hand-maintained maps"
+
+
+def test_derived_routes_available_and_cover_overlays():
+    """ADVICE r12 #3: the full forward route map is DERIVED from imports +
+    call sites (tools/staleness.derive_module_routes) and is the staleness
+    fallback for any (module, round) without an explicit overlay.  The
+    derivation must (a) import-succeed in the driver's environment, (b)
+    know every registered query, and (c) be a superset of every overlay
+    subset — an overlay naming a query the derivation can't see would mean
+    the fallback under-stales relative to the hand judgment."""
+    from cdc_wastewater_analysis_ml_spark.plans.registry import QUERIES
+
+    routes = entry._DERIVED_ROUTES
+    assert routes is not None, "route derivation failed at import"
+    seen = set().union(*routes.values())
+    assert seen == set(QUERIES), (
+        f"derivation missed queries: {sorted(set(QUERIES) - seen)}"
+    )
+    problems = {
+        key: sorted(set(names) - routes.get(key[0], set()))
+        for key, names in entry._ROUND_AFFECTED.items()
+    }
+    problems = {k: v for k, v in problems.items() if v}
+    assert not problems, (
+        f"overlay consumers outside the derived route map: {problems}"
+    )
+
+
+def test_round_bump_without_overlay_falls_back_to_full_routes():
+    """The fail-safe the overlay exists for: a (module, round) pair with no
+    overlay entry must stale the module's FULL derived route set, never an
+    older round's trim."""
+    routes = entry._DERIVED_ROUTES
+    assert routes is not None
+    # operators/dedup.py has an overlay at its current round; a hypothetical
+    # future round must fall back to the full (much larger) derived set.
+    cur = entry._MODULE_CHANGED_IN_ROUND["operators/dedup.py"]
+    trimmed = entry.effective_consumers("operators/dedup.py", cur)
+    full = entry.effective_consumers("operators/dedup.py", cur + 1)
+    assert full == routes["operators/dedup.py"]
+    assert trimmed < full, "expected the overlay to be a strict narrowing"

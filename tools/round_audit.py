@@ -143,15 +143,8 @@ DISPOSITIONS: dict[tuple[str, str], Disposition] = {
     (f"{PKG}/plans/registry.py", 'S.fill_null("v", med)'): _f(
         "fill with float median then publish: float column"
     ),
-    (
-        f"{PKG}/plans/registry.py",
-        'F.lit(100.0) * F.avg("influenza_a_detected")',
-    ): _b(
-        "100*avg(0/1): two deterministic ops on an int quotient — "
-        "bit-identical cross-engine; convert when the flagship's r9 row "
-        "comes due",
-        planned_round=13,
-    ),
+    # (flagship 100*avg(0/1): converted to raw-quotient publication at r13,
+    # on schedule — no F.round site remains.)
     # --- plans/registry_analytic.py ---------------------------------------
     (f"{PKG}/plans/registry_analytic.py", '"v"'): _f("float source column"),
     (f"{PKG}/plans/registry_analytic.py", '"v_filled"'): _f(
@@ -207,10 +200,8 @@ DISPOSITIONS: dict[tuple[str, str], Disposition] = {
     (f"{PKG}/plans/registry_scale.py", 'F.sum("value")'): _SUMD,
     # --- plans/registry_stream.py -----------------------------------------
     (f"{PKG}/plans/registry_stream.py", '"avg_value"'): _SUMD,
-    (f"{PKG}/plans/registry_stream.py", '"detection_rate"'): _b(
-        "sum(0/1)/count int quotient; convert with the r9 streaming rows",
-        planned_round=13,
-    ),
+    # (streaming detection_rate: converted to raw-quotient publication at
+    # r13, on schedule — no F.round site remains.)
     (f"{PKG}/plans/registry_stream.py", '"value"'): _f("float source column"),
     (f"{PKG}/plans/registry_stream.py", '"value_lag1"'): _f(
         "lagged float column"

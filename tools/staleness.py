@@ -16,9 +16,12 @@ This module computes the ground truth from git + the AST, so the pytest in
    (fixpoint over the helper-mention graph), so "only helper X changed and
    nothing uses it" is a computed fact rather than an argument.
 
-Operator/source/streaming modules stay at file granularity with
-hand-maintained consumer lists (their call graphs cross modules; the map's
-strict-indexing assert plus rule 1 keep those honest).
+Operator/source/streaming modules stay at file granularity.  Consumer sets
+come from the per-(module, round) ``_ROUND_AFFECTED`` overlay when one is
+recorded, else from :func:`derive_module_routes` below — the conservative
+full route map computed from imports + call sites (ADVICE r12 #3), so a
+round bump that forgets to narrow stales the full route set rather than
+inheriting a previous round's trim.
 """
 
 from __future__ import annotations
@@ -248,3 +251,175 @@ def audit(root: Path | None = None) -> dict:
 
 if __name__ == "__main__":
     print(json.dumps(audit(), indent=2))
+
+
+# ---------------------------------------------------------------------------
+# Full forward-route derivation (ADVICE r12 #3)
+# ---------------------------------------------------------------------------
+#
+# ``__spark_entry__`` consumes this as its staleness fallback: the full forward
+# route map (module -> every registry query routing through it); per-round
+# narrowing lives in the separate ``_ROUND_AFFECTED`` overlay keyed by
+# (module, round), so a future round-bump that forgets to narrow falls back
+# to staling the FULL route set instead of inheriting a stale trim.  The
+# derivation below computes a conservative route map from imports + call
+# sites so a test can enforce ``derived ⊆ hand-maintained`` — the full map
+# can drift WIDER than reality (over-staling is safe) but never narrower.
+#
+# Method, per registry file: map every import (file-level and function-local)
+# to the package-internal module file it binds; for each ``@register`` block,
+# fixpoint the names it mentions through module-local top-level helpers; any
+# mentioned name bound by an import routes the query to that module.  Routes
+# then expand through the package-internal import graph transitively (a
+# query routing through operators/dedup.py also routes through everything
+# dedup.py imports, e.g. operators/caching.py) — conservative by design.
+
+
+def _module_file(root: Path, parts: list[str]) -> str | None:
+    """PKG-relative file for a dotted path inside the package, else None."""
+    rel = "/".join(parts)
+    if not rel:
+        return None
+    if (root / PKG / (rel + ".py")).is_file():
+        return rel + ".py"
+    if (root / PKG / rel / "__init__.py").is_file():
+        return rel + "/__init__.py"
+    return None
+
+
+def _import_bindings(
+    root: Path, pkg_parts: list[str], tree: ast.AST
+) -> dict[str, str]:
+    """bound-name -> PKG-relative module file, for every package-internal
+    import anywhere in ``tree`` (function-local imports included)."""
+    out: dict[str, str] = {}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom):
+            if node.level:
+                base = pkg_parts[: len(pkg_parts) - (node.level - 1)]
+                if node.level - 1 > len(pkg_parts):
+                    continue
+            else:
+                if not node.module or not node.module.startswith(PKG):
+                    continue
+                base = node.module[len(PKG) :].lstrip(".").split(".")
+                base = [p for p in base if p]
+                node_mod_parts: list[str] = []
+                for alias in node.names:
+                    tgt = _module_file(root, base + [alias.name]) or _module_file(
+                        root, base
+                    )
+                    if tgt:
+                        out[alias.asname or alias.name] = tgt
+                continue
+            mod_parts = base + (node.module.split(".") if node.module else [])
+            for alias in node.names:
+                tgt = _module_file(root, mod_parts + [alias.name]) or _module_file(
+                    root, mod_parts
+                )
+                if tgt:
+                    out[alias.asname or alias.name] = tgt
+        elif isinstance(node, ast.Import):
+            for alias in node.names:
+                if alias.name.startswith(PKG + "."):
+                    parts = alias.name[len(PKG) + 1 :].split(".")
+                    tgt = _module_file(root, parts)
+                    if tgt:
+                        out[alias.asname or alias.name.split(".")[0]] = tgt
+    return out
+
+
+def _package_import_graph(root: Path) -> dict[str, set[str]]:
+    """PKG-relative file -> PKG-relative files it imports (direct edges)."""
+    graph: dict[str, set[str]] = {}
+    for p in sorted((root / PKG).rglob("*.py")):
+        rel = str(p.relative_to(root / PKG))
+        pkg_parts = rel.split("/")[:-1]
+        try:
+            tree = ast.parse(p.read_text())
+        except SyntaxError:
+            continue
+        graph[rel] = set(_import_bindings(root, pkg_parts, tree).values())
+    return graph
+
+
+def _transitive_imports(graph: dict[str, set[str]], start: str) -> set[str]:
+    """Transitive import closure, with registry files TERMINAL: a registry
+    module contributes itself but never its imports.  Rationale: registry
+    files import each other only for registration side effects
+    (``plans/registry.py``'s tail imports pull every sibling in, which would
+    collapse the whole map to all-queries-everywhere), and a registry file's
+    operator imports are attributed per-query by the mention analysis — a
+    file-level ``import profile as P`` must not route every query in the
+    file through profile.py, only the blocks that mention ``P``."""
+    seen: set[str] = set()
+    frontier = [start]
+    while frontier:
+        m = frontier.pop()
+        if m in seen:
+            continue
+        seen.add(m)
+        if re.fullmatch(r"plans/registry\w*\.py", m):
+            continue
+        frontier.extend(graph.get(m, ()))
+    return seen
+
+
+def derive_module_routes(root: Path | None = None) -> dict[str, set[str]]:
+    """Conservative full route map: PKG-relative module file -> every
+    registry query that (statically) routes through it."""
+    root = root or repo_root()
+    graph = _package_import_graph(root)
+    routes: dict[str, set[str]] = {}
+    for p in sorted((root / PKG / "plans").glob("registry*.py")):
+        rel = f"plans/{p.name}"
+        src = p.read_text()
+        tree = ast.parse(src)
+        bindings = _import_bindings(root, ["plans"], tree)
+        # mentions per top-level def, on the real nodes (not dumps)
+        mention_map = {}
+        for node in tree.body:
+            if isinstance(node, ast.FunctionDef):
+                mention_map[node.name] = _mentions(node) - {node.name}
+            elif isinstance(node, ast.Assign) and all(
+                isinstance(t, ast.Name) for t in node.targets
+            ):
+                tgts = {t.id for t in node.targets}
+                for t in tgts:
+                    mention_map[t] = _mentions(node.value) - tgts
+            elif isinstance(node, ast.AnnAssign) and isinstance(
+                node.target, ast.Name
+            ):
+                if node.value is not None:
+                    mention_map[node.target.id] = _mentions(node.value)
+        for node in tree.body:
+            if not isinstance(node, ast.FunctionDef):
+                continue
+            qname = _registered_query(node)
+            if qname is None:
+                continue
+            names = set(_mentions(node))
+            while True:
+                grew = set()
+                for n in list(names):
+                    grew |= mention_map.get(n, set()) - names
+                if not grew:
+                    break
+                names |= grew
+            # The @register decorator binding is registration plumbing,
+            # not a data route: counting it would put EVERY query in
+            # plans/registry.py's route set and drown the map.  Changes to
+            # registry.py's own blocks/helpers still route via definition
+            # site or helper mentions.
+            direct = {rel} | {
+                bindings[n]
+                for n in names
+                if n in bindings
+                and not (n == "register" and bindings[n] == "plans/registry.py")
+            }
+            full: set[str] = set()
+            for m in direct:
+                full |= _transitive_imports(graph, m)
+            for m in full:
+                routes.setdefault(m, set()).add(qname)
+    return routes
