@@ -94,7 +94,12 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # size-ratio prefilter; minhash_signatures/banded_minhash gained the
     # optional size column (default-off, plans byte-identical when off,
     # but module rule: their consumer queries re-verify too).
-    "operators/dedup.py": 12,
+    # r13 (ADVICE r12): the size annotations carry a shingle_n metadata
+    # stamp (minhash_lsh_candidates) and jaccard_verify_pairs validates it
+    # — a generator/verify width mismatch now raises instead of silently
+    # mis-prefiltering, and unstamped caller sizes are stripped to the
+    # always-correct unsized plan.  Changed functions: those two only.
+    "operators/dedup.py": 13,
     "operators/caching.py": 5,
     # r6: chunk_documents rejects stride > chunk_tokens (ADVICE r5 #1 —
     # additive guard; module-granularity rule → whole corpus family, which
@@ -234,10 +239,14 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     "streaming/neardup.py": 6,
     # r7: _delta_docs id offsets follow the _AUG/_NOVEL constants.
     "plans/registry_stream_ext.py": 7,
-    # r13: stream_conditional_rate publishes the raw 100.0*avg(0/1)
+    # r13: (a) stream_conditional_rate publishes the raw 100.0*avg(0/1)
     # detection_rate (the last scheduled boundary_deferred site; the
-    # F.round wrapper and the oracle round() drop together) — AST-affected
-    # set = that one block.
+    # F.round wrapper and the oracle round() drop together); (b) the
+    # _disordered_events_dir fixture builder is rebuilt Spark-side
+    # (VERDICT r12 task 4 — distributed two-phase rank + expression file
+    # assignment + executor writes replace the whole-table toPandas; the
+    # emitted watermark-prefix set is unchanged, module rule re-verifies
+    # the consumer anyway).  AST-affected set = those two blocks.
     "plans/registry_stream.py": 13,
     # r8: sim_recall_cost_sweep gains the lshm (multi-table) row and the
     # new sim_cosine_lsh_multi block lands (those two re-greened r8-r10).
@@ -368,27 +377,22 @@ _ROUND_AFFECTED: dict[tuple[str, int], tuple[str, ...]] = {
     # digests): consumer tuple trimmed to the verify routes — ngram/kgram
     # publish their own (already null-guarded) digest plans, byte-untouched
     # this round, and keep their r11 rows.
-    ("operators/dedup.py", 12): (
-        # candidate-generator routes (r12 session 2: optional size column
-        # on minhash_signatures/banded_minhash/minhash_lsh_candidates):
-        "dedup_minhash_signatures",
+    # r13 diff = (a) minhash_lsh_candidates (shingle_n metadata stamp on
+    # the size annotations) + jaccard_verify_pairs (stamp validation at the
+    # seam; ADVICE r12), and (b) _verify_jaccard_packed_oriented gains the
+    # pre-partitioned packed-relation layout behind _PREPART_PACKED_HS,
+    # engaged by the big-corpus dispatch (VERDICT r12 task 3; 4-variant
+    # A/B at sf10mf: 1890.8 → 1625.3 MB at identical checksums) — call-path
+    # consumers = the queries routing through any of those functions (the
+    # incremental family runs the unoriented verify, byte-untouched; it
+    # keeps its r12 rows).
+    ("operators/dedup.py", 13): (
         "dedup_minhash_lsh",
-        "dedup_lsh_bucket_stats",
+        "dedup_cluster_cc",
         "analytic_edit_distance",
-        # minhash_lsh_verified routes:
         "dedup_lsh_verified",
         "dedup_cluster_best",
         "pipeline_corpus_curation",
-        # jaccard_verify_pairs route:
-        "dedup_cluster_cc",
-        # dedup_incremental_near routes (stream_incremental_ingest chains
-        # it per micro-batch via streaming/ingest.py — r10 review: the
-        # tuple is the route map, so the composite must be listed here,
-        # not only under its own modules):
-        "dedup_incremental_near",
-        "stream_dedup_incremental_near",
-        "pipeline_incremental_ingest",
-        "stream_incremental_ingest",
     ),
     ("operators/windows.py", 4): (
         "window_lag",
@@ -472,8 +476,12 @@ _ROUND_AFFECTED: dict[tuple[str, int], tuple[str, ...]] = {
     # r13: the flagship raw-quotient conversion (q_flagship block only;
     # the r12 conditional-rate conversions re-greened in the r12 prefix).
     ("plans/registry.py", 13): ("flagship_weekly_detection_rate",),
-    # r13: the streaming detection_rate raw-quotient conversion.
-    ("plans/registry_stream.py", 13): ("stream_conditional_rate",),
+    # r13: the streaming detection_rate raw-quotient conversion + the
+    # Spark-side disordered-source builder (consumer = its one query).
+    ("plans/registry_stream.py", 13): (
+        "stream_conditional_rate",
+        "stream_lag_reordered",
+    ),
     ("operators/analytic.py", 8): (
         "analytic_locf_fill",
         "analytic_ntile",

@@ -306,6 +306,13 @@ _SEMIJOIN_MAX_IDS = 400_000
 #: sides.
 _SEMIJOIN_MIN_INPUT_BYTES = 16 * 1024 * 1024
 
+#: Column-metadata key stamped on generator-produced ``__na``/``__nb`` size
+#: annotations: records the shingle width the sizes were computed at, so
+#: the verify seam can reject a generator/verify ``shingle_n`` mismatch
+#: instead of silently mis-prefiltering (ADVICE r12).  Metadata rides the
+#: StructField through select/alias/distinct, costing nothing on the wire.
+_SIZE_META_KEY = "spark_graft.shingle_n"
+
 
 #: Estimates at/above this are a STAT-LESS artifact, not a size: RDD-backed
 #: and other stat-less leaves default ``sizeInBytes`` to
@@ -568,6 +575,7 @@ def _verify_jaccard_packed_oriented(
     sized_pairs: DataFrame,
     id_col: str,
     threshold: float,
+    prepart: bool = False,
 ) -> DataFrame:
     """:func:`_verify_jaccard_packed` with the pair expansion ORIENTED by
     the smaller shingle set (r12, DEVNOTES r11 design (b)): the dominant
@@ -594,6 +602,22 @@ def _verify_jaccard_packed_oriented(
             "packed joins with jaccard 0 and must be filtered)"
         )
     hs = _packed_digest_relation(sh, id_col)
+    pinned = None
+    if prepart and _PREPART_PACKED_HS:
+        # r13 "bucketed pre-join layout" (VERDICT r12 task 3): one exchange
+        # + cache instead of two exchanges of the array relation — joins 1
+        # and 2 read the SAME hash partitioning through the
+        # __k_small/__k_big alias projections (alias-aware output
+        # partitioning), so EnsureRequirements shuffles only the pair side.
+        # Requested only by the big-corpus dispatch (prepart=True): the
+        # small-corpus callers keep the documented one-lazy-plan contract,
+        # where the extra exchange + cache would be pure fixed cost below
+        # the broadcast floor.  Pinned to the returned plan's lifetime.
+        n_part = int(
+            sh.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        pinned = hs.repartition(n_part, F.col(id_col)).persist()
+        hs = pinned
     a_small = F.col("__na") <= F.col("__nb")
     op = sized_pairs.select(
         "id_a",
@@ -619,9 +643,10 @@ def _verify_jaccard_packed_oriented(
     inter = F.size(F.array_intersect(F.col("__h_small"), F.col("__h_big")))
     jac = inter / (F.col("__n_small") + F.col("__n_big") - inter)
     # Raw integer-quotient publication (r11 rule; see the exploded plan).
-    return j.select("id_a", "id_b", jac.alias("jaccard")).filter(
+    out = j.select("id_a", "id_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
+    return scoped_persist(out, pinned) if pinned is not None else out
 
 
 def sized_candidates_active() -> bool:
@@ -639,6 +664,18 @@ def sized_candidates_active() -> bool:
 #: annotated both-gates-off verifies route _verify_jaccard_packed_oriented
 #: (+ the provable size-ratio prefilter at candidate time).
 _ORIENT_SIZED_VERIFY = True
+
+#: r13 pre-partitioned packed-relation seam (VERDICT r12 task 3 — the
+#: "bucketed pre-join layout" lever): when True, the oriented verify
+#: repartitions the packed digest relation ONCE by id and persists it, so
+#: BOTH pair-expansion joins consume the cache's hash partitioning through
+#: the alias projections instead of exchanging the array relation twice
+#: (the arrays are the wide side: ~8·m bytes/doc/exchange).  The pair-side
+#: exchanges — including the dominant small-array expansion — are
+#: unchanged: each pair still has to meet its partner doc's partition.
+#: A/B'd by tools/verify_ab.py (packed_oriented vs packed_oriented_prepart)
+#: at identical checksums before adoption.
+_PREPART_PACKED_HS = True
 
 
 #: The digest-verify implementation every candidates->verify consumer
@@ -717,7 +754,12 @@ def _adaptive_hashed_verify(
         # orientation is safe — there is no per-side semi-join reduction
         # for it to break — and the smaller-side expansion is a pure byte
         # cut (r12; A/B in tools/verify_ab.py).
-        return _verify_jaccard_packed_oriented(sh, pairs, id_col, threshold), pairs
+        return (
+            _verify_jaccard_packed_oriented(
+                sh, pairs, id_col, threshold, prepart=True
+            ),
+            pairs,
+        )
     out = _HASHED_VERIFY_IMPL(
         sh,
         pairs.select("id_a", "id_b"),
@@ -935,7 +977,15 @@ def minhash_lsh_candidates(
         F.col(f"b.{id_col}").alias("id_b"),
     ]
     if with_sizes:
-        pair_cols += [F.col("a.__n").alias("__na"), F.col("b.__n").alias("__nb")]
+        # Stamp the shingle width into the annotation columns' metadata so
+        # jaccard_verify_pairs can assert generator/verify consistency
+        # (ADVICE r12: sizes computed at a different shingle_n would make
+        # the size-ratio prefilter silently drop true-positive pairs).
+        meta = {_SIZE_META_KEY: shingle_n}
+        pair_cols += [
+            F.col("a.__n").alias("__na", metadata=meta),
+            F.col("b.__n").alias("__nb", metadata=meta),
+        ]
     out = (
         a.join(
             b,
@@ -1243,6 +1293,40 @@ def jaccard_verify_pairs(
     # digest path strips or consumes the columns; the byte-exact string
     # opt-out strips them so its plan is unchanged.
     sized = {"__na", "__nb"} <= set(pairs.columns)
+    if sized:
+        # ADVICE r12: the sized path used to trust caller-supplied sizes on
+        # column presence alone — sizes computed at a DIFFERENT shingle_n
+        # would make the size-ratio prefilter silently drop pairs that pass
+        # the true jaccard threshold.  Generator-produced annotations
+        # (minhash_lsh_candidates with_sizes=True) carry the width in
+        # column metadata: a mismatch fails loudly; annotations WITHOUT the
+        # stamp are unverifiable and are stripped (the unsized plan is
+        # always correct, just unoriented).
+        stamped = [
+            pairs.schema[c].metadata.get(_SIZE_META_KEY)
+            for c in ("__na", "__nb")
+        ]
+        if any(s is not None and s != shingle_n for s in stamped):
+            raise ValueError(
+                f"size-annotated pairs were generated at shingle_n="
+                f"{[s for s in stamped if s is not None][0]} but verify was "
+                f"called with shingle_n={shingle_n}; regenerate candidates "
+                "with matching shingle_n (the prefilter would drop true "
+                "positives otherwise)"
+            )
+        if any(s is None for s in stamped):
+            import warnings
+
+            warnings.warn(
+                "ignoring caller-supplied __na/__nb size annotations "
+                f"without the {_SIZE_META_KEY!r} metadata stamp — sizes at "
+                "a mismatched shingle_n would silently mis-prefilter; use "
+                "minhash_lsh_candidates(with_sizes=True) to keep the "
+                "oriented fast path",
+                stacklevel=2,
+            )
+            pairs = pairs.drop("__na", "__nb")
+            sized = False
     orient = sized and hash_verify_shingles and sized_candidates_active()
     pair_cols = ["id_a", "id_b", "__na", "__nb"] if orient else ["id_a", "id_b"]
     if not assume_distinct:

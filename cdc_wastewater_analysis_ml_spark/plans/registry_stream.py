@@ -19,6 +19,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.windows import global_row_number
 from ..sources import load_table
 from ..streaming import (
     read_events_stream,
@@ -133,39 +134,65 @@ def _disordered_events_dir(spark: SparkSession, sf_dir: str) -> str:
     arrive one micro-batch earlier), plus a seeded in-file shuffle.  File
     mtimes are forced increasing — the file source processes oldest-first.
 
-    Driver-side pandas is fixture PREP (bounded: the driver-gate SF), not the
-    operator; at production scale the disorder comes from the source itself.
+    Spark-side end-to-end (VERDICT r12 task 4 — the old builder pulled the
+    whole table through ``toPandas``): the global (ts, event_id) position
+    comes from the distributed two-phase partition-offset ranker, the file
+    assignment is an expression over it, the in-file shuffle is a
+    deterministic ``xxhash64(file, event_id)`` sort, and each file is
+    written by an executor task.  The only driver collect is the row COUNT
+    (file-boundary arithmetic); the post-write rename + mtime stamps touch
+    file metadata, never row data.
     """
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     path = f"{tempfile.gettempdir()}/spark_graft_reorder_{tag}"
     if path in _SILVERED:
         return path
     import os
+    import shutil
 
-    pdf = (
-        load_table(spark, sf_dir, "events")
-        .select("event_id", "ts", "user_id", "event_type", "value", "props")
-        .toPandas()
-        .sort_values(["ts", "event_id"])
-        .reset_index(drop=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
     )
-    # TIMESTAMP(MICROS) on disk — the streaming file source rejects NANOS
-    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
-    n = len(pdf)
+    n = ev.count()  # bounded scalar: boundary arithmetic only
     b = max(1, n // 60)
     n1, n2 = n // 3, 2 * n // 3
-    rng = list(range(n))
-    files = [
-        rng[: n1 - b] + rng[n1 : n1 + b],
-        rng[n1 - b : n1] + rng[n1 + b : n2 - b] + rng[n2 : n2 + b],
-        rng[n2 - b : n2] + rng[n2 + b :],
-    ]
-    os.makedirs(path, exist_ok=True)
-    for k, idx in enumerate(files):
-        part = pdf.iloc[idx].sample(frac=1.0, random_state=k)
-        f = f"{path}/f{k}.parquet"
-        part.to_parquet(f, index=False)
-        os.utime(f, (1_700_000_000 + 1000 * k,) * 2)
+    ranked = global_row_number(ev, ["ts", "event_id"], out="__i").withColumn(
+        "__i", F.col("__i") - F.lit(1)
+    )
+    i = F.col("__i")
+    assigned = ranked.withColumn(
+        "__f",
+        F.when(((i >= 0) & (i < n1 - b)) | ((i >= n1) & (i < n1 + b)), F.lit(0))
+        .when(
+            ((i >= n1 - b) & (i < n1))
+            | ((i >= n1 + b) & (i < n2 - b))
+            | ((i >= n2) & (i < n2 + b)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(2)),
+    ).persist()
+    try:
+        os.makedirs(path, exist_ok=True)
+        for k in range(3):
+            tmp = f"{path}/_tmp{k}"
+            (
+                assigned.filter(F.col("__f") == k)
+                .withColumn("__shuf", F.xxhash64(F.lit(k), F.col("event_id")))
+                .coalesce(1)
+                .sortWithinPartitions("__shuf")
+                .drop("__i", "__f", "__shuf")
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            (part_file,) = [
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            ]
+            f = f"{path}/f{k}.parquet"
+            os.replace(f"{tmp}/{part_file}", f)
+            shutil.rmtree(tmp)
+            os.utime(f, (1_700_000_000 + 1000 * k,) * 2)
+    finally:
+        assigned.unpersist()
     _SILVERED.add(path)
     return path
 

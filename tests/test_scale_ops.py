@@ -1060,3 +1060,58 @@ def test_adaptive_verify_gates_on_distinct_ids_per_side(spark, monkeypatch):
     assert gates([(a, a + 1) for a in range(0, 20, 2)]) == (True, True)
     # Saturated symmetric: 60 ids per side (> half the docs) -> both off.
     assert gates([(a, a + 1) for a in range(1, 61)]) == (False, False)
+
+
+def test_sized_verify_shingle_n_contract(spark, sf_small):
+    """ADVICE r12: the sized verify must not trust __na/__nb on column
+    presence alone.  Generator-stamped annotations at a MISMATCHED
+    shingle_n raise; annotations WITHOUT the metadata stamp are stripped
+    (warned) and the result equals the unsized plan; the matching stamped
+    path stays live."""
+    import warnings
+
+    import pytest as _pytest
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    sized = D.minhash_lsh_candidates(docs, "text", "doc_id", with_sizes=True)
+
+    # (a) generator/verify width mismatch fails loudly.
+    with _pytest.raises(ValueError, match="shingle_n"):
+        D.jaccard_verify_pairs(
+            docs, sized, "text", "doc_id", shingle_n=4, assume_distinct=True
+        )
+
+    # (b) matching width: live and identical to the unsized reference.
+    ref = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.jaccard_verify_pairs(
+            docs,
+            sized.drop("__na", "__nb"),
+            "text",
+            "doc_id",
+            assume_distinct=True,
+        ).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.jaccard_verify_pairs(
+            docs, sized, "text", "doc_id", assume_distinct=True
+        ).collect()
+    }
+    assert got == ref and len(ref) > 0
+
+    # (c) unstamped caller columns: warned, stripped, unsized result.
+    bare = sized.withColumn("__na", F.col("__na") + 0).withColumn(
+        "__nb", F.col("__nb") + 0
+    )  # arithmetic drops the alias metadata stamp
+    assert bare.schema["__na"].metadata.get("spark_graft.shingle_n") is None
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        stripped = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in D.jaccard_verify_pairs(
+                docs, bare, "text", "doc_id", assume_distinct=True
+            ).collect()
+        }
+    assert any("metadata stamp" in str(x.message) for x in w)
+    assert stripped == ref

@@ -271,14 +271,16 @@ def main() -> None:
     record = build_record(results, names, BIG_LABEL, FACTOR, SMALL_LABEL)
     root = Path(__file__).resolve().parent.parent
     if OUT_NAME:
-        # Expand a literal {N} (and {N:02d}-style zero-pad via the same
-        # two-digit convention as probe_path) to the current round, so the
-        # documented SPARK_GRAFT_PROBE_OUT=PROBE_MULTIFILE_r{N}.json recipe
-        # round-stamps itself instead of writing a literal '{N}' filename
-        # (r12 review).
+        # Expand a literal {N} or {N:02d} token to the zero-padded current
+        # round (probe_path's two-digit convention), so the documented
+        # SPARK_GRAFT_PROBE_OUT=PROBE_MULTIFILE_r{N}.json recipe round-stamps
+        # itself instead of writing a literal '{N}' filename (r12 review;
+        # ADVICE r12: the {N:02d} spelling previously survived as literal
+        # text in the filename).
         from tools.staleness import current_round
 
-        out = root / OUT_NAME.replace("{N}", f"{current_round(root):02d}")
+        stamp = f"{current_round(root):02d}"
+        out = root / OUT_NAME.replace("{N:02d}", stamp).replace("{N}", stamp)
     else:
         out = probe_path(root)
     # Merge-don't-clobber: partial probe invocations (one family at a time)

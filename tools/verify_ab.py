@@ -29,10 +29,17 @@ from tools.scale_probe import build_session, rest_shuffle_totals
 
 
 def run_variant(
-    name: str, impl, query: str, sf_dir: str, runs: int, orient: bool = False
+    name: str,
+    impl,
+    query: str,
+    sf_dir: str,
+    runs: int,
+    orient: bool = False,
+    prepart: bool = False,
 ) -> dict:
     D._HASHED_VERIFY_IMPL = impl
     D._ORIENT_SIZED_VERIFY = orient
+    D._PREPART_PACKED_HS = prepart
     spark = build_session(app_name="verify_ab", port=4053)
     from cdc_wastewater_analysis_ml_spark.plans.registry import QUERIES
 
@@ -66,13 +73,17 @@ def main() -> None:
     results = []
     # Third variant since r12: the packed plan with the size-annotated
     # orientation seam ON (smaller-side pair expansion + size-ratio
-    # prefilter) — the adoption candidate vs the r11 "packed" baseline.
-    for name, impl, orient in (
-        ("exploded", D._verify_jaccard_exploded_hashed, False),
-        ("packed", D._verify_jaccard_packed, False),
-        ("packed_oriented", D._verify_jaccard_packed, True),
+    # prefilter) — the r12 adoption vs the r11 "packed" baseline.
+    # Fourth since r13: orientation + the pre-partitioned packed-relation
+    # layout (one repartition-into-cache exchange feeding both expansion
+    # joins instead of two array-relation exchanges).
+    for name, impl, orient, prepart in (
+        ("exploded", D._verify_jaccard_exploded_hashed, False, False),
+        ("packed", D._verify_jaccard_packed, False, False),
+        ("packed_oriented", D._verify_jaccard_packed, True, False),
+        ("packed_oriented_prepart", D._verify_jaccard_packed, True, True),
     ):
-        r = run_variant(name, impl, query, sf_dir, runs, orient)
+        r = run_variant(name, impl, query, sf_dir, runs, orient, prepart)
         print(json.dumps(r), flush=True)
         results.append(r)
     base = results[0]
