@@ -1115,3 +1115,54 @@ def test_sized_verify_shingle_n_contract(spark, sf_small):
         }
     assert any("metadata stamp" in str(x.message) for x in w)
     assert stripped == ref
+
+
+def test_oriented_prepart_layout_plan_and_equivalence(spark, sf_small):
+    """r13 (VERDICT r12 task 3, lever B): with prepart=True the oriented
+    verify must (a) return exactly the prepart=False result, and (b) plan
+    ONE repartition exchange of the packed digest relation feeding BOTH
+    expansion joins through the cache's alias-propagated partitioning —
+    never a second array-relation exchange (the layout's whole point)."""
+    from cdc_wastewater_analysis_ml_spark.operators.text import word_shingles
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    sized = D._size_ratio_prefilter(
+        D.minhash_lsh_candidates(docs, "text", "doc_id", with_sizes=True), 0.3
+    )
+    sh = docs.select(
+        F.col("doc_id"),
+        F.array_distinct(word_shingles("text", 3)).alias("__shs"),
+    ).persist()
+    try:
+        ref = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in D._verify_jaccard_packed_oriented(
+                sh, sized, "doc_id", 0.3, prepart=False
+            ).collect()
+        }
+        out_df = D._verify_jaccard_packed_oriented(
+            sh, sized, "doc_id", 0.3, prepart=True
+        )
+        got = {(r.id_a, r.id_b): r.jaccard for r in out_df.collect()}
+        assert got == ref and len(ref) > 0
+        plan = out_df._jdf.queryExecution().executedPlan().toString()
+        # The layout signature: the packed digest relation is pinned in a
+        # cache whose cached plan is an id-hash repartition (the ONE
+        # array-relation exchange; both joins then read the cache).  At
+        # test scale the joins themselves broadcast, so the byte-level
+        # exchange-elision guarantee is pinned by the committed sf10 A/B
+        # (DEVNOTES r13: 1890.8 -> 1625.3 MB at identical checksums), not
+        # by this plan string; prepart=False must build NO such cache.
+        assert "InMemoryTableScan" in plan, plan
+        assert "Exchange hashpartitioning(doc_id" in plan, plan
+        ref_plan = (
+            D._verify_jaccard_packed_oriented(
+                sh, sized, "doc_id", 0.3, prepart=False
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange hashpartitioning(doc_id" not in ref_plan, ref_plan
+    finally:
+        sh.unpersist()

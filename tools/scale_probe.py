@@ -37,6 +37,17 @@ multi-file record (the r13+ baseline).  Multi-file rungs:
     SPARK_GRAFT_PROBE_BIG_DIR=/tmp/spark_graft_sf10_mf \
     SPARK_GRAFT_PROBE_FACTOR=100 \
     SPARK_GRAFT_PROBE_OUT=PROBE_MULTIFILE_r{N}.json python -m tools.scale_probe
+
+Three-rung protocol (r13, VERDICT r12 task 2): the mf SMALL rung sits at
+the broadcast floor (e.g. dedup_lsh_verified shuffles 0.1 MB there), so a
+single 100× byte exponent reads the floor constant, not the slope — r12's
+2.15/2.00 "exponents" on the two heavy dedup queries were exactly that
+artifact.  Record TWO files per round: the canonical PROBE_r{N}.json
+(sf0.1mf → sf10mf, factor 100; regression-compares bytes against the
+previous round) and PROBE_MIDRUNG_r{N}.json (sf1mf → sf10mf, factor 10;
+``gen_scale_fixture /tmp/spark_graft_sf1_mf 10 0 32``), and quote the
+mid→big segment as the honest asymptotic byte exponent once the small
+rung has left the floor.
 """
 
 from __future__ import annotations
