@@ -49,9 +49,15 @@ def test_probe_artifacts_are_self_consistent():
 
     paths = sorted(ROOT.glob("PROBE_r*.json"))
     for path in paths:
-        assert re.fullmatch(r"PROBE_r\d{2}\.json", path.name), path.name
+        m = re.fullmatch(r"PROBE_r(\d{2})\.json", path.name)
+        assert m, path.name
         rec = json.loads(path.read_text())
-        assert rec["small"] == "sf0.1"
+        # r12 fixture decision: the canonical ladder migrates to the
+        # 32-file production-shaped rungs at r13 — canonical records are
+        # contract-bound to small == sf0.1 through r12 and small ==
+        # sf0.1mf from r13 on (PROBE_MULTIFILE_r12.json is the baseline).
+        want_small = "sf0.1" if int(m.group(1)) <= 12 else "sf0.1mf"
+        assert rec["small"] == want_small, (path.name, rec["small"])
         assert rec["factor"] > 1
         assert rec["queries"], f"{path.name} has no query entries"
         for name, q in rec["queries"].items():

@@ -115,8 +115,10 @@ SF1 = "/tmp/spark_graft_sf1"
 BIG_LABEL = os.environ.get("SPARK_GRAFT_PROBE_BIG_LABEL", "sf1")
 BIG_DIR = os.environ.get("SPARK_GRAFT_PROBE_BIG_DIR", SF1)
 #: Non-default small rungs (e.g. the open-vocab experiment pairs ov1 with
-#: ov100) MUST also override SPARK_GRAFT_PROBE_OUT: the round's canonical
-#: PROBE_r{N}.json is contract-bound to small == "sf0.1".
+#: ov100, and the r13+ canonical multi-file ladder itself) MUST also
+#: override SPARK_GRAFT_PROBE_OUT; tests/test_probe_contract.py binds the
+#: canonical PROBE_r{N}.json record to small == "sf0.1" through r12 and
+#: small == "sf0.1mf" from r13 on (the r12 fixture decision).
 SMALL_LABEL = os.environ.get("SPARK_GRAFT_PROBE_SMALL_LABEL", "sf0.1")
 SMALL_DIR = os.environ.get("SPARK_GRAFT_PROBE_SMALL_DIR", SF01)
 OUT_NAME = os.environ.get("SPARK_GRAFT_PROBE_OUT")
