@@ -379,13 +379,15 @@ _ROUND_AFFECTED: dict[tuple[str, int], tuple[str, ...]] = {
     # this round, and keep their r11 rows.
     # r13 diff = (a) minhash_lsh_candidates (shingle_n metadata stamp on
     # the size annotations) + jaccard_verify_pairs (stamp validation at the
-    # seam; ADVICE r12), and (b) _verify_jaccard_packed_oriented gains the
+    # seam; ADVICE r12), (b) _verify_jaccard_packed_oriented gains the
     # pre-partitioned packed-relation layout behind _PREPART_PACKED_HS,
     # engaged by the big-corpus dispatch (VERDICT r12 task 3; 4-variant
-    # A/B at sf10mf: 1890.8 → 1625.3 MB at identical checksums) — call-path
-    # consumers = the queries routing through any of those functions (the
-    # incremental family runs the unoriented verify, byte-untouched; it
-    # keeps its r12 rows).
+    # A/B at sf10mf: 1890.8 → 1625.3 MB at identical checksums), and
+    # (c) dedup_incremental_near pins its matched-id set so Catalyst's
+    # LeftAnti-through-Union pushdown stops re-executing the whole
+    # candidates→verify pipeline per delta branch (sf10mf: 1853→1033 MB,
+    # result-neutral caching) — call-path consumers = the queries routing
+    # through any of those functions.
     ("operators/dedup.py", 13): (
         "dedup_minhash_lsh",
         "dedup_cluster_cc",
@@ -393,6 +395,10 @@ _ROUND_AFFECTED: dict[tuple[str, int], tuple[str, ...]] = {
         "dedup_lsh_verified",
         "dedup_cluster_best",
         "pipeline_corpus_curation",
+        "dedup_incremental_near",
+        "stream_dedup_incremental_near",
+        "pipeline_incremental_ingest",
+        "stream_incremental_ingest",
     ),
     ("operators/windows.py", 4): (
         "window_lag",

@@ -1591,9 +1591,11 @@ def dedup_incremental_near(
         verified = _HASHED_VERIFY_IMPL(
             sh, pairs, id_col, threshold, reduce_a=False, reduce_b=False
         )
-        matched = verified.select(F.col("id_a").alias(id_col)).distinct()
+        matched = (
+            verified.select(F.col("id_a").alias(id_col)).distinct().persist()
+        )
         out = new_df.join(matched, id_col, "left_anti")
-        return scoped_persist(transfer_cache_scope(cand, out), sh)
+        return scoped_persist(transfer_cache_scope(cand, out), sh, matched)
     # Candidate barrier + per-side gates via the shared dispatch (the
     # candidate generator's pins re-home onto the persisted projection,
     # then onto the plan actually returned).
@@ -1601,9 +1603,19 @@ def dedup_incremental_near(
         sh, pairs, id_col, threshold, n_docs
     )
     pairs_p = transfer_cache_scope(cand, pairs_p)
-    matched = verified.select(F.col("id_a").alias(id_col)).distinct()
+    # Pin the matched-id set (r13): Catalyst pushes LeftAnti joins THROUGH
+    # a Union in the left side (PushdownLeftSemiAntiJoin), duplicating the
+    # right subtree per union branch — and production deltas ARE unions
+    # (re-crawls ∪ novel docs; the ingest composite's 4-slice delta).
+    # Unpersisted, that re-executed the ENTIRE candidates→verify pipeline
+    # once per branch (sf10mf profile: every verify exchange appeared
+    # twice, ~2× the committed bytes).  `matched` is ids-only and bounded
+    # by |delta| — the cheapest possible barrier against the duplication.
+    matched = verified.select(F.col("id_a").alias(id_col)).distinct().persist()
     out = new_df.join(matched, id_col, "left_anti")
-    return scoped_persist(transfer_cache_scope(pairs_p, out), sh, pairs_p)
+    return scoped_persist(
+        transfer_cache_scope(pairs_p, out), sh, pairs_p, matched
+    )
 
 
 def connected_components(

@@ -1166,3 +1166,33 @@ def test_oriented_prepart_layout_plan_and_equivalence(spark, sf_small):
         assert "Exchange hashpartitioning(doc_id" not in ref_plan, ref_plan
     finally:
         sh.unpersist()
+
+
+def test_incremental_near_union_delta_single_verify(spark, sf_small):
+    """r13: Catalyst pushes LeftAnti joins through a Union on the left
+    side, duplicating the right subtree per branch — with the matched-id
+    relation unpersisted that re-executed the whole candidates→verify
+    pipeline per delta branch (sf10mf: 1853→1033 MB after the pin).  Pin:
+    the anti-join's right side is a cache scan (one verify execution), and
+    a unioned delta returns exactly the same rows as the equivalent
+    single-relation delta."""
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    store = docs.filter(F.col("doc_id") % 2 == 0)
+    d1 = docs.filter(F.col("doc_id") % 4 == 1).select(
+        (F.col("doc_id") + 10**9).alias("doc_id"), "text"
+    )
+    d2 = docs.filter(F.col("doc_id") % 4 == 3).select(
+        (F.col("doc_id") + 2 * 10**9).alias("doc_id"), "text"
+    )
+    out_union = D.dedup_incremental_near(
+        d1.unionByName(d2), store, "text", "doc_id"
+    )
+    rows_union = {r.doc_id for r in out_union.select("doc_id").collect()}
+    plan = out_union._jdf.queryExecution().executedPlan().toString()
+    # Both pushed-down anti-join branches must read the SAME pinned
+    # matched-id cache, not re-derive the verify pipeline.
+    assert "InMemoryTableScan" in plan, plan
+    single = d1.unionByName(d2).localCheckpoint(eager=True)
+    out_single = D.dedup_incremental_near(single, store, "text", "doc_id")
+    rows_single = {r.doc_id for r in out_single.select("doc_id").collect()}
+    assert rows_union == rows_single and rows_union
