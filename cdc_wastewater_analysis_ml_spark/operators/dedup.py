@@ -760,6 +760,14 @@ def _adaptive_hashed_verify(
             ),
             pairs,
         )
+    # prepart MEASURED-NEUTRAL for this (gated / unsized) dispatch leg and
+    # NOT passed (r13): a seam-flip A/B on dedup_incremental_near at sf10mf
+    # read byte-identical stage structures (1033.0 MB, 268.2 MB side
+    # exchanges unchanged) with the pin engaged — unlike the oriented leg
+    # above, where the same layout measured −265 MB.  The per-side
+    # reduction semi-joins and the caller's matched-id cache interact with
+    # the cached partitioning here; rejected on measurement, the r12
+    # sized-path precedent for this exact operator.
     out = _HASHED_VERIFY_IMPL(
         sh,
         pairs.select("id_a", "id_b"),
