@@ -430,10 +430,23 @@ def _verify_jaccard_exploded_hashed(
     )
     ex_a = ex.select(F.col(id_col).alias("id_a"), "__h")
     ex_b = ex.select(F.col(id_col).alias("id_b"), "__h")
+    # Explicit broadcast of the gated filter sets (r13): the whole point of
+    # the reduction is to thin each side BEFORE its exchange, and the gate
+    # (_adaptive_hashed_verify) only sets a flag when the distinct-id set
+    # is ≤ _SEMIJOIN_MAX_IDS — provably broadcast-bounded.  Left to AQE,
+    # the 32-file fixtures planned these as SortMergeJoin LeftSemi (the
+    # corpus side exchanged FULL-SIZE, then filtered — 268.2 MB/side at
+    # sf10mf, the reduction's byte benefit silently zeroed); the hint makes
+    # the intended plan deterministic, same style as the bucket guard's
+    # pinned merge hint.
     if reduce_a:
-        ex_a = ex_a.join(pairs.select("id_a").distinct(), "id_a", "left_semi")
+        ex_a = ex_a.join(
+            F.broadcast(pairs.select("id_a").distinct()), "id_a", "left_semi"
+        )
     if reduce_b:
-        ex_b = ex_b.join(pairs.select("id_b").distinct(), "id_b", "left_semi")
+        ex_b = ex_b.join(
+            F.broadcast(pairs.select("id_b").distinct()), "id_b", "left_semi"
+        )
     sz = sh.select(F.col(id_col), F.size(F.col("__shs")).alias("__n"))
     inter = (
         pairs.join(ex_a, "id_a")
@@ -539,10 +552,18 @@ def _verify_jaccard_packed(
         F.col("__hs").alias("__hb"),
         F.col("__n").alias("__nb"),
     )
+    # Explicit broadcast of the gated filter sets (r13) — see the exploded
+    # twin: the gate bounds the id sets, and without the hint the mf
+    # fixtures planned SMJ LeftSemi, exchanging each packed side FULL-SIZE
+    # before filtering.
     if reduce_a:
-        a = a.join(pairs.select("id_a").distinct(), "id_a", "left_semi")
+        a = a.join(
+            F.broadcast(pairs.select("id_a").distinct()), "id_a", "left_semi"
+        )
     if reduce_b:
-        b = b.join(pairs.select("id_b").distinct(), "id_b", "left_semi")
+        b = b.join(
+            F.broadcast(pairs.select("id_b").distinct()), "id_b", "left_semi"
+        )
     j = pairs.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect(F.col("__ha"), F.col("__hb")))
     jac = inter / (F.col("__na") + F.col("__nb") - inter)
