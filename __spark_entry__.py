@@ -99,7 +99,12 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # — a generator/verify width mismatch now raises instead of silently
     # mis-prefiltering, and unstamped caller sizes are stripped to the
     # always-correct unsized plan.  Changed functions: those two only.
-    "operators/dedup.py": 13,
+    # r14 (ADVICE r13 #1): the unstamped-size strip path re-homes scoped
+    # cache pins via transfer_cache_scope instead of a bare rebind (the
+    # pins otherwise stayed on the caller's dead handle and generator
+    # caches could unpersist early — performance-only, results
+    # unaffected).  Changed function: jaccard_verify_pairs only.
+    "operators/dedup.py": 14,
     "operators/caching.py": 5,
     # r6: chunk_documents rejects stride > chunk_tokens (ADVICE r5 #1 —
     # additive guard; module-granularity rule → whole corpus family, which
@@ -388,7 +393,9 @@ _ROUND_AFFECTED: dict[tuple[str, int], tuple[str, ...]] = {
     # candidates→verify pipeline per delta branch (sf10mf: 1853→1033 MB,
     # result-neutral caching) — call-path consumers = the queries routing
     # through any of those functions.
-    ("operators/dedup.py", 13): (
+    # r14 carry-forward: the jaccard_verify_pairs cache-scope fix rides
+    # the same call-path consumer family as the r13 entry.
+    ("operators/dedup.py", 14): (
         "dedup_minhash_lsh",
         "dedup_cluster_cc",
         "analytic_edit_distance",

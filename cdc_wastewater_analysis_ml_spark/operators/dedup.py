@@ -734,6 +734,26 @@ def _adaptive_hashed_verify(
     caller's back (r10 review; the projection is plan-identical, the
     cache entry is just privately owned).
 
+    Byte-scaling contract (r14, PROBE_PAIRS_r14 — the committed
+    pairs-vs-bytes isolation VERDICT r13 task 1 asked for): total shuffle
+    bytes of the candidates→verify family decompose as (linear-in-docs
+    corpus-side exchanges) + (linear-in-candidate-pairs pair-side
+    exchanges), and the measured bytes-per-candidate FALLS with scale
+    (closed-vocab sf1mf→sf10mf: 0.514 → 0.262 MB per 1k candidates while
+    candidate pairs grew at exponent 1.93).  Every superlinear byte
+    exponent ever read on this family (seg2 ~1.63-1.64) is the CANDIDATE
+    DENSITY of the closed-vocabulary fixture — band keys saturate as the
+    corpus grows at fixed vocabulary — not a plan defect: the verified
+    OUTPUT pairs are exactly linear in corpus size on every measured
+    segment of all three ladders (exp 1.000-1.001), so the surplus
+    candidates are banding false positives the verify rejects.  In the
+    open-vocabulary regime (vocabulary grows with the corpus, the
+    production shape) candidates themselves are near-linear (exp 1.089,
+    ov1→ov100).  The pinned contract: bytes are linear in docs +
+    candidate pairs; candidate growth is a data property to be managed
+    upstream (exact-dedup first, ``max_bucket_size`` guard on adversarial
+    corpora), not by this operator's plan.
+
     Per-side gates (r10 review fix): the filter set a reduction
     broadcasts is ``pairs.select(id_x).distinct()``, so the gate
     measures exactly that set — the distinct id count must fit the
@@ -1354,7 +1374,10 @@ def jaccard_verify_pairs(
                 "oriented fast path",
                 stacklevel=2,
             )
-            pairs = pairs.drop("__na", "__nb")
+            # Re-home scoped cache pins onto the stripped handle: a bare
+            # rebind would leave the pins on the caller's (now-dead)
+            # handle and the generator caches could unpersist early.
+            pairs = transfer_cache_scope(pairs, pairs.drop("__na", "__nb"))
             sized = False
     orient = sized and hash_verify_shingles and sized_candidates_active()
     pair_cols = ["id_a", "id_b", "__na", "__nb"] if orient else ["id_a", "id_b"]

@@ -49,8 +49,20 @@ def _run_bench(cwd: str) -> dict:
         text=True,
         check=True,
     )
-    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(
+            f"bench.py in {cwd} exited 0 but emitted no JSON line; "
+            f"stderr tail: {proc.stderr[-2000:]!r}"
+        )
+    return json.loads(lines[-1])
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    mid = n // 2
+    return s[mid] if n % 2 else (s[mid - 1] + s[mid]) / 2.0
 
 
 def main() -> int:
@@ -87,6 +99,26 @@ def main() -> int:
                     flush=True,
                 )
         sums = {k: [r["value"] for r in v] for k, v in series.items()}
+        # Per-query paired ratios (VERDICT r13 task 5): median each query
+        # across its series' runs, ratio head/base, flag >1.25 so
+        # sub-second outliers discharge individually instead of hiding
+        # inside the total.
+        per_query: dict[str, dict] = {}
+        head_qs = [r["queries"] for r in series["head"]]
+        base_qs = [r["queries"] for r in series["base"]]
+        for q in sorted(set(head_qs[0]) & set(base_qs[0])):
+            hm = _median([runs[q] for runs in head_qs if q in runs])
+            bm = _median([runs[q] for runs in base_qs if q in runs])
+            per_query[q] = {
+                "base_median": round(bm, 4),
+                "head_median": round(hm, 4),
+                "paired_ratio": round(hm / bm, 4) if bm > 0 else None,
+            }
+        flagged = sorted(
+            q
+            for q, v in per_query.items()
+            if v["paired_ratio"] is not None and v["paired_ratio"] > 1.25
+        )
         record = {
             "round": rnd,
             "base_commit": base,
@@ -100,10 +132,10 @@ def main() -> int:
             "sums": sums,
             "paired_ratio_min": round(min(sums["head"]) / min(sums["base"]), 4),
             "paired_ratio_median": round(
-                sorted(sums["head"])[len(sums["head"]) // 2]
-                / sorted(sums["base"])[len(sums["base"]) // 2],
-                4,
+                _median(sums["head"]) / _median(sums["base"]), 4
             ),
+            "per_query": per_query,
+            "flagged_over_1p25": flagged,
             "queries_head": series["head"][-1]["queries"],
             "queries_base": series["base"][-1]["queries"],
         }

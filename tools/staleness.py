@@ -300,11 +300,12 @@ def _import_bindings(
                 if node.level - 1 > len(pkg_parts):
                     continue
             else:
-                if not node.module or not node.module.startswith(PKG):
+                if not node.module or not (
+                    node.module == PKG or node.module.startswith(PKG + ".")
+                ):
                     continue
                 base = node.module[len(PKG) :].lstrip(".").split(".")
                 base = [p for p in base if p]
-                node_mod_parts: list[str] = []
                 for alias in node.names:
                     tgt = _module_file(root, base + [alias.name]) or _module_file(
                         root, base
