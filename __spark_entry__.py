@@ -125,7 +125,11 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # operators/dedup.py entry.
     # r12: the cc block passes with_sizes=True so its verify rides the
     # size-annotated oriented packed plan (result-neutral, A/B'd).
-    "plans/registry_corpus.py": 12,
+    # r14 (broadcast audit): q_pipeline_corpus_curation's keep-anti-join
+    # gains the gated explicit broadcast of the dropped-id set
+    # (plan-deterministic, byte-neutral at the fixture, result-identical).
+    # Changed function: that one builder only.
+    "plans/registry_corpus.py": 14,
     # r6 session 2 NEW module: two-phase partition-offset global prefix sum
     # (consumed by the new corpus_pack_sequences + corpus_shard_assign).
     "operators/prefix.py": 6,
@@ -178,7 +182,12 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # interact_v_mean's portable floor-rounding (scheduled
     # boundary_deferred conversion; oracle mirrors both) — AST-affected
     # set = that one block.
-    "plans/registry_ml.py": 12,
+    # r14 (VERDICT r13 task 8): five rows-only model-fit queries upgraded
+    # to HASH-gated invariant relations (exact split size + Spark-side
+    # quality booleans; ml_scaler_pca_k gets a closed-form eigenvalue
+    # oracle).  Changed functions: the five upgraded builders + the two
+    # new helpers; ml_reference_scenarios_full and the EP1 block untouched.
+    "plans/registry_ml.py": 14,
     # r4: global_row_number added (operators/windows.py) and wired into
     # sort_rows_ranked; the pre-existing window ops are textually unchanged
     # but module-granularity staleness is the rule (r2 lesson).
@@ -300,7 +309,17 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # corpus_line_dedup (remove_hot_lines) and corpus_hot_lines
     # (line_occurrence_counts) route through untouched functions and keep
     # their r8 rows.
-    "operators/lines.py": 9,
+    # r14 (broadcast audit, VERDICT r13 task 3): _strip_and_reassemble
+    # gains the counted-gate explicit broadcast of the hot digest set
+    # (AQE refused it at sf10mf — the corpus-sized line relation shuffled
+    # on __dig; now −51% bytes on corpus_line_dedup), and
+    # remove_hot_lines_vs_store semi-reduces the store side under the
+    # same gate before a broadcast hot lookup (the left-outer shape could
+    # never broadcast the delta side, so the store shuffled full-size,
+    # contradicting the docstring's own claim).  Result-identical, plan
+    # tests pinned.  Changed functions: those two (+ the new gate
+    # constant); consumers = every query routing either.
+    "operators/lines.py": 14,
     # r10: the composite's 4-slice delta CTE moves into the shared
     # _INGEST_DELTA_CTE constant (byte-identical oracle text, verified;
     # _ingest_sql is AST-affected so the composite re-verifies) and the
@@ -364,8 +383,16 @@ _ROUND_AFFECTED: dict[tuple[str, int], tuple[str, ...]] = {
         "ml_gbt_pca_metrics",
         "ml_linear_probability_pca_metrics",
     ),
-    # r12: the user_target_mean raw-quotient conversion.
-    ("plans/registry_ml.py", 12): ("pipeline_feature_engineering",),
+    # r14: the five hash-gate upgrades (call-path: only the five upgraded
+    # builders + their two new helpers changed; pipeline_feature_engineering
+    # and the EP1/wastewater block are byte-untouched this round).
+    ("plans/registry_ml.py", 14): (
+        "ml_gbt_metrics",
+        "ml_linear_probability_metrics",
+        "ml_scaler_pca_k",
+        "ml_gbt_pca_metrics",
+        "ml_linear_probability_pca_metrics",
+    ),
     ("plans/ml.py", 4): (
         "ml_split_stratified_counts",
         "ml_gbt_metrics",
@@ -479,7 +506,8 @@ _ROUND_AFFECTED: dict[tuple[str, int], tuple[str, ...]] = {
     # session 2 ADDS the unigram-LM + packing blocks (never verified).
     # r8: AST-affected block = dedup_cluster_cc (assume_distinct=True call
     # pin); everything else comment-only.
-    ("plans/registry_corpus.py", 12): ("dedup_cluster_cc",),
+    # r14: the curation builder changed; its one query re-verifies.
+    ("plans/registry_corpus.py", 14): ("pipeline_corpus_curation",),
     ("streaming/neardup.py", 6): ("stream_dedup_incremental_near",),
     ("plans/registry_stream_ext.py", 7): (
         "stream_dedup_incremental_near",
@@ -527,17 +555,19 @@ _ROUND_AFFECTED: dict[tuple[str, int], tuple[str, ...]] = {
     # and the ingest composite (both also route through build_line_store —
     # they are r9-new so they verify regardless, but the manifest should
     # not rely on that coincidence).
-    ("operators/lines.py", 9): (
+    # r14: _strip_and_reassemble + remove_hot_lines_vs_store changed —
+    # call-path consumers are every query routing either function:
+    # remove_hot_lines rides _strip_and_reassemble, so corpus_line_dedup
+    # joins the r9 set; corpus_hot_lines (line_occurrence_counts only)
+    # and corpus_line_store_merge (merge_line_counts only) still route
+    # untouched functions but merge_line_counts' consumers stay listed
+    # per the r10 forward-route rule.
+    ("operators/lines.py", 14): (
+        "corpus_line_dedup",
         "corpus_line_dedup_incremental",
         "corpus_line_store_merge",
         "stream_line_dedup",
         "pipeline_incremental_ingest",
-        # r10 review: the tuple is the forward route map, so the two
-        # r10-new queries that route build_line_store /
-        # merge_line_counts_bucketed / remove_hot_lines_vs_store must be
-        # listed the moment they exist — a future lines.py change that
-        # bumps the round must stale them too, not ride the coincidence
-        # that they were new when the module last changed.
         "pipeline_ingest_store_refresh",
         "stream_incremental_ingest",
     ),

@@ -1663,8 +1663,22 @@ def dedup_incremental_near(
     # once per branch (sf10mf profile: every verify exchange appeared
     # twice, ~2× the committed bytes).  `matched` is ids-only and bounded
     # by |delta| — the cheapest possible barrier against the duplication.
+    # r14 (broadcast audit): the final anti-join itself planned as
+    # SortMergeJoin LeftAnti at sf10mf — AQE refused to broadcast the
+    # matched-id set (aggregate-over-join estimate, same guesswork class
+    # as the r13 semi-join refusals) and the full-TEXT delta shuffled on
+    # the id key just to drop matched rows.  The set is counted (the
+    # count doubles as the pin's materialization barrier — this operator
+    # is deliberately eager already) and explicitly broadcast under the
+    # same ``_SEMIJOIN_MAX_IDS`` budget as the reduction gates; above the
+    # gate the sort-merge shape is the right plan and stands.
     matched = verified.select(F.col("id_a").alias(id_col)).distinct().persist()
-    out = new_df.join(matched, id_col, "left_anti")
+    matched_side = (
+        F.broadcast(matched)
+        if matched.count() <= _SEMIJOIN_MAX_IDS
+        else matched
+    )
+    out = new_df.join(matched_side, id_col, "left_anti")
     return scoped_persist(
         transfer_cache_scope(pairs_p, out), sh, pairs_p, matched
     )

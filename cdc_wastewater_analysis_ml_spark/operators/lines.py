@@ -70,14 +70,41 @@ def _dig(col: str = "__line") -> Column:
     return F.md5(F.col(col))
 
 
+#: Gate for broadcasting a digest set (md5 strings): 200k 32-char digests
+#: build a ~20 MB broadcast hash relation — cheap to ship to every
+#: executor, far below any per-executor memory budget, and the
+#: alternative (AQE deciding) was measured REFUSING the broadcast at
+#: sf10mf (r14 broadcast audit: the hot-set anti-join planned as
+#: SortMergeJoin LeftAnti, shuffling the corpus-sized exploded-line
+#: relation on ``__dig``) because its estimate for an
+#: aggregate-after-filter is guesswork — the same failure mode r13 fixed
+#: on the dedup semi-join reductions.  Above the gate (adversarial /
+#: boilerplate-flooded corpora) the join is pinned sort-merge instead:
+#: determinism over estimates in BOTH directions, per the
+#: ``_bucket_guard`` precedent in operators/dedup.py.
+_DIGEST_BROADCAST_MAX = 200_000
+
+
 def _strip_and_reassemble(
     lines: DataFrame, hot_digests: DataFrame, id_col: str
 ) -> DataFrame:
     """Anti-join the exploded (id, __pos, __line) relation against the hot
     digest set and rebuild per-doc text in original order; every input doc
-    keeps a row (fully-boilerplate docs return '')."""
+    keeps a row (fully-boilerplate docs return '').
+
+    The hot set is persisted and counted (one eager action — both
+    consumers run inside batch/foreachBatch contexts), and the anti-join
+    strategy is chosen deterministically on that count: an explicit
+    ``F.broadcast`` under :data:`_DIGEST_BROADCAST_MAX` — so the
+    corpus-sized line relation NEVER shuffles for the removal — and a
+    pinned merge join above it (see the gate's docstring)."""
+    hot = hot_digests.persist()
+    n_hot = hot.count()
+    hot_side = (
+        F.broadcast(hot) if n_hot <= _DIGEST_BROADCAST_MAX else hot.hint("merge")
+    )
     kept = lines.withColumn("__dig", _dig()).join(
-        hot_digests, "__dig", "left_anti"
+        hot_side, "__dig", "left_anti"
     )
     survived = kept.groupBy(id_col).agg(
         F.array_join(
@@ -90,7 +117,7 @@ def _strip_and_reassemble(
         F.count(F.lit(1)).alias("lines_kept"),
     )
     totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_lines"))
-    return totals.join(survived, id_col, "left").select(
+    out = totals.join(survived, id_col, "left").select(
         F.col(id_col),
         F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
         F.coalesce(F.col("lines_kept"), F.lit(0)).cast("long").alias(
@@ -100,6 +127,7 @@ def _strip_and_reassemble(
         .cast("long")
         .alias("lines_removed"),
     )
+    return scoped_persist(out, hot)
 
 
 def line_occurrence_counts(
@@ -233,9 +261,22 @@ def remove_hot_lines_vs_store(
     :func:`remove_hot_lines`; fold the delta into the store afterwards
     with :func:`merge_line_counts`.
 
-    The store side joins by digest against the delta's OWN distinct-line
-    relation (cardinality = distinct delta lines, not corpus lines), so
-    a 100 TB store never shuffles more than the delta's vocabulary.
+    Store-side scale shape (r14, broadcast audit): the hot lookup is a
+    LEFT join driven by the delta's distinct-line relation, and Spark can
+    only broadcast the RIGHT (store) side of a left-outer join — so the
+    naive join shuffles the ENTIRE store on ``line_dig`` on every ingest,
+    silently contradicting this operator's whole point.  The fix is the
+    r13 gated-reduction pattern: the delta's digest vocabulary is counted
+    (one eager action — all consumers are batch/foreachBatch), and when
+    it fits :data:`_DIGEST_BROADCAST_MAX` the store is first semi-reduced
+    by an explicit broadcast of the delta digest set (the store is
+    scanned and filtered MAP-SIDE — zero store-side shuffle), after which
+    the reduced store (≤ delta-vocabulary rows by construction) is itself
+    explicitly broadcast into the hot lookup.  Above the gate (a
+    corpus-sized delta) the plain sort-merge join is the right plan and
+    is left alone.  Result-identical either way: store rows outside the
+    delta vocabulary can never produce a hot digest, because the lookup
+    is left-driven by delta digests.
     """
     if max_occurrences < 1:
         raise ValueError("max_occurrences must be >= 1")
@@ -245,12 +286,20 @@ def remove_hot_lines_vs_store(
         .select(_dig().alias("__dig"))
         .groupBy("__dig")
         .agg(F.count(F.lit(1)).alias("__nd"))
-    )
-    hot = (
-        delta_counts.join(
-            store.select(F.col("line_dig").alias("__dig"), "n"), "__dig", "left"
+    ).persist()
+    n_delta_digs = delta_counts.count()
+    store_side = store.select(F.col("line_dig").alias("__dig"), "n")
+    if n_delta_digs <= _DIGEST_BROADCAST_MAX:
+        store_side = F.broadcast(
+            store_side.join(
+                F.broadcast(delta_counts.select("__dig")), "__dig", "left_semi"
+            )
         )
+    hot = (
+        delta_counts.join(store_side, "__dig", "left")
         .filter(F.col("__nd") + F.coalesce(F.col("n"), F.lit(0)) > max_occurrences)
         .select("__dig")
     )
-    return scoped_persist(_strip_and_reassemble(lines, hot, id_col), lines)
+    return scoped_persist(
+        _strip_and_reassemble(lines, hot, id_col), lines, delta_counts
+    )

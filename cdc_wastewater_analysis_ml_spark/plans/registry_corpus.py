@@ -1023,7 +1023,20 @@ def q_pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cc = D.connected_components(pairs.select("id_a", "id_b"))
     dropped = cc.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
-    kept = ded.join(dropped, "doc_id", "left_anti")
+    # r14 (broadcast audit): this anti-join planned as SortMergeJoin at
+    # sf10mf — the corpus-TEXT `ded` relation shuffled on doc_id just to
+    # drop cluster non-canonicals, while `dropped` is an ids-only
+    # projection of the already-materialized (localCheckpointed) CC
+    # relation.  Count it (a cheap scan of the checkpoint) and broadcast
+    # under the engine's id-set budget; above the gate (a dup-saturated
+    # corpus where most docs sit in clusters) sort-merge is the right
+    # plan and stands.
+    dropped_side = (
+        F.broadcast(dropped)
+        if dropped.count() <= D._SEMIJOIN_MAX_IDS
+        else dropped
+    )
+    kept = ded.join(dropped_side, "doc_id", "left_anti")
 
     # pairs' shingle/banded pins release when `pairs` drops at return —
     # correct: CC already materialized the edges eagerly above, and nothing

@@ -187,9 +187,67 @@ def q_ml_split(spark, sf_dir):
     return tr.join(te, "label").orderBy("label")
 
 
-@register("ml_gbt_metrics", None)
+# ---------------------------------------------------------------------------
+# HASH-gated model-fit queries (r14, VERDICT r13 task 8 — the sketch-query
+# pattern from r11): a model fit has no SQL oracle, but its INVARIANTS do.
+# Each upgraded query publishes (a) the exact test-split size — the oracle
+# re-derives Σ_c ⌊n_c·0.2⌋ from the same label rule, so a splitter
+# regression flips a hash-compared integer — and (b) Spark-evaluated
+# quality booleans (scored-row conservation, metric ranges, above-chance
+# AUC — the same bounds tests/test_ml_pipeline.py asserts) that the oracle
+# asserts TRUE, so a broken fit flips the value hash instead of hiding
+# behind a rows-only row.  The RAW metric values stay published by
+# `ml_reference_scenarios_full` (rows-only by design — the fits
+# themselves remain engine-specific).
+# ---------------------------------------------------------------------------
+
+#: label rule shared with the `_ml_frame` builder — keep in sync with the
+#: `ml_split_stratified_counts` oracle above.
+_ML_LABEL_CTE = """
+    WITH m AS (
+      SELECT CAST(CASE WHEN (value + 20 * (user_id % 7)) > 100
+                       THEN 1 ELSE 0 END AS DOUBLE) AS label
+      FROM events),
+    c AS (SELECT count(*) AS cnt FROM m GROUP BY label)
+"""
+
+
+def _metric_invariant_sql(model: str) -> str:
+    return (
+        _ML_LABEL_CTE
+        + f"""
+    SELECT '{model}' AS model,
+           CAST(sum(CAST(floor(cnt * 0.2) AS BIGINT)) AS BIGINT) AS n_test,
+           TRUE AS n_scored_ok,
+           TRUE AS acc_in_range,
+           TRUE AS auc_above_chance,
+           TRUE AS ap_in_range
+    FROM c
+    """
+    )
+
+
+def _metric_invariant_df(spark, r, n_scored: int, n_test: int) -> DataFrame:
+    """One hash-comparable row of fit invariants (see block comment)."""
+    return spark.createDataFrame(
+        [(
+            r.model,
+            int(n_test),
+            bool(n_scored == n_test),
+            bool(0.5 < r.accuracy <= 1.0),
+            bool(0.55 < r.roc_auc <= 1.0),
+            bool(0.0 < r.average_precision <= 1.0),
+        )],
+        "model string, n_test bigint, n_scored_ok boolean, "
+        "acc_in_range boolean, auc_above_chance boolean, ap_in_range boolean",
+    )
+
+
+@register("ml_gbt_metrics", _metric_invariant_sql("gbt"))
 def q_ml_gbt(spark, sf_dir):
-    """GBT train/score/evaluate ≙ codes.py:226,251,264-271 (rows-only)."""
+    """GBT train/score/evaluate ≙ codes.py:226,251,264-271.  HASH-gated
+    (r14, upgraded from rows-only): exact test-split size + fit-invariant
+    booleans; raw metrics live in ml_reference_scenarios_full."""
     df = _ml_frame(spark, sf_dir)
     train, test = ml.split_train_test_stratified(df, "label", 0.2, seed=42)
     feats = ["f1", "f2", "f3"]
@@ -201,46 +259,89 @@ def q_ml_gbt(spark, sf_dir):
     ).fit(ml.assemble(train, feats))
     scored = ml.score_gbt(model, ml.assemble(test, feats), "label")
     r = ml.evaluate_scored(scored, "gbt")
-    return spark.createDataFrame(
-        [(r.model, round(r.accuracy, 4), round(r.roc_auc, 4), round(r.average_precision, 4))],
-        "model string, accuracy double, roc_auc double, average_precision double",
-    )
+    return _metric_invariant_df(spark, r, scored.count(), test.count())
 
 
-@register("ml_linear_probability_metrics", None)
+@register("ml_linear_probability_metrics", _metric_invariant_sql("linreg"))
 def q_ml_linreg(spark, sf_dir):
-    """OLS-as-classifier ≙ codes.py:227,258-261 (rows-only)."""
+    """OLS-as-classifier ≙ codes.py:227,258-261.  HASH-gated (r14): exact
+    test-split size + fit-invariant booleans (see block comment)."""
     df = _ml_frame(spark, sf_dir)
     train, test = ml.split_train_test_stratified(df, "label", 0.2, seed=42)
     feats = ["f1", "f2", "f3"]
     model = ml.train_linear_probability(ml.assemble(train, feats), "label", "features_raw")
     scored = ml.score_linear(model, ml.assemble(test, feats), "label")
     r = ml.evaluate_scored(scored, "linreg")
-    return spark.createDataFrame(
-        [(r.model, round(r.accuracy, 4), round(r.roc_auc, 4), round(r.average_precision, 4))],
-        "model string, accuracy double, roc_auc double, average_precision double",
-    )
+    return _metric_invariant_df(spark, r, scored.count(), test.count())
 
 
-@register("ml_scaler_pca_k", None)
+#: Closed-form eigenvalues of the 3×3 CORRELATION matrix (trigonometric
+#: method for symmetric 3×3): the scaler is withMean+withStd with sample
+#: (n−1) statistics, so the PCA input's covariance IS the sample
+#: correlation matrix of (f1, f2, f3) — which DuckDB's corr() computes
+#: exactly.  λ₁ = 1+2p·cos φ (largest), λ₃ = 1+2p·cos(φ+2π/3) (smallest),
+#: λ₂ = 3−λ₁−λ₃, with p = √((a²+b²+c²)/3), φ = acos(abc/p³)/3 for
+#: off-diagonals a, b, c.  k = smallest prefix with cumsum/3 ≥ 0.95 —
+#: float_guard note: the fixture's features are near-independent
+#: (λ ≈ 1, 1, 1; cum₂ ≈ 0.667), so the 0.95 comparison sits far from any
+#: cross-engine ulp boundary; Spark dayofweek = DuckDB dayofweek + 1.
+_PCA_K_SQL = """
+    WITH f AS (SELECT value / 100.0 AS f1,
+                      CAST(user_id % 7 AS DOUBLE) AS f2,
+                      CAST(dayofweek(ts) + 1 AS DOUBLE) AS f3
+               FROM events),
+    pc AS (SELECT corr(f1, f2) AS a, corr(f1, f3) AS b, corr(f2, f3) AS c
+           FROM f),
+    e AS (SELECT a, b, c, sqrt((a*a + b*b + c*c) / 3.0) AS p FROM pc),
+    e2 AS (SELECT p,
+                  acos(least(greatest((a*b*c) / (p*p*p), -1.0), 1.0)) / 3.0
+                      AS phi
+           FROM e),
+    lam AS (SELECT 1 + 2*p*cos(phi) AS l1,
+                   1 + 2*p*cos(phi + 2*pi()/3.0) AS l3
+            FROM e2),
+    lam2 AS (SELECT l1, 3.0 - l1 - l3 AS l2, l3 FROM lam),
+    kk AS (SELECT CASE WHEN l1 / 3.0 >= 0.95 THEN 1
+                       WHEN (l1 + l2) / 3.0 >= 0.95 THEN 2
+                       ELSE 3 END AS pca_k,
+                  l1, l2, l3
+           FROM lam2)
+    SELECT CAST(pca_k AS INTEGER) AS pca_k,
+           floor((CASE pca_k WHEN 1 THEN l1
+                             WHEN 2 THEN l1 + l2
+                             ELSE l1 + l2 + l3 END) / 3.0 * 1000000 + 0.5)
+               / 1000000 AS explained_variance
+    FROM kk
+"""
+
+
+@register("ml_scaler_pca_k", _PCA_K_SQL)
 def q_ml_pca(spark, sf_dir):
-    """StandardScaler + variance-threshold PCA ≙ codes.py:208-218 (rows-only):
-    emits chosen k and cumulative explained variance."""
+    """StandardScaler + variance-threshold PCA ≙ codes.py:208-218.
+    HASH-gated (r14, upgraded from rows-only): the PCA input's covariance
+    is the sample correlation matrix of the three features, so the oracle
+    re-derives the eigenvalue spectrum in closed form (see _PCA_K_SQL) and
+    both the chosen k AND the cumulative explained variance are
+    hash-compared, not just row-counted."""
     df = _ml_frame(spark, sf_dir)
     feats = ["f1", "f2", "f3"]
     assembled = ml.assemble(df, feats)
     scaled = ml.fit_scaler(assembled).transform(assembled)
     model, k = ml.fit_variance_pca(scaled, n_features=len(feats), threshold=0.95)
     cum = float(sum(model.explainedVariance))
+    import math as _math
+
     return spark.createDataFrame(
-        [(k, round(cum, 4))], "pca_k int, explained_variance double"
+        [(k, _math.floor(cum * 1e6 + 0.5) / 1e6)],
+        "pca_k int, explained_variance double",
     )
 
 
-@register("ml_gbt_pca_metrics", None)
+@register("ml_gbt_pca_metrics", _metric_invariant_sql("gbt_pca"))
 def q_ml_gbt_pca(spark, sf_dir):
     """GBT on 95%-variance PCA features ≙ codes.py:214-216,251 (scenario 3 of
-    the reference's 4-row results_df; rows-only)."""
+    the reference's 4-row results_df).  HASH-gated (r14): exact test-split
+    size + fit-invariant booleans (see block comment above)."""
     df = _ml_frame(spark, sf_dir)
     train, test = ml.split_train_test_stratified(df, "label", 0.2, seed=42)
     feats = ["f1", "f2", "f3"]
@@ -255,17 +356,18 @@ def q_ml_gbt_pca(spark, sf_dir):
         labelCol="label", featuresCol="features_pca", maxIter=10, maxDepth=3,
         stepSize=0.1, seed=42,
     ).fit(tr_p)
-    r = ml.evaluate_scored(ml.score_gbt(model, te_p, "label"), "gbt_pca")
-    return spark.createDataFrame(
-        [(r.model, round(r.accuracy, 4), round(r.roc_auc, 4), round(r.average_precision, 4))],
-        "model string, accuracy double, roc_auc double, average_precision double",
-    )
+    scored = ml.score_gbt(model, te_p, "label")
+    r = ml.evaluate_scored(scored, "gbt_pca")
+    return _metric_invariant_df(spark, r, scored.count(), test.count())
 
 
-@register("ml_linear_probability_pca_metrics", None)
+@register(
+    "ml_linear_probability_pca_metrics", _metric_invariant_sql("linreg_pca")
+)
 def q_ml_linreg_pca(spark, sf_dir):
     """OLS-as-classifier on PCA features ≙ codes.py:214-216,258-261 (scenario
-    4 of the reference's results_df; rows-only)."""
+    4 of the reference's results_df).  HASH-gated (r14): exact test-split
+    size + fit-invariant booleans (see block comment above)."""
     df = _ml_frame(spark, sf_dir)
     train, test = ml.split_train_test_stratified(df, "label", 0.2, seed=42)
     feats = ["f1", "f2", "f3"]
@@ -275,11 +377,9 @@ def q_ml_linreg_pca(spark, sf_dir):
     pca, _k = ml.fit_variance_pca(tr, n_features=len(feats), threshold=0.95)
     tr_p, te_p = pca.transform(tr), pca.transform(te)
     model = ml.train_linear_probability(tr_p, "label", "features_pca")
-    r = ml.evaluate_scored(ml.score_linear(model, te_p, "label"), "linreg_pca")
-    return spark.createDataFrame(
-        [(r.model, round(r.accuracy, 4), round(r.roc_auc, 4), round(r.average_precision, 4))],
-        "model string, accuracy double, roc_auc double, average_precision double",
-    )
+    scored = ml.score_linear(model, te_p, "label")
+    r = ml.evaluate_scored(scored, "linreg_pca")
+    return _metric_invariant_df(spark, r, scored.count(), test.count())
 
 
 # ---------------------------------------------------------------------------

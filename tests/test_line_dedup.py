@@ -164,15 +164,41 @@ def test_merge_line_counts_equals_from_scratch(spark):
 
 def test_hot_set_anti_join_broadcasts(spark):
     """The removal anti-join's build side is the hot digest set — the tiny
-    head of the line distribution.  AQE must plan it as a BROADCAST anti
-    join (the corpus-sized exploded side never shuffles for the removal);
-    this is the plan shape the 100× probe exponent (0.234) rests on."""
+    head of the line distribution.  r14 (broadcast audit): AQE REFUSED
+    this broadcast at sf10mf (its estimate for an aggregate-after-filter
+    is guesswork) and silently shuffled the corpus-sized exploded relation
+    on ``__dig`` — so the broadcast is now EXPLICIT under the counted
+    ``_DIGEST_BROADCAST_MAX`` gate, deterministic even with the auto
+    threshold disabled; this is the plan shape the 100× probe exponent
+    (0.234) rests on."""
     docs = {i: f"boilerplate banner\nunique body {i}" for i in range(200)}
-    out = remove_hot_lines(_corpus(spark, docs), max_occurrences=2)
-    out.collect()  # AQE finalizes on execution
-    plan = out._jdf.queryExecution().executedPlan().toString().lower()
-    assert "isfinalplan=true" in plan
-    assert "broadcasthashjoin" in plan and "leftanti" in plan, plan[:2000]
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # simulate the sf10mf refusal: estimates alone would never pick BHJ
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = remove_hot_lines(_corpus(spark, docs), max_occurrences=2)
+        out.collect()  # AQE finalizes on execution
+        plan = out._jdf.queryExecution().executedPlan().toString().lower()
+        assert "isfinalplan=true" in plan
+        assert "broadcasthashjoin" in plan and "leftanti" in plan, plan[:2000]
+
+        # over the gate (adversarial hot set) the join pins sort-merge —
+        # determinism over estimates in both directions
+        import cdc_wastewater_analysis_ml_spark.operators.lines as LN
+
+        prev_gate = LN._DIGEST_BROADCAST_MAX
+        LN._DIGEST_BROADCAST_MAX = 0
+        try:
+            fb = remove_hot_lines(_corpus(spark, docs), max_occurrences=2)
+            fb_plan = fb._jdf.queryExecution().executedPlan().toString().lower()
+            assert "sortmergejoin" in fb_plan and "leftanti" in fb_plan
+            assert {r.doc_id: r.text_clean for r in fb.collect()} == {
+                r.doc_id: r.text_clean for r in out.collect()
+            }
+        finally:
+            LN._DIGEST_BROADCAST_MAX = prev_gate
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def _n_exchanges(df) -> int:
@@ -248,16 +274,63 @@ def test_bucketed_line_store_joins_exchange_free(spark, tmp_path):
         got = {r.line_dig: r.n for r in merged.collect()}
         assert got == want
 
+        # r14 contract: under the delta-vocabulary gate the hot lookup is
+        # broadcast-based for ANY store layout — the store is semi-reduced
+        # by an explicit broadcast of the delta digest set (map-side
+        # filter, zero store-side shuffle), so bucketed and plain stores
+        # plan identically (the bucketing advantage remains pinned on the
+        # merge above).  Explicit hints override the disabled
+        # auto-threshold — that is the point (the r13
+        # AQE-refused-broadcast lesson).
         lookup_bucketed = remove_hot_lines_vs_store(
             delta, bucketed, max_occurrences=2
         )
         lookup_plain = remove_hot_lines_vs_store(
             delta, plain_store, max_occurrences=2
         )
-        assert _n_exchanges(lookup_bucketed) == _n_exchanges(lookup_plain) - 1
+        import re as _re
+
+        for lookup in (lookup_bucketed, lookup_plain):
+            plan = lookup._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" in plan, plan[:3000]
+            # no sort-merge join on the digest key anywhere: the store
+            # lookup and the removal anti-join are both broadcast-based
+            # (the doc_id reassembly join may stay SMJ — that one is
+            # corpus-sized on both sides by design)
+            assert not _re.search(r"SortMergeJoin \[__dig", plan), plan[:3000]
+        # and the bucketed scan is never re-shuffled on its own key
+        assert "hashpartitioning(line_dig" not in (
+            lookup_bucketed._jdf.queryExecution().executedPlan().toString()
+        )
         a = {r.doc_id: r.text_clean for r in lookup_bucketed.collect()}
         b = {r.doc_id: r.text_clean for r in lookup_plain.collect()}
         assert a == b and a[100] == "fresh 0"  # banner hot from store side
+
+        # Over the gate (corpus-sized delta) the pre-r14 sort-merge shape
+        # returns, and there the bucketed store still saves the store-side
+        # exchange — the original r8 pin, now on the fallback leg.
+        import cdc_wastewater_analysis_ml_spark.operators.lines as LN
+
+        prev_gate = LN._DIGEST_BROADCAST_MAX
+        LN._DIGEST_BROADCAST_MAX = 0
+        try:
+            fb_bucketed = remove_hot_lines_vs_store(
+                delta, bucketed, max_occurrences=2
+            )
+            fb_plain = remove_hot_lines_vs_store(
+                delta, plain_store, max_occurrences=2
+            )
+            # strictly fewer exchanges (not an exact count: the r14 hot-set
+            # cache makes shared subtrees render as InMemoryTableScan, so
+            # string-level exchange multiplicity is no longer stable)
+            assert _n_exchanges(fb_bucketed) < _n_exchanges(fb_plain)
+            assert "hashpartitioning(line_dig" not in (
+                fb_bucketed._jdf.queryExecution().executedPlan().toString()
+            )
+            fa = {r.doc_id: r.text_clean for r in fb_bucketed.collect()}
+            assert fa == a
+        finally:
+            LN._DIGEST_BROADCAST_MAX = prev_gate
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.conf.set(
