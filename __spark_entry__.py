@@ -128,7 +128,11 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # r14 (broadcast audit): q_pipeline_corpus_curation's keep-anti-join
     # gains the gated explicit broadcast of the dropped-id set
     # (plan-deterministic, byte-neutral at the fixture, result-identical).
-    # Changed function: that one builder only.
+    # r14 opt round: q_dedup_cluster_cc swaps the candidates+verify
+    # composition for the fused minhash_lsh_verified (one staged shingle
+    # relation instead of two independent corpus passes; result-identical
+    # by the fused operator's contract).  Changed functions: those two
+    # builders only.
     "plans/registry_corpus.py": 14,
     # r6 session 2 NEW module: two-phase partition-offset global prefix sum
     # (consumed by the new corpus_pack_sequences + corpus_shard_assign).
@@ -176,7 +180,12 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # precision/recall/f1 incl. macro/weighted rows; roc_curve tpr/fpr;
     # pr_curve precision/recall), oracle round() dropped in kind —
     # AST-affected set = those four blocks.
-    "plans/registry_ext.py": 12,
+    # r14 opt round: _augmented_docs drops its outer fan_out (every
+    # consumer operator fans internally; the stacked repartition was a
+    # redundant second full-width exchange of the corpus text at the
+    # fixture; plan-only, results partition-invariant).  AST-affected
+    # set = _augmented_docs; consumers = every query routing it.
+    "plans/registry_ext.py": 14,
     # r12: pipeline_feature_engineering publishes user_target_mean as the
     # raw avg(0/1) int quotient and feeds the same raw value into
     # interact_v_mean's portable floor-rounding (scheduled
@@ -228,7 +237,13 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # set differently, consumer set stays empty.  Session 3: the default
     # app-name literal hoisted into _DEFAULT_APP_NAME (shared by signature
     # and comparison — behavior-neutral, consumer set stays empty).
-    "session.py": 10,
+    # r14 opt round: RUNTIME_CONFS adds
+    # spark.python.sql.dataFrameDebugging.enabled=false — driver-side
+    # error-message enrichment off (a Python traceback walk + extra py4j
+    # round trip per DataFrame call, ~half of every query's plan-
+    # construction time).  Results unaffected by construction; consumer
+    # set stays empty, same basis as the r7/r10 entries.
+    "session.py": 14,
     # r7: docstring-only (Pillow injection recipe, VERDICT r6 task 8) — no
     # executable change, consumer set empty.
     "operators/multimodal.py": 7,
@@ -506,8 +521,14 @@ _ROUND_AFFECTED: dict[tuple[str, int], tuple[str, ...]] = {
     # session 2 ADDS the unigram-LM + packing blocks (never verified).
     # r8: AST-affected block = dedup_cluster_cc (assume_distinct=True call
     # pin); everything else comment-only.
-    # r14: the curation builder changed; its one query re-verifies.
-    ("plans/registry_corpus.py", 14): ("pipeline_corpus_curation",),
+    # r14: the curation builder changed (gated broadcast) and the
+    # cluster-cc builder swapped to the fused candidates→verify operator
+    # (result-identical; one corpus pass instead of two) — both queries
+    # re-verify.
+    ("plans/registry_corpus.py", 14): (
+        "pipeline_corpus_curation",
+        "dedup_cluster_cc",
+    ),
     ("streaming/neardup.py", 6): ("stream_dedup_incremental_near",),
     ("plans/registry_stream_ext.py", 7): (
         "stream_dedup_incremental_near",
@@ -581,14 +602,25 @@ _ROUND_AFFECTED: dict[tuple[str, int], tuple[str, ...]] = {
     ),
     ("streaming/ingest.py", 10): ("stream_incremental_ingest",),
     ("streaming/lines.py", 9): ("stream_line_dedup",),
-    ("session.py", 10): (),
+    ("session.py", 14): (),
     ("operators/multimodal.py", 7): (),
     # r12: the metrics-family raw-quotient conversions.
-    ("plans/registry_ext.py", 12): (
-        "metric_accuracy",
-        "metric_classification_report",
-        "metric_roc_curve",
-        "metric_pr_curve",
+    # r14: the only AST-affected function is _augmented_docs (fan_out
+    # drop) — consumers are every query routing the shared augmented
+    # fixture, in-module and cross-module.  The r12 metric-conversion
+    # queries do not route _augmented_docs and keep their r12/r13 rows
+    # (call-path granularity).
+    ("plans/registry_ext.py", 14): (
+        "dedup_minhash_signatures",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "analytic_edit_distance",
+        "dedup_substring_kgram",
+        "dedup_cluster_cc",
+        "dedup_cluster_best",
+        "dedup_lsh_verified",
+        "dedup_lsh_bucket_stats",
     ),
     ("operators/relational.py", 4): (),
     # r11 diff = recall_at_k only: consumers are the query calling it

@@ -68,25 +68,25 @@ def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .registry_ext import _augmented_docs
 
     docs = _augmented_docs(spark, sf_dir)
-    # with_sizes (r12): candidates carry the two docs' distinct shingle-set
-    # sizes (+16 B/pair, +8 B/row on the banded exchange) so the verify can
-    # apply the provable size-ratio prefilter and orient its pair expansion
-    # by the smaller side — result-neutral by construction (jaccard <=
-    # min/max; orientation is symmetric), equivalence-pinned in
-    # tests/test_scale_ops.py and A/B'd via tools/verify_ab.py.  Requested
-    # from the seam state (not hardcoded True) so the A/B reference
-    # variants measure the faithful UNANNOTATED baseline plan (r12 review).
-    pairs = D.minhash_lsh_candidates(
-        docs, "text", "doc_id", num_hashes=8, bands=4,
-        with_sizes=D.sized_candidates_active(),
-    )
-    # Verification is array-free (r7) and since r10 digest-keyed with the
-    # adaptive semi-join reduction; since r11 the packed-array digest plan;
-    # the engine-wide 4 MB RUNTIME_CONFS broadcast caps stop any compressed-
-    # stats mis-broadcast — no per-call-site join hint exists or is needed.
-    # assume_distinct: minhash_lsh_candidates ends in .distinct() (r8).
-    verified = D.jaccard_verify_pairs(
-        docs, pairs, "text", "doc_id", threshold=0.3, assume_distinct=True
+    # r14 (opt): the FUSED candidates→verify operator, replacing the
+    # minhash_lsh_candidates + jaccard_verify_pairs composition this block
+    # carried since r4.  The composition materialized TWO independent
+    # pipelines from parquet — the banded cache and the verify's own
+    # shingle cache each re-scanned, re-fanned-out and re-tokenized the
+    # corpus (profiled at sf0.1: two back-to-back ~70 s-executor-time
+    # cache-fill blocks inside CC's edge materialization; at 100 TB the
+    # second block is a whole extra corpus read).  minhash_lsh_verified
+    # stages ONE persisted distinct-shingle relation that feeds both the
+    # signature computation and the packed-digest verify — the exact r6
+    # conversion dedup_lsh_verified got (VERDICT r5 task 2); this query
+    # was missed then.  Semantically identical by the fused operator's
+    # contract (min over distinct shingles == min over all shingles; same
+    # banding, same threshold, same raw-quotient jaccard) — oracle text
+    # unchanged, parity re-verified at 3 SFs.  Seam state (sized
+    # candidates / packed verify / orientation) is honored inside the
+    # fused operator, so tools/verify_ab.py A/Bs keep working.
+    verified = D.minhash_lsh_verified(
+        docs, "text", "doc_id", num_hashes=8, bands=4, threshold=0.3
     )
     cc = D.connected_components(verified.select("id_a", "id_b"))
     return D.cluster_dedup_decision(cc)

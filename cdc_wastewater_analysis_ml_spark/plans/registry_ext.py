@@ -391,9 +391,20 @@ WITH docs AS (
 
 
 def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # fan_out: the single-row-group local fixture otherwise pins every
-    # downstream shingle/hash expression to one task (see sources.fan_out).
-    d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    # r14 (opt): NO fan_out here — every consumer routes the result into an
+    # operator that fans out internally (minhash_signatures /
+    # minhash_lsh_verified / simhash / ngram_jaccard_pairs /
+    # substring_kgram_pairs all start with fan_out(df); edit_distance_verify
+    # broadcast-joins the doc texts).  The old outer fan_out stacked a
+    # SECOND full-width round-robin exchange of the corpus text under the
+    # operator's own one — fan_out can't see through the union (inputFiles
+    # = 1 file) so it re-repartitioned an already-fanned relation (profiled
+    # at sf0.1: an extra 64-task exchange stage per dedup query carrying
+    # the full 1.25 MB text payload; plan: two Exchanges where one
+    # suffices).  On a real cluster both fan_outs no-op (many files ≥
+    # parallelism), so this is bench-plan hygiene, not a scale claim.
+    # Results are partition-layout invariant (house rule, tested).
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     mutated = d.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + F.lit(_AUG_OFFSET)).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" near dup tail")).alias("text"),

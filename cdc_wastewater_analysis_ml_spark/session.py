@@ -58,6 +58,19 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(4 * 1024 * 1024),
     "spark.sql.adaptive.autoBroadcastJoinThreshold": str(4 * 1024 * 1024),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # r14 (opt): PySpark 4's DataFrame-debugging hook walks a Python
+    # traceback and makes an extra py4j round trip on EVERY DataFrame API
+    # call to enrich error messages with the Python call site (~3 ms/call;
+    # measured 0.65 s of the 1.33 s plan-construction time of
+    # dedup_lsh_verified alone).  That cost is pure single-threaded DRIVER
+    # time, paid per query build at every scale and every core count —
+    # exactly the serial fraction that caps scale-out.  Error behavior is
+    # unchanged except the message no longer names the Python line.
+    # NB: pyspark caches this flag per process at the FIRST wrapped call,
+    # so it must be set before any DataFrame op; get_spark() sessions get
+    # it at build, and apply_runtime_confs() asserts it early (every
+    # loader runs it) for driver-owned sessions.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
 
