@@ -215,7 +215,15 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # r11: recall_at_k publishes the raw hits/truth_n integer quotient
     # (boundary-class round removed; see the r11 dedup.py entry) —
     # consumers = the two recall queries.
-    "operators/similarity.py": 11,
+    # r14 opt round: rhp_sign sources its ±1 coefficients from the shared
+    # Python-side _rhp_plane_matrix as ONE literal array per plane instead
+    # of a Catalyst transform-over-md5-of-constants (higher-order lambdas
+    # are never constant-folded, so every row recomputed planes×dims md5
+    # hashes and the analyzer paid ~1.4 s per signature build).  Values
+    # bit-identical (same derivation as the Arrow path; fold order
+    # unchanged).  Changed function: rhp_sign only — consumers = queries
+    # routing rhp_sign/rhp_signature.
+    "operators/similarity.py": 14,
     "operators/text.py": 4,
     # r7: RUNTIME_CONFS gained canChangeCachedPlanOutputPartitioning=true —
     # a PHYSICAL-layout conf (AQE may coalesce cached-plan output
@@ -628,7 +636,14 @@ _ROUND_AFFECTED: dict[tuple[str, int], tuple[str, ...]] = {
     # in kind; listed under plans/registry_quality.py too).  The r8-added
     # lsh-multi functions are byte-untouched — sim_cosine_lsh_multi keeps
     # its r10 row.
-    ("operators/similarity.py", 11): (
+    # r14: rhp_sign coefficient-literal change — consumers = the queries
+    # routing rhp_sign/rhp_signature (the Arrow-path multi-table queries
+    # route rhp_signature_arrow, byte-untouched, and keep their rows;
+    # sim_recall_at_k routes recall_at_k over brute+lsh scorers — its lsh
+    # leg rides rhp_signature, so it re-verifies too).
+    ("operators/similarity.py", 14): (
+        "sim_cosine_lsh",
+        "dedup_embedding_cosine_lsh",
         "sim_recall_at_k",
         "sim_recall_cost_sweep",
     ),

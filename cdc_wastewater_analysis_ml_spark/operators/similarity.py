@@ -110,15 +110,19 @@ def cosine_topk_bruteforce(
 
 
 def rhp_sign(vec: Column, plane: int, dims: int) -> Column:
-    """Sign bit of ⟨vec, h_plane⟩ for the md5-derived ±1 hyperplane h."""
-    coeff = F.transform(
-        F.sequence(F.lit(0), F.lit(dims - 1)),
-        lambda d: F.when(
-            F.substring(F.md5(F.concat(F.lit(f"p{plane}:"), d.cast("string"))), 1, 1)
-            >= "8",
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0)),
-    )
+    """Sign bit of ⟨vec, h_plane⟩ for the md5-derived ±1 hyperplane h.
+
+    r14 (opt): the ±1 coefficients are md5-of-CONSTANTS (``p{plane}:{dim}``)
+    — but expressed as a Catalyst ``transform`` lambda they are opaque to
+    constant folding (higher-order functions are never foldable), so every
+    ROW recomputed planes × dims md5 hashes (512/row at the default 8×64;
+    measured ~1.4 s of pure analyzer time per ``rhp_signature`` build on
+    top of the runtime waste).  The coefficients now come from the SAME
+    Python-side derivation the Arrow path uses (:func:`_rhp_plane_matrix`)
+    as one literal array per plane: identical values by construction, and
+    the zip_with × / left-to-right aggregate + fold is unchanged, so
+    signatures remain bit-identical to the SQL oracle's ``list_sum``."""
+    coeff = F.lit(_rhp_plane_matrix(plane + 1, dims)[plane])
     proj = F.aggregate(
         F.zip_with(vec.cast("array<double>"), coeff, lambda x, y: x * y),
         F.lit(0.0),
