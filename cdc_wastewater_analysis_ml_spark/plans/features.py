@@ -54,25 +54,42 @@ def engineer_features(
     df = df.withColumn("collection_dayofweek", S.date_weekday("sample_collect_date"))
 
     # --- imputation (codes.py:34-43): aggregate → driver scalar → literal,
-    # the reference's own two-pass structure (SURVEY §3 EP1) ---
+    # the reference's own two-pass structure (SURVEY §3 EP1).
+    # r14 (opt): ALL six fill literals (2+1 medians, 3 modes) are computed
+    # in ONE batched aggregate job here instead of six separate scalar
+    # actions strung through the pipeline — the serial scalar chain was 12
+    # tiny driver-barrier jobs (~0.4 s of pure job latency at any scale).
+    # Value-identical: each scalar aggregates a column that NO earlier
+    # pipeline step mutates before its original read point (fills touch
+    # other columns; the window/bucketize/target-encode steps only ADD
+    # columns; join_broadcast_map is row-preserving; dedup_rows runs after
+    # every fill), and F.mode(col, deterministic=True) implements exactly
+    # agg_mode_global's pinned tie-break (nulls skipped, lowest value among
+    # the most frequent — equivalence tested in test_feature_pipeline).
+    scalars = df.agg(
+        F.median("flow_rate").alias("flow_med"),
+        F.median("pcr_target_flowpop_lin").alias("flowpop_med"),
+        F.median("lod_sewage").alias("lod_med"),
+        F.mode(F.col("pasteurized"), True).alias("pasteurized_mode"),
+        F.mode(F.col("counties_served"), True).alias("counties_mode"),
+        F.mode(F.col("pcr_gene_target_agg"), True).alias("gene_mode"),
+    ).first()
+
     df = df.withColumn("flow_rate_missing", S.null_indicator("flow_rate"))
-    flow_median = A.median_scalar(df, "flow_rate")
-    df = df.withColumn("flow_rate", S.fill_null("flow_rate", flow_median))
+    df = df.withColumn("flow_rate", S.fill_null("flow_rate", scalars["flow_med"]))
 
     if corrected_flowpop_indicator:
         df = df.withColumn("flowpop_lin_missing", S.null_indicator("pcr_target_flowpop_lin"))
-        flowpop_median = A.median_scalar(df, "pcr_target_flowpop_lin")
         df = df.withColumn(
             "pcr_target_flowpop_lin",
-            S.fill_null("pcr_target_flowpop_lin", flowpop_median),
+            S.fill_null("pcr_target_flowpop_lin", scalars["flowpop_med"]),
         )
     else:
         # Observed reference bug (codes.py:39-40): fill first, then indicator
         # → indicator ≡ 0.  Reproduced faithfully.
-        flowpop_median = A.median_scalar(df, "pcr_target_flowpop_lin")
         df = df.withColumn(
             "pcr_target_flowpop_lin",
-            S.fill_null("pcr_target_flowpop_lin", flowpop_median),
+            S.fill_null("pcr_target_flowpop_lin", scalars["flowpop_med"]),
         )
         df = df.withColumn(
             "flowpop_lin_missing", S.null_indicator("pcr_target_flowpop_lin")
@@ -115,20 +132,21 @@ def engineer_features(
     # --- drop unused columns (codes.py:72-79) ---
     df = R.drop_columns(df, DROP_COLUMNS)
 
-    # --- remaining fills + capping (codes.py:82-93) ---
+    # --- remaining fills + capping (codes.py:82-93); literals from the
+    # batched aggregate above (value-identical — see that comment) ---
     df = df.withColumn(
-        "pasteurized", S.fill_null("pasteurized", A.mode_scalar(df, "pasteurized"))
+        "pasteurized", S.fill_null("pasteurized", scalars["pasteurized_mode"])
     )
     df = df.withColumn(
         "counties_served",
-        S.fill_null("counties_served", A.mode_scalar(df, "counties_served")),
+        S.fill_null("counties_served", scalars["counties_mode"]),
     )
     df = df.withColumn(
-        "lod_sewage", S.fill_null("lod_sewage", A.median_scalar(df, "lod_sewage"))
+        "lod_sewage", S.fill_null("lod_sewage", scalars["lod_med"])
     )
     df = df.withColumn(
         "pcr_gene_target_agg",
-        S.fill_null("pcr_gene_target_agg", A.mode_scalar(df, "pcr_gene_target_agg")),
+        S.fill_null("pcr_gene_target_agg", scalars["gene_mode"]),
     )
     df = df.withColumn("rec_eff_percent", S.clip_upper("rec_eff_percent", 100.0))
 

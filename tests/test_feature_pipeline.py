@@ -113,3 +113,49 @@ def test_csv_roundtrip_schema(spark, tmp_path_factory):
     assert df.count() >= 500
     out = engineer_features(df)
     assert "log_conc_lag2" in out.columns
+
+
+def test_batched_mode_matches_pinned_tiebreak(spark):
+    """r14: engineer_features batches its fill literals into one aggregate
+    using F.mode(col, deterministic=True); that builtin must keep
+    agg_mode_global's pinned semantics — nulls skipped, ties broken by the
+    LOWEST value among the most frequent — or the fills diverge."""
+    from cdc_wastewater_analysis_ml_spark.operators.aggregates import mode_scalar
+
+    t = spark.createDataFrame(
+        [("b",), ("b",), ("a",), ("a",), ("c",), (None,)], "v string"
+    )
+    assert mode_scalar(t, "v") == "a"
+    assert t.agg(F.mode(F.col("v"), True)).first()[0] == "a"
+    empty = spark.createDataFrame([(None,), (None,)], "v string")
+    assert mode_scalar(empty, "v") is None
+    assert empty.agg(F.mode(F.col("v"), True)).first()[0] is None
+
+
+def test_batched_scalars_match_sequential(raw):
+    """r14: the one-job scalar batch must equal the six sequential scalar
+    actions it replaced (each input column is unmutated at its original
+    read point in the pipeline)."""
+    from cdc_wastewater_analysis_ml_spark.operators.aggregates import (
+        median_scalar,
+        mode_scalar,
+    )
+    from cdc_wastewater_analysis_ml_spark.functions import scalars as S
+
+    df = raw.withColumn(
+        "sample_collect_date", S.cast_timestamp("sample_collect_date")
+    )
+    batched = df.agg(
+        F.median("flow_rate"),
+        F.median("pcr_target_flowpop_lin"),
+        F.median("lod_sewage"),
+        F.mode(F.col("pasteurized"), True),
+        F.mode(F.col("counties_served"), True),
+        F.mode(F.col("pcr_gene_target_agg"), True),
+    ).first()
+    assert batched[0] == median_scalar(df, "flow_rate")
+    assert batched[1] == median_scalar(df, "pcr_target_flowpop_lin")
+    assert batched[2] == median_scalar(df, "lod_sewage")
+    assert batched[3] == mode_scalar(df, "pasteurized")
+    assert batched[4] == mode_scalar(df, "counties_served")
+    assert batched[5] == mode_scalar(df, "pcr_gene_target_agg")
