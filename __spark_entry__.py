@@ -131,8 +131,10 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # r14 opt round: q_dedup_cluster_cc swaps the candidates+verify
     # composition for the fused minhash_lsh_verified (one staged shingle
     # relation instead of two independent corpus passes; result-identical
-    # by the fused operator's contract).  Changed functions: those two
-    # builders only.
+    # by the fused operator's contract), and q_corpus_contamination drops
+    # its registry-side fan_out (the operator fans both inputs internally
+    # — stacked-exchange pattern, plan-only).  Changed functions: those
+    # three builders only.
     "plans/registry_corpus.py": 14,
     # r6 session 2 NEW module: two-phase partition-offset global prefix sum
     # (consumed by the new corpus_pack_sequences + corpus_shard_assign).
@@ -552,6 +554,7 @@ _ROUND_AFFECTED: dict[tuple[str, int], tuple[str, ...]] = {
     ("plans/registry_corpus.py", 14): (
         "pipeline_corpus_curation",
         "dedup_cluster_cc",
+        "corpus_contamination",
     ),
     ("streaming/neardup.py", 6): ("stream_dedup_incremental_near",),
     ("plans/registry_stream_ext.py", 7): (

@@ -142,7 +142,11 @@ def q_corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     every 5th doc (suffix appended) so interior 8-grams survive — exactly
     the "eval set leaked into the crawl" shape.  Digest-keyed equi-join;
     the eval digest set is broadcast-sized by construction."""
-    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    # r14 (opt): no registry-side fan_out — contamination_overlap fans BOTH
+    # of its inputs internally, so the outer repartition stacked a redundant
+    # full-width exchange of the corpus text under each side's own (the
+    # _augmented_docs pattern; plan-only, results partition-invariant).
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     eval_df = docs.filter(F.col("doc_id") % 5 == 0).select(
         "doc_id", F.concat(F.col("text"), F.lit(_EVAL_TAIL)).alias("text")
     )
