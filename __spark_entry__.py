@@ -37,7 +37,12 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # localCheckpoint freeze (plans/metrics.py).
     "plans/metrics.py": 4,
     # r4: two-phase partition-offset stratified split (plans/ml.py).
-    "plans/ml.py": 4,
+    # r14 opt round: evaluate_scored persists the scored relation and
+    # pulls its three metric scalars in ONE cross-joined action (the
+    # previous three sequential .first() calls each re-executed the
+    # model-transform pipeline).  Values computed by the same metric
+    # operators, unchanged.  Changed function: evaluate_scored only.
+    "plans/ml.py": 14,
     # r10: the hashed/semi-join verify is adopted by the remaining
     # consumers (r9 VERDICT task 1) — jaccard_verify_pairs and
     # dedup_incremental_near now route _verify_jaccard_exploded_hashed
@@ -434,13 +439,16 @@ _ROUND_AFFECTED: dict[tuple[str, int], tuple[str, ...]] = {
         "ml_gbt_pca_metrics",
         "ml_linear_probability_pca_metrics",
     ),
-    ("plans/ml.py", 4): (
-        "ml_split_stratified_counts",
+    # r14: evaluate_scored is the only AST-affected function — consumers
+    # are the queries routing it (ml_split_stratified_counts and
+    # ml_scaler_pca_k route split/scaler/PCA helpers only and keep their
+    # rows; ml_reference_scenarios_full is rows-only by design).
+    ("plans/ml.py", 14): (
         "ml_gbt_metrics",
         "ml_linear_probability_metrics",
-        "ml_scaler_pca_k",
         "ml_gbt_pca_metrics",
         "ml_linear_probability_pca_metrics",
+        "ml_reference_scenarios_full",
     ),
     # r10 diff = _verify_jaccard_exploded_hashed (per-side flags) +
     # minhash_lsh_verified (call-site kwargs) + jaccard_verify_pairs +

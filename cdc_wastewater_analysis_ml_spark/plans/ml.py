@@ -197,11 +197,30 @@ def evaluate_scored(scored: DataFrame, model_name: str) -> EvalResult:
     """
     # Quantize scores so the metric windows run over a bounded threshold set
     # (metrics.py scale note); 6 decimals is far below metric tolerance.
-    q = scored.withColumn("score", F.round("score", 6))
-    acc = M.metric_accuracy(q, "label", "pred").first()[0]
-    auc = M.metric_roc_auc(q, "label", "score").first()[0]
-    ap = M.metric_average_precision(q, "label", "score").first()[0]
-    return EvalResult(model_name, float(acc), float(auc), float(ap))
+    #
+    # r14 (opt): persist the scored relation and pull all three metric
+    # scalars in ONE action.  The previous three sequential .first() calls
+    # each re-executed `scored` from scratch — including the MLlib model
+    # transform and the assemble/scale/PCA chain above it — so every
+    # evaluation paid the scoring pipeline three times plus three job
+    # barriers.  The cross-joined plan is three 1-row aggregates over the
+    # cached relation (the documented 1-row IdentityBroadcast pattern);
+    # values are computed by the same operators as before, unchanged.
+    q = scored.withColumn("score", F.round("score", 6)).persist()
+    try:
+        row = (
+            M.metric_accuracy(q, "label", "pred")
+            .crossJoin(M.metric_roc_auc(q, "label", "score"))
+            .crossJoin(M.metric_average_precision(q, "label", "score"))
+        ).first()
+        return EvalResult(
+            model_name,
+            float(row["accuracy"]),
+            float(row["roc_auc"]),
+            float(row["average_precision"]),
+        )
+    finally:
+        q.unpersist(blocking=False)
 
 
 def run_reference_scenarios(
