@@ -239,7 +239,15 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # unchanged).  Changed function: rhp_sign only — consumers = queries
     # routing rhp_sign/rhp_signature.
     "operators/similarity.py": 14,
-    "operators/text.py": 4,
+    # r15 opt round: tokenize becomes the single-regex form
+    # split(trim(lower(x)), '\s+') — value-identical to splitting the
+    # normalize_text collapse on single spaces (bit-identity verified on
+    # all fixture SFs + augmented corpus + empty/whitespace/null edges;
+    # the r14 microbench measured ~20% off every tokenize pass, deferred
+    # then only for rotation budget).  Module rule: every tokenize/
+    # token_count/word_shingles/lang_id consumer re-verifies — no overlay,
+    # full route set (47 queries, fits the 50-row prefix).
+    "operators/text.py": 15,
     # r7: RUNTIME_CONFS gained canChangeCachedPlanOutputPartitioning=true —
     # a PHYSICAL-layout conf (AQE may coalesce cached-plan output
     # partitions).  Result multisets are partition-layout invariant by house
@@ -680,7 +688,9 @@ _ROUND_AFFECTED: dict[tuple[str, int], tuple[str, ...]] = {
         "sim_recall_at_k",
         "sim_recall_cost_sweep",
     ),
-    ("operators/text.py", 4): (),
+    # r15: tokenize single-regex — no overlay (full route set; see the
+    # module entry).  The old r4 empty overlay (dead-expression removal)
+    # is superseded by the round bump.
     # r4 additive: scan_json/scan_orc (+ sinks) are new functions consumed
     # only by the NEW roundtrip queries (never verified before); load_table/
     # scan_csv/scan_parquet are textually unchanged.
