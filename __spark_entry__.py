@@ -109,18 +109,32 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # pins otherwise stayed on the caller's dead handle and generator
     # caches could unpersist early — performance-only, results
     # unaffected).  Changed function: jaccard_verify_pairs only.
-    "operators/dedup.py": 14,
+    # r15 opt round: connected_components fuses the per-round convergence
+    # sum into the round's eager localCheckpoint job via observe()
+    # (CollectMetrics pass-through; same sum expression, same decimal(38,0)
+    # cast, same None-on-empty semantics) — 2 jobs/round + 2 init jobs
+    # removed from every CC consumer's serial tail (dedup_cluster_cc
+    # 24→20 jobs, pipeline_corpus_curation 40→36).  Changed function:
+    # connected_components only — consumers = the four CC-routing queries.
+    "operators/dedup.py": 15,
     "operators/caching.py": 5,
     # r6: chunk_documents rejects stride > chunk_tokens (ADVICE r5 #1 —
     # additive guard; module-granularity rule → whole corpus family, which
     # fully re-verified in the r5 prefix so nothing rides an older row).
+    # r15 opt round: pack_token_stream splits into a text entry (fan_out +
+    # token_count, unchanged semantics) delegating to the new
+    # pack_token_counts (identical cumsum/explode tail over precomputed
+    # (id, count) rows; non-positive counts dropped exactly as empty docs
+    # were) — equivalence test pins text-form == counts-form spans.
+    # Changed functions: pack_token_stream + new pack_token_counts —
+    # consumers = the two queries routing either.
     # r12: contamination_overlap narrows its join digests md5-hex →
     # null-guarded xxhash64 (sf10: dominant exchange 971→402 MB, query
     # 1285→597 MB, steady wall ~25%↓; oracle unchanged — collision bound
     # rationale as the r11 ngram/kgram narrowings).  Changed function:
     # contamination_overlap only — call-path consumer = its one query;
     # every other corpus op is byte-untouched and keeps its latest row.
-    "operators/corpus.py": 12,
+    "operators/corpus.py": 15,
     # r5: fraction_to_hex_threshold(1.0) keeps the 'ffffffff' draw
     # (r4 ADVICE #1).
     "operators/sampling.py": 5,
@@ -140,7 +154,15 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # its registry-side fan_out (the operator fans both inputs internally
     # — stacked-exchange pattern, plan-only).  Changed functions: those
     # three builders only.
-    "plans/registry_corpus.py": 14,
+    # r15 opt round: q_pipeline_corpus_curation's kept/pack tail goes
+    # TEXT-FREE — the survivor branch recomputes the gate → keep-min
+    # window over a narrow (doc_id, fingerprint, token_count) projection
+    # and feeds pack_token_counts, so the fingerprint-window exchange
+    # carries ~30 B/row instead of document text and packing's tokenize
+    # pass disappears (shuffle write 6.51→4.51 MB at sf0.1; oracle
+    # hash-identical at sf0.001/0.01/0.1).  Changed function: that one
+    # builder only.
+    "plans/registry_corpus.py": 15,
     # r6 session 2 NEW module: two-phase partition-offset global prefix sum
     # (consumed by the new corpus_pack_sequences + corpus_shard_assign).
     "operators/prefix.py": 6,
@@ -292,7 +314,15 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # any rewrite, and every run still computes results from the parquet
     # input.  No query's result multiset can change — consumer set empty,
     # same basis as the session.py conf entries.
-    "sources/readers.py": 14,
+    # r15 (VERDICT r14 #2): the schema-memo key folds in leaf data files'
+    # (name, mtime_ns, size) for directory-shaped paths — an in-place
+    # part-file overwrite preserving the filename need not bump the dir
+    # stat, so the r14 key could serve a stale schema across a schema-
+    # changing rewrite.  Metadata-only as before (results always computed
+    # from the parquet bytes; invalidation strictly widens) — consumer set
+    # stays empty, same basis as the r14 entry; regression test pins the
+    # in-place-rewrite case.
+    "sources/readers.py": 15,
     # r5: stream_interval_join ADDED (pure function addition, existing ops
     # textually unchanged) — module-granularity rule applied anyway: the
     # whole streaming consumer family re-verifies rather than arguing
@@ -479,17 +509,15 @@ _ROUND_AFFECTED: dict[tuple[str, int], tuple[str, ...]] = {
     # through any of those functions.
     # r14 carry-forward: the jaccard_verify_pairs cache-scope fix rides
     # the same call-path consumer family as the r13 entry.
-    ("operators/dedup.py", 14): (
-        "dedup_minhash_lsh",
+    # r15: connected_components only (observe-fused convergence sums) —
+    # consumers = the four CC-routing queries; every other dedup op is
+    # byte-untouched and keeps its latest row (they re-verify this round
+    # anyway via the operators/text.py tokenize entry).
+    ("operators/dedup.py", 15): (
         "dedup_cluster_cc",
-        "analytic_edit_distance",
-        "dedup_lsh_verified",
         "dedup_cluster_best",
+        "dedup_embedding_clusters",
         "pipeline_corpus_curation",
-        "dedup_incremental_near",
-        "stream_dedup_incremental_near",
-        "pipeline_incremental_ingest",
-        "stream_incremental_ingest",
     ),
     ("operators/windows.py", 4): (
         "window_lag",
@@ -524,7 +552,13 @@ _ROUND_AFFECTED: dict[tuple[str, int], tuple[str, ...]] = {
     # other corpus op (pii/repetition/quality/chunk/LM/pack/tfidf and the
     # curation composite, which routes text ops + the fused LSH, not
     # contamination) is byte-untouched this round and keeps its latest row.
-    ("operators/corpus.py", 12): ("corpus_contamination",),
+    # r15: pack_token_stream/pack_token_counts only — consumers = the two
+    # packing-route queries (call-path precedent; contamination/pii/
+    # repetition/quality/chunk/LM/tfidf are byte-untouched).
+    ("operators/corpus.py", 15): (
+        "corpus_pack_sequences",
+        "pipeline_corpus_curation",
+    ),
     ("operators/prefix.py", 6): (
         "corpus_pack_sequences",
         "corpus_shard_assign",
@@ -567,11 +601,9 @@ _ROUND_AFFECTED: dict[tuple[str, int], tuple[str, ...]] = {
     # cluster-cc builder swapped to the fused candidates→verify operator
     # (result-identical; one corpus pass instead of two) — both queries
     # re-verify.
-    ("plans/registry_corpus.py", 14): (
-        "pipeline_corpus_curation",
-        "dedup_cluster_cc",
-        "corpus_contamination",
-    ),
+    # r15: the curation builder's text-free kept/pack tail — AST-affected
+    # block = that one query.
+    ("plans/registry_corpus.py", 15): ("pipeline_corpus_curation",),
     ("streaming/neardup.py", 6): ("stream_dedup_incremental_near",),
     ("plans/registry_stream_ext.py", 7): (
         "stream_dedup_incremental_near",
@@ -701,7 +733,7 @@ _ROUND_AFFECTED: dict[tuple[str, int], tuple[str, ...]] = {
     # its own module entries).
     # r14: schema-memoization is metadata-only (see the module entry) —
     # empty set.  The r4 ts-reader cohort it replaces re-verified in r5+.
-    ("sources/readers.py", 14): (),
+    ("sources/readers.py", 15): (),
     ("sources/sinks.py", 4): ("scan_json_roundtrip", "scan_orc_roundtrip"),
     # r4 additive: stream_lag_per_key_reordered (+ the TWS variant) are new
     # functions consumed only by the NEW query below (never verified before,

@@ -322,15 +322,41 @@ def pack_token_stream(
     """
     if context_len <= 0:
         raise ValueError("context_len must be positive")
-    from .prefix import global_prefix_sum
-
-    L = F.lit(context_len)
     # fan_out BEFORE the count projection: the tokenize runs in the scan
     # stage, and an under-split input (single-row-group local parquet)
     # would otherwise put the whole corpus's tokenization on ONE task —
     # measured 12 s of a 45 s wall at the 100× probe fixture.
     toks = fan_out(df).select(
         F.col(id_col), token_count(text_col).alias("__n")
+    )
+    return pack_token_counts(toks, "__n", id_col, context_len=context_len)
+
+
+def pack_token_counts(
+    df: DataFrame,
+    count_col: str,
+    id_col: str,
+    context_len: int = 512,
+) -> DataFrame:
+    """:func:`pack_token_stream` over PRE-COMPUTED per-doc token counts —
+    the text-free packing tail (r15).
+
+    Identical spans for identical ``(id, count)`` inputs: the stream layout
+    is a pure function of the ordered counts, so a caller whose pipeline
+    already tokenized (a quality gate, a curation chain) can ship
+    ``(id_col, count_col)`` rows here and the corpus text never reaches the
+    packing shuffle — at 100 TB that is a whole corpus pass (tokenize) and
+    a full-width exchange removed.  Rows with a non-positive count are
+    dropped, exactly as the text form drops empty docs.  No fan_out: the
+    input is a narrow count relation, not compute-bound text.
+    """
+    if context_len <= 0:
+        raise ValueError("context_len must be positive")
+    from .prefix import global_prefix_sum
+
+    L = F.lit(context_len)
+    toks = df.select(
+        F.col(id_col), F.col(count_col).alias("__n")
     ).filter(F.col("__n") > 0)
     laid = global_prefix_sum(
         toks, [id_col], "__n", out="__start", exclusive=True

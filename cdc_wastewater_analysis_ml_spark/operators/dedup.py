@@ -1719,8 +1719,9 @@ def connected_components(
       corpus);
     - convergence is detected WITHOUT a labels-vs-labels join: labels only
       ever decrease, so the label sum is strictly monotone and "sum
-      unchanged" ⇔ fixpoint.  One scalar agg per round on checkpointed
-      data; decimal(38,0) so a 100 TB corpus's id sum cannot overflow.
+      unchanged" ⇔ fixpoint.  The sum rides each round's checkpoint job as
+      an ``observe()`` metric (r15) — zero extra jobs per round;
+      decimal(38,0) so a 100 TB corpus's id sum cannot overflow.
 
     Raises ``RuntimeError`` if ``max_iter`` rounds don't converge — an
     unconverged labelling silently under-merges clusters, which is a
@@ -1764,28 +1765,39 @@ def connected_components(
     # the analyzed plan would double per round (exponential Catalyst
     # planning, measured as a 10× wall-clock blowup before this was a
     # checkpoint).  Truncating lineage every round keeps planning O(1).
-    def _sum(df: DataFrame):
-        return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[
-            0
-        ][0]
+    # r15 (opt): the convergence sum RIDES the round's checkpoint job via
+    # observe() instead of being a separate collect — CollectMetrics is a
+    # pass-through node whose aggregate is accumulated while the eager
+    # localCheckpoint materializes every partition, so each round (and the
+    # init) is ONE job instead of two.  Same expression, same decimal(38,0)
+    # overflow headroom, same None-on-empty semantics; the round count is
+    # the serial driver tail of every CC consumer, so halving its job
+    # count is the §2.6 barrier cut, not a local-mode twiddle.
+    from pyspark.sql import Observation
 
-    labels = (
+    def _ckpt_with_sum(df: DataFrame, tag: str):
+        obs = Observation(f"cc_label_sum_{tag}")
+        ck = df.observe(
+            obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).localCheckpoint(eager=True)
+        return ck, obs.get["s"]
+
+    labels, prev_sum = _ckpt_with_sum(
         sym.groupBy("src")
         .agg(F.least(F.min("dst"), F.col("src")).alias("label"))
-        .select(F.col("src").alias("node"), "label")
-        .localCheckpoint(eager=True)
+        .select(F.col("src").alias("node"), "label"),
+        "init",
     )
-    prev_sum = _sum(labels)
     try:
-        for _ in range(max_iter):
+        for _round in range(max_iter):
             nbr = sym.join(
                 labels.withColumnRenamed("node", "dst"), "dst"
             ).select(F.col("src").alias("node"), "label")
-            stepped = (
+            stepped, label_sum = _ckpt_with_sum(
                 nbr.unionByName(labels.select("node", "label"))
                 .groupBy("node")
-                .agg(F.min("label").alias("label"))
-                .localCheckpoint(eager=True)
+                .agg(F.min("label").alias("label")),
+                f"r{_round}",
             )
             # Round k's checkpoint has materialized (eager) and its lineage
             # is cut — nothing can ever re-read round k−1's blocks, so free
@@ -1797,7 +1809,6 @@ def connected_components(
             # compression below), so equal consecutive sums ⇔ fixpoint —
             # checked BEFORE compression, which a converged (or shallow)
             # graph then never pays for.
-            label_sum = _sum(stepped)
             if label_sum == prev_sum:
                 return stepped.select(
                     F.col("node").alias(out_node),

@@ -1040,9 +1040,34 @@ def q_pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         if dropped.count() <= D._SEMIJOIN_MAX_IDS
         else dropped
     )
-    kept = ded.join(dropped_side, "doc_id", "left_anti")
+
+    # r15 (opt): the kept/pack tail is TEXT-FREE.  Packing consumes only
+    # (doc_id, token_count) — so the survivor branch recomputes the
+    # quality-gate → keep-min window over a NARROW (doc_id, fingerprint,
+    # token_count) projection instead of re-deriving `ded` with the full
+    # text and re-tokenizing it inside pack_token_stream.  Equivalence:
+    # the window key (fingerprint(text)), order (doc_id) and gate
+    # (lang, token_count >= 24) are the same expressions over the same
+    # rows, so the surviving doc_id set is identical, and __n is the same
+    # token_count(text) the packing operator would have recomputed.  The
+    # guide-§8 payoff: the second corpus pass still reads the text once
+    # (md5 + one tokenize), but the fingerprint-window exchange now
+    # carries ~30 B/row instead of the document text, and the third
+    # tokenize pass (packing's) is gone.
+    qual_n = base.filter(F.col("lang") != "zh").select(
+        "doc_id",
+        T.fingerprint("text").alias("__fp"),
+        T.token_count("text").alias("__n"),
+    ).filter(F.col("__n") >= 24)
+    wn = Window.partitionBy("__fp").orderBy("doc_id")
+    ded_n = (
+        qual_n.withColumn("__rn", F.row_number().over(wn))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "__n")
+    )
+    kept_n = ded_n.join(dropped_side, "doc_id", "left_anti")
 
     # pairs' shingle/banded pins release when `pairs` drops at return —
     # correct: CC already materialized the edges eagerly above, and nothing
     # downstream reads the shingle caches.
-    return C.pack_token_stream(kept, "text", "doc_id", context_len=_PACK_LEN)
+    return C.pack_token_counts(kept_n, "__n", "doc_id", context_len=_PACK_LEN)

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from cdc_wastewater_analysis_ml_spark.operators.corpus import (
     greedy_pack_by_key,
+    pack_token_counts,
     pack_token_stream,
     unigram_logprob,
 )
@@ -102,6 +103,32 @@ def test_pack_token_stream_doc_longer_than_window_spans_many(spark):
     )
     assert [r["n_tokens_in_pack"] for r in out] == [32, 32, 32, 4]
     assert [r["begins_in_pack"] for r in out] == [True, False, False, False]
+
+
+def test_pack_token_counts_matches_text_form(spark):
+    """The r15 text-free packing tail: pack_token_counts over precomputed
+    token counts must emit exactly the spans pack_token_stream derives from
+    the text — including empty docs (count 0 → dropped) and docs spanning
+    several windows."""
+    from cdc_wastewater_analysis_ml_spark.operators.text import token_count
+
+    random.seed(7)
+    texts = ["w " * random.randint(0, 40) for _ in range(60)] + ["z " * 120]
+    df = _docs(spark, texts)
+    via_text = pack_token_stream(df, "text", "doc_id", context_len=32)
+    counts = df.select("doc_id", token_count("text").alias("n_tok"))
+    via_counts = pack_token_counts(counts, "n_tok", "doc_id", context_len=32)
+    a = sorted(map(tuple, via_text.collect()))
+    b = sorted(map(tuple, via_counts.collect()))
+    assert a == b and len(a) > 60
+
+
+def test_pack_token_counts_rejects_bad_context(spark):
+    with pytest.raises(ValueError):
+        pack_token_counts(
+            _docs(spark, ["x"]).select("doc_id", F.lit(1).alias("n")),
+            "n", "doc_id", context_len=0,
+        )
 
 
 def test_pack_token_stream_rejects_bad_context(spark):
