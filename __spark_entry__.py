@@ -252,6 +252,14 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # r11: recall_at_k publishes the raw hits/truth_n integer quotient
     # (boundary-class round removed; see the r11 dedup.py entry) —
     # consumers = the two recall queries.
+    # r15 opt round: rhp_sign/rhp_signature render the whole sign
+    # expression as SQL parsed in ONE gateway call per plane/signature —
+    # F.lit(list) expands into one py4j round trip per coefficient (512/
+    # build) and each HOF lambda costs several more; ~1.4 s of
+    # sim_cosine_lsh's plan build was socket round trips (cProfile).
+    # Parsed plan node-identical; signatures bit-identical at 6
+    # (sf, planes) combos.  Changed functions: rhp_sign + rhp_signature +
+    # new _rhp_sign_sql — consumers = queries routing rhp_signature.
     # r14 opt round: rhp_sign sources its ±1 coefficients from the shared
     # Python-side _rhp_plane_matrix as ONE literal array per plane instead
     # of a Catalyst transform-over-md5-of-constants (higher-order lambdas
@@ -260,7 +268,7 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # bit-identical (same derivation as the Arrow path; fold order
     # unchanged).  Changed function: rhp_sign only — consumers = queries
     # routing rhp_sign/rhp_signature.
-    "operators/similarity.py": 14,
+    "operators/similarity.py": 15,
     # r15 opt round: tokenize becomes the single-regex form
     # split(trim(lower(x)), '\s+') — value-identical to splitting the
     # normalize_text collapse on single spaces (bit-identity verified on
@@ -714,9 +722,13 @@ _ROUND_AFFECTED: dict[tuple[str, int], tuple[str, ...]] = {
     # route rhp_signature_arrow, byte-untouched, and keep their rows;
     # sim_recall_at_k routes recall_at_k over brute+lsh scorers — its lsh
     # leg rides rhp_signature, so it re-verifies too).
-    ("operators/similarity.py", 14): (
+    # r15: rhp_sign/rhp_signature only — consumers = every query routing
+    # rhp_signature (incl. the embedding-cluster CC pair generator; the
+    # multi-table queries route rhp_signature_arrow, byte-untouched).
+    ("operators/similarity.py", 15): (
         "sim_cosine_lsh",
         "dedup_embedding_cosine_lsh",
+        "dedup_embedding_clusters",
         "sim_recall_at_k",
         "sim_recall_cost_sweep",
     ),

@@ -121,14 +121,46 @@ def rhp_sign(vec: Column, plane: int, dims: int) -> Column:
     Python-side derivation the Arrow path uses (:func:`_rhp_plane_matrix`)
     as one literal array per plane: identical values by construction, and
     the zip_with × / left-to-right aggregate + fold is unchanged, so
-    signatures remain bit-identical to the SQL oracle's ``list_sum``."""
-    coeff = F.lit(_rhp_plane_matrix(plane + 1, dims)[plane])
+    signatures remain bit-identical to the SQL oracle's ``list_sum``.
+
+    r15 (opt): the whole sign expression is rendered as ONE SQL string per
+    plane (:func:`_rhp_sign_sql`) and parsed JVM-side in a single gateway
+    call.  The python-built form paid one py4j round trip per client-side
+    node — ``F.lit(python_list)`` alone expands into one ``lit()`` call
+    PER COEFFICIENT (planes × dims = 512), and each zip_with/aggregate
+    lambda costs several more: cProfile pinned ~1.4 s of sim_cosine_lsh's
+    plan build in those socket round trips, serial driver time per
+    consumer build at any scale.  The parsed plan is node-for-node the
+    expression the Python form built — ``1.0D`` literals are exact
+    doubles, ``(x, y) -> x * y`` / ``0.0D`` / ``(acc, x) -> acc + x`` are
+    the same ArrayAggregate fold, and the CASE mirrors the F.when — so
+    signatures stay bit-identical (equivalence pinned by test against the
+    Arrow-path derivation)."""
+    if isinstance(vec, str):
+        return F.expr(_rhp_sign_sql(f"`{vec}`", plane, dims))
+    # Column-argument path (API compat): same plan via Column ops.
+    coeff = F.expr(
+        "array("
+        + ",".join(f"{c}D" for c in _rhp_plane_matrix(plane + 1, dims)[plane])
+        + ")"
+    )
     proj = F.aggregate(
         F.zip_with(vec.cast("array<double>"), coeff, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     return F.when(proj > 0, F.lit("1")).otherwise(F.lit("0"))
+
+
+def _rhp_sign_sql(col_sql: str, plane: int, dims: int) -> str:
+    """SQL text of :func:`rhp_sign` over column expression ``col_sql`` —
+    parses to exactly the nodes the Column form builds (see rhp_sign)."""
+    coeffs = ",".join(f"{c}D" for c in _rhp_plane_matrix(plane + 1, dims)[plane])
+    return (
+        f"CASE WHEN aggregate(zip_with(CAST({col_sql} AS ARRAY<DOUBLE>), "
+        f"array({coeffs}), (x, y) -> x * y), 0.0D, (acc, x) -> acc + x) > 0 "
+        f"THEN '1' ELSE '0' END"
+    )
 
 
 def rhp_signature(
@@ -138,8 +170,15 @@ def rhp_signature(
     planes: int = 8,
     dims: int = 64,
 ) -> DataFrame:
-    """Random-hyperplane LSH signature (bit-string of length ``planes``)."""
-    sig = F.concat(*[rhp_sign(F.col(vec_col), p, dims) for p in range(planes)])
+    """Random-hyperplane LSH signature (bit-string of length ``planes``).
+
+    r15 (opt): the concat-of-signs is one ``F.expr`` — 3 gateway calls per
+    signature build instead of ~700 (see :func:`rhp_sign`)."""
+    sig = F.expr(
+        "concat("
+        + ",".join(_rhp_sign_sql(f"`{vec_col}`", p, dims) for p in range(planes))
+        + ")"
+    )
     return df.select(F.col(id_col), F.col(vec_col), sig.alias("rhp_sig"))
 
 
