@@ -109,11 +109,17 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # pins otherwise stayed on the caller's dead handle and generator
     # caches could unpersist early — performance-only, results
     # unaffected).  Changed function: jaccard_verify_pairs only.
+    # r15 opt round (b): substring_kgram_pairs generates its guarded pairs
+    # from a BOUNDED per-bucket collect_list + explode² (every surviving
+    # bucket ≤ max_bucket_size by the hot-span guard) instead of the span
+    # self-join — one cache and the self-join's sorts removed; checksums
+    # identical at sf0.01/sf0.1; unguarded callers keep the AQE-splittable
+    # self-join.  Changed function: substring_kgram_pairs.
     # r15 opt round: connected_components fuses the per-round convergence
     # sum into the round's eager localCheckpoint job via observe()
     # (CollectMetrics pass-through; same sum expression, same decimal(38,0)
     # cast, same None-on-empty semantics) — 2 jobs/round + 2 init jobs
-    # removed from every CC consumer's serial tail (dedup_cluster_cc
+    # removed from every CC consumer serial tail (dedup_cluster_cc
     # 24→20 jobs, pipeline_corpus_curation 40→36).  Changed function:
     # connected_components only — consumers = the four CC-routing queries.
     "operators/dedup.py": 15,
@@ -364,7 +370,11 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # that one block.
     # r11: _sweep_row / _sweep_row_sql publish the raw hits/truth_n
     # quotient (same boundary class) — AST-affected set = the sweep block.
-    "plans/registry_quality.py": 11,
+    # r15 opt round: quality_linear_score's milli-weight array literal is
+    # built with one F.expr instead of 64 per-element lit() py4j round
+    # trips (same IntegerType array; the rhp_sign lesson) — AST-affected
+    # set = that one block.
+    "plans/registry_quality.py": 15,
     # r8: operators/analytic.py WIRED (r7 judge task 1 — landed in the r7
     # snapshot with zero consumers): top_bigrams negative-slice crash fixed
     # (greatest(n-1, 0)); all six ops now gated by the new
@@ -517,15 +527,18 @@ _ROUND_AFFECTED: dict[tuple[str, int], tuple[str, ...]] = {
     # through any of those functions.
     # r14 carry-forward: the jaccard_verify_pairs cache-scope fix rides
     # the same call-path consumer family as the r13 entry.
-    # r15: connected_components only (observe-fused convergence sums) —
-    # consumers = the four CC-routing queries; every other dedup op is
-    # byte-untouched and keeps its latest row (they re-verify this round
-    # anyway via the operators/text.py tokenize entry).
+    # r15: connected_components (observe-fused convergence sums) +
+    # substring_kgram_pairs (guarded pairs via bounded per-bucket collect
+    # instead of the span self-join) — consumers = the four CC-routing
+    # queries + the one kgram query; every other dedup op is
+    # byte-untouched (they re-verify this round anyway via the
+    # operators/text.py tokenize entry).
     ("operators/dedup.py", 15): (
         "dedup_cluster_cc",
         "dedup_cluster_best",
         "dedup_embedding_clusters",
         "pipeline_corpus_curation",
+        "dedup_substring_kgram",
     ),
     ("operators/windows.py", 4): (
         "window_lag",
@@ -647,7 +660,7 @@ _ROUND_AFFECTED: dict[tuple[str, int], tuple[str, ...]] = {
     # the r8 sweep/lshm blocks are byte-untouched and keep their r8-r10
     # rows — listing them here would spuriously stale two healthy rows out
     # of an exactly-full rotation prefix.
-    ("plans/registry_quality.py", 11): ("sim_recall_cost_sweep",),
+    ("plans/registry_quality.py", 15): ("quality_linear_score",),
     # r10 diff = compact_small_files (write-path operator, no registry
     # query routes through it); layout_zorder_key rides its r9 row —
     # _bucket and the zorder key expression are byte-untouched.

@@ -1879,11 +1879,13 @@ def substring_kgram_pairs(
     verify family.  Probe ladder at sf10: 2300.5 → 987.2 MB shuffle (−57%),
     steady wall 49.5 → 32.1 s, sf0.1 23.2 → 9.9 MB, exponent 0.66 → 0.56 —
     PROBE_r11 vs the md5 interim rows; oracle-identical at sf0.01 and
-    sf1).  Pairs emerge from a self-equi-join on the
-    digest, so only docs sharing a span ever meet.  ``max_bucket_size``
-    drops spans occurring in more than that many docs (boilerplate
-    headers/footers) — the same hot-bucket guard as the LSH family, and
-    the knob that bounds the join's worst case at 100 TB.
+    sf1).  Pairs emerge per shared digest — via a BOUNDED per-bucket
+    collect+explode when ``max_bucket_size`` is set (r15: the guard
+    already caps every bucket, so the arrays are ≤ that knob by
+    construction), via an AQE-splittable self-equi-join when unguarded.
+    ``max_bucket_size`` drops spans occurring in more than that many docs
+    (boilerplate headers/footers) — the same hot-bucket guard as the LSH
+    family, and the knob that bounds the join's worst case at 100 TB.
     """
     spans = (
         fan_out(df)
@@ -1919,16 +1921,33 @@ def substring_kgram_pairs(
             .select("__h")
             .hint("merge")
         )
-        # Persist the GUARDED relation too (r6 ADVICE): the self-join below
-        # reads joined_spans on BOTH sides, and with only `spans` pinned the
-        # hot-set aggregate + anti join would re-execute per side — paying
-        # the hot-set shuffle twice at exactly the scale the guard exists
-        # for.  `spans` stays pinned as well (the hot aggregate and the anti
-        # join's probe side both read it while THIS cache materializes).
-        joined_spans = spans.join(hot, "__h", "left_anti").persist()
-    else:
-        joined_spans = spans
-    a, b = joined_spans.alias("a"), joined_spans.alias("b")
+        # r15 (opt): with the hot spans anti-joined away, every surviving
+        # __h bucket holds ≤ max_bucket_size ids — so pairs come from a
+        # BOUNDED per-bucket collect_list + explode² instead of the span
+        # self-join.  The groupBy reuses the anti-join's hashpartitioning
+        # on __h (zero new exchange), the guarded relation no longer needs
+        # its own persist (single consumer), and the self-join's two
+        # cache-side sorts disappear — paired A/B at sf0.1: 1.97 → 1.21 s
+        # median at identical checksums (sf0.01 + sf0.1).  The count-based
+        # guard stays FIRST precisely so the arrays are bounded: a raw
+        # collect_list over an unguarded corpus would buffer a boilerplate
+        # span's whole doc list in one aggregation state.  The unguarded
+        # path below keeps the AQE-splittable self-join for that reason.
+        grouped = (
+            spans.join(hot, "__h", "left_anti")
+            .groupBy("__h")
+            .agg(F.collect_list(F.col(id_col)).alias("__ids"))
+            .filter(F.size("__ids") >= 2)
+        )
+        out = (
+            grouped.select(F.explode("__ids").alias("id_a"), "__ids")
+            .select("id_a", F.explode("__ids").alias("id_b"))
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_spans"))
+        )
+        return scoped_persist(out, spans)
+    a, b = spans.alias("a"), spans.alias("b")
     out = (
         a.join(
             b,
@@ -1943,8 +1962,7 @@ def substring_kgram_pairs(
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_spans"))
     )
-    pins = (spans,) if joined_spans is spans else (spans, joined_spans)
-    return scoped_persist(out, *pins)
+    return scoped_persist(out, spans)
 
 
 def cluster_best_decision(

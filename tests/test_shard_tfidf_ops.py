@@ -154,11 +154,12 @@ def test_substring_pairs_hot_span_guard(spark):
 
 
 def test_substring_guarded_spans_cached_once_and_scope_released(spark):
-    """r6 ADVICE: with max_bucket_size set, the GUARDED span relation must
-    be persisted too — the digest self-join reads it on both sides, and
-    with only the raw spans pinned the hot-set aggregate + anti join would
-    re-execute per side (the hot-set shuffle paid twice at scale).  Both
-    pins must release with the result handle."""
+    """r6 ADVICE, amended r15: the raw span relation is pinned (the hot-set
+    aggregate and the anti-join probe side both read it), and since the
+    guarded path now generates pairs from the bounded per-bucket collect
+    (ONE downstream consumer of the anti-join) there is no second
+    guarded-relation cache to pin.  The pin must release with the result
+    handle."""
     import gc
 
     cache_mgr = spark._jsparkSession.sharedState().cacheManager()
@@ -167,7 +168,7 @@ def test_substring_guarded_spans_cached_once_and_scope_released(spark):
     out = substring_kgram_pairs(
         _docs(spark, texts), "text", "doc_id", k=8, max_bucket_size=3
     )
-    assert cache_mgr.cachedData().size() == 2  # spans + guarded spans
+    assert cache_mgr.cachedData().size() == 1  # raw spans only (r15)
     out.count()
     del out
     gc.collect()
