@@ -440,7 +440,10 @@ def q_quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import text as T
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    warr = F.array(*[F.lit(w) for w in _W_MILLI])
+    # r15 (opt): one F.expr instead of 64 per-element lit() py4j round
+    # trips (the rhp_sign lesson; int literals parse to the same
+    # IntegerType array).
+    warr = F.expr("array(" + ",".join(str(w) for w in _W_MILLI) + ")")
     toks = T.tokenize("text")
     score_milli = F.aggregate(
         F.transform(toks, lambda t: F.element_at(warr, _bucket_col(t) + 1)),
