@@ -529,16 +529,18 @@ _ROUND_AFFECTED: dict[tuple[str, int], tuple[str, ...]] = {
     # the same call-path consumer family as the r13 entry.
     # r15: connected_components (observe-fused convergence sums) +
     # substring_kgram_pairs (guarded pairs via bounded per-bucket collect
-    # instead of the span self-join) — consumers = the four CC-routing
-    # queries + the one kgram query; every other dedup op is
-    # byte-untouched (they re-verify this round anyway via the
-    # operators/text.py tokenize entry).
+    # instead of the span self-join) + simhash (bit votes rendered as one
+    # SQL expr parsed JVM-side, the rhp_sign lesson) — consumers = the
+    # four CC-routing queries + the one kgram query + the one simhash
+    # query; every other dedup op is byte-untouched (they re-verify this
+    # round anyway via the operators/text.py tokenize entry).
     ("operators/dedup.py", 15): (
         "dedup_cluster_cc",
         "dedup_cluster_best",
         "dedup_embedding_clusters",
         "pipeline_corpus_curation",
         "dedup_substring_kgram",
+        "dedup_simhash",
     ),
     ("operators/windows.py", 4): (
         "window_lag",

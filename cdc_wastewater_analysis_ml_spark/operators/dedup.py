@@ -1070,18 +1070,27 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
         F.transform(tokenize(text_col), lambda t: F.md5(t)).alias("__tok_md5"),
     )
 
-    def bit_vote(j: int) -> Column:
-        pos = j + 1
-        vote = F.aggregate(
-            F.col("__tok_md5"),
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.substring(h, pos, 1) >= "8", 1).otherwise(-1),
-        )
-        return F.when(vote > 0, F.lit("1")).otherwise(F.lit("0"))
+    # r15 (opt): the concat-of-bit-votes is ONE SQL string parsed JVM-side
+    # (the rhp_sign lesson — similarity._rhp_sign_sql): the Column form
+    # paid one py4j round trip per client-side node, and each of the
+    # ``bits`` aggregate lambdas costs several (cProfile: ~2k round trips
+    # ≈ 1 s of serial driver time per build).  The parsed CASE/aggregate
+    # fold is node-identical to what F.when/F.aggregate built, so the
+    # fingerprint is bit-identical.
+    sig = F.expr(
+        "concat(" + ",".join(_simhash_vote_sql(j) for j in range(bits)) + ")"
+    )
+    return hashed.select(F.col(id_col), sig.alias("simhash"))
 
-    bit_cols = [bit_vote(j) for j in range(bits)]
-    return hashed.select(F.col(id_col), F.concat(*bit_cols).alias("simhash"))
+
+def _simhash_vote_sql(j: int) -> str:
+    """SQL text of bit ``j``'s sign-aggregated vote over ``__tok_md5`` —
+    parses to exactly the nodes the former F.aggregate/F.when form built."""
+    return (
+        f"CASE WHEN aggregate(__tok_md5, 0, (acc, h) -> acc + "
+        f"(CASE WHEN substring(h, {j + 1}, 1) >= '8' THEN 1 ELSE -1 END)) > 0 "
+        f"THEN '1' ELSE '0' END"
+    )
 
 
 def simhash_band_candidates(
