@@ -280,9 +280,12 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # normalize_text collapse on single spaces (bit-identity verified on
     # all fixture SFs + augmented corpus + empty/whitespace/null edges;
     # the r14 microbench measured ~20% off every tokenize pass, deferred
-    # then only for rotation budget).  Module rule: every tokenize/
-    # token_count/word_shingles/lang_id consumer re-verifies — no overlay,
-    # full route set (47 queries, fits the 50-row prefix).
+    # then only for rotation budget).  Also r15 (opt): tokenize and
+    # word_shingles parse their string-argument path as ONE SQL expression
+    # JVM-side (the rhp_sign lesson) — analyzed-plan-identical to the
+    # Column forms (pinned by tests/test_plan_shapes.py).  Module rule: every
+    # tokenize/token_count/word_shingles/lang_id consumer re-verifies — no
+    # overlay, full route set (47 queries, fits the 50-row prefix).
     "operators/text.py": 15,
     # r7: RUNTIME_CONFS gained canChangeCachedPlanOutputPartitioning=true —
     # a PHYSICAL-layout conf (AQE may coalesce cached-plan output
@@ -310,7 +313,14 @@ _MODULE_CHANGED_IN_ROUND: dict[str, int] = {
     # round trip per DataFrame call, ~half of every query's plan-
     # construction time).  Results unaffected by construction; consumer
     # set stays empty, same basis as the r7/r10 entries.
-    "session.py": 14,
+    # r15 opt round: apply_runtime_confs memoizes per session object — the
+    # loaders call it on EVERY table load, so re-asserting the same values
+    # cost ~40 py4j round trips of serial driver time per query build.  No
+    # conf VALUE changes, nothing in the engine mutates these confs after
+    # the first assertion, and a memo miss (new wrapper object) just
+    # re-applies — results unaffected by construction; consumer set stays
+    # empty, same basis as the r7/r10/r14 entries.
+    "session.py": 15,
     # r7: docstring-only (Pillow injection recipe, VERDICT r6 task 8) — no
     # executable change, consumer set empty.
     "operators/multimodal.py": 7,
@@ -529,11 +539,14 @@ _ROUND_AFFECTED: dict[tuple[str, int], tuple[str, ...]] = {
     # the same call-path consumer family as the r13 entry.
     # r15: connected_components (observe-fused convergence sums) +
     # substring_kgram_pairs (guarded pairs via bounded per-bucket collect
-    # instead of the span self-join) + simhash (bit votes rendered as one
-    # SQL expr parsed JVM-side, the rhp_sign lesson) — consumers = the
-    # four CC-routing queries + the one kgram query + the one simhash
-    # query; every other dedup op is byte-untouched (they re-verify this
-    # round anyway via the operators/text.py tokenize entry).
+    # instead of the span self-join) + simhash / minhash_signatures /
+    # minhash_lsh_verified / _bands_from_sig (per-column HOF-lambda
+    # builders rendered as SQL parsed in one selectExpr gateway call, the
+    # rhp_sign lesson) — consumers = the four CC-routing queries + the one
+    # kgram query + the one simhash query + every query routing the
+    # minhash family (signatures/banded/candidates/verified/vs_store);
+    # every other dedup op is byte-untouched (they re-verify this round
+    # anyway via the operators/text.py tokenize entry).
     ("operators/dedup.py", 15): (
         "dedup_cluster_cc",
         "dedup_cluster_best",
@@ -541,6 +554,15 @@ _ROUND_AFFECTED: dict[tuple[str, int], tuple[str, ...]] = {
         "pipeline_corpus_curation",
         "dedup_substring_kgram",
         "dedup_simhash",
+        "dedup_minhash_signatures",
+        "dedup_minhash_lsh",
+        "dedup_lsh_bucket_stats",
+        "dedup_lsh_verified",
+        "dedup_incremental_near",
+        "analytic_edit_distance",
+        "pipeline_incremental_ingest",
+        "stream_dedup_incremental_near",
+        "stream_incremental_ingest",
     ),
     ("operators/windows.py", 4): (
         "window_lag",
@@ -700,7 +722,7 @@ _ROUND_AFFECTED: dict[tuple[str, int], tuple[str, ...]] = {
     ),
     ("streaming/ingest.py", 10): ("stream_incremental_ingest",),
     ("streaming/lines.py", 9): ("stream_line_dedup",),
-    ("session.py", 14): (),
+    ("session.py", 15): (),
     # r14: engineer_features' batched scalar pass — consumers = the two
     # queries routing it (the ml_* metric queries use their own builders).
     ("plans/features.py", 14): (

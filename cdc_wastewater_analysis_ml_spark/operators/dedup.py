@@ -70,24 +70,26 @@ def minhash_signatures(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("__shingles")
     )
 
-    def seeded_min(seed: int) -> Column:
-        prefix = f"{seed}:"
-        # NB: single-parameter lambda — a 2-arg lambda would be interpreted
-        # by F.transform as (element, index) and shadow the seed.
-        return F.array_min(
-            F.transform(
-                F.col("__shingles"), lambda s: F.md5(F.concat(F.lit(prefix), s))
-            )
-        )
-
-    cols = [F.col(id_col)]
+    # r15 (opt): the k seeded-min columns are rendered as SQL and parsed in
+    # ONE selectExpr gateway call (the rhp_sign lesson) — the Column form
+    # paid several py4j round trips per transform lambda, serial driver
+    # time per consumer build.  Parsed nodes are identical, so signatures
+    # are bit-identical (oracle-pinned).
+    sig_exprs = [f"`{id_col}`"]
     if with_size:
-        cols.append(
-            F.size(F.array_distinct(F.col("__shingles"))).alias("__n")
-        )
-    for i in range(num_hashes):
-        cols.append(seeded_min(i).alias(f"minhash_{i}"))
-    return with_shingles.select(*cols)
+        sig_exprs.append("size(array_distinct(__shingles)) AS __n")
+    sig_exprs += [
+        f"{_seeded_min_sql(i, '__shingles')} AS minhash_{i}"
+        for i in range(num_hashes)
+    ]
+    return with_shingles.selectExpr(*sig_exprs)
+
+
+def _seeded_min_sql(seed: int, arr: str) -> str:
+    """SQL text of one seeded MinHash column over shingle array ``arr`` —
+    parses to exactly the nodes the former F.array_min(F.transform(...))
+    form built (md5 of '{seed}:' || shingle, lexicographic array_min)."""
+    return f"array_min(transform({arr}, s -> md5(concat('{seed}:', s))))"
 
 
 def _bucket_guard(
@@ -204,24 +206,24 @@ def _bands_from_sig(
     exchange) through to the candidate join so pairs can emerge
     size-annotated."""
     r = num_hashes // bands
+    # r15 (opt): the band structs parse as SQL in one selectExpr gateway
+    # call per select (the rhp_sign lesson); named_struct/concat_ws parse
+    # to the nodes F.struct/F.concat_ws built, so band keys are unchanged.
     band_structs = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.concat_ws("|", *[F.col(f"minhash_{b * r + j}") for j in range(r)]).alias(
-                "band_key"
-            ),
-        )
+        f"named_struct('band_id', {b}, 'band_key', concat_ws('|', "
+        + ", ".join(f"minhash_{b * r + j}" for j in range(r))
+        + "))"
         for b in range(bands)
     ]
-    return sig.select(
-        F.col(id_col),
-        *[F.col(c) for c in extra_cols],
-        F.explode(F.array(*band_structs)).alias("band"),
-    ).select(
-        id_col,
+    return sig.selectExpr(
+        f"`{id_col}`",
         *extra_cols,
-        F.col("band.band_id").alias("band_id"),
-        F.col("band.band_key").alias("band_key"),
+        "explode(array(" + ", ".join(band_structs) + ")) AS band",
+    ).selectExpr(
+        f"`{id_col}`",
+        *extra_cols,
+        "band.band_id AS band_id",
+        "band.band_key AS band_key",
     )
 
 
@@ -876,25 +878,22 @@ def minhash_lsh_verified(
         .persist()
     )
 
-    def seeded_min(seed: int) -> Column:
-        prefix = f"{seed}:"
-        return F.array_min(
-            F.transform(F.col("__shs"), lambda s: F.md5(F.concat(F.lit(prefix), s)))
-        )
-
     # r12 size-annotation (DEVNOTES r11 design (b)): when the packed seam +
     # orientation are active, the shingle COUNT rides the banded relation
     # (+8 B/row on its exchange) so candidates emerge size-annotated —
     # enabling the provable size-ratio prefilter at candidate time and the
     # smaller-side-oriented pair expansion in the verify.  Off-seam (the
     # A/B reference variants) this is byte-for-byte the r11 plan.
+    # r15 (opt): seeded-min columns parse as SQL in one selectExpr gateway
+    # call (see minhash_signatures/_seeded_min_sql) — bit-identical nodes.
     orient = hash_verify_shingles and sized_candidates_active()
-    size_cols = [F.size(F.col("__shs")).alias("__n")] if orient else []
-    sig = sh.select(
-        F.col(id_col),
-        *size_cols,
-        *[seeded_min(i).alias(f"minhash_{i}") for i in range(num_hashes)],
-    )
+    sig_exprs = [f"`{id_col}`"]
+    if orient:
+        sig_exprs.append("size(__shs) AS __n")
+    sig_exprs += [
+        f"{_seeded_min_sql(i, '__shs')} AS minhash_{i}" for i in range(num_hashes)
+    ]
+    sig = sh.selectExpr(*sig_exprs)
     banded = _bands_from_sig(
         sig, id_col, num_hashes, bands, extra_cols=("__n",) if orient else ()
     ).persist()
@@ -1797,6 +1796,12 @@ def connected_components(
         .select(F.col("src").alias("node"), "label"),
         "init",
     )
+    # r15 (opt): the pointer-doubling checkpoint below is LAZY, so round
+    # k's doubled labels materialize inside round k+1's (eager, observed)
+    # step job — one serial job per non-final round instead of two.  Its
+    # parent (``stepped``) therefore stays releasable only after that next
+    # job has run; ``pending`` carries it one round.
+    pending = None
     try:
         for _round in range(max_iter):
             nbr = sym.join(
@@ -1809,11 +1814,16 @@ def connected_components(
                 f"r{_round}",
             )
             # Round k's checkpoint has materialized (eager) and its lineage
-            # is cut — nothing can ever re-read round k−1's blocks, so free
-            # them NOW instead of pinning every round's state until Python/
+            # is cut — nothing can ever re-read round k−1's blocks (the
+            # lazy-doubled labels just materialized, and THEIR parent, the
+            # previous round's pre-doubling state, went with them), so free
+            # both NOW instead of pinning every round's state until Python/
             # JVM GC gets around to it (block-manager pressure on long
             # chains / busy clusters — r4 ADVICE).
             _release_local_checkpoint(labels)
+            if pending is not None:
+                _release_local_checkpoint(pending)
+                pending = None
             # Labels only ever decrease (through both the min-step and the
             # compression below), so equal consecutive sums ⇔ fixpoint —
             # checked BEFORE compression, which a converged (or shallow)
@@ -1835,16 +1845,25 @@ def connected_components(
             hop = stepped.select(
                 F.col("node").alias("label"), F.col("label").alias("label2")
             )
+            # Lazy checkpoint: lineage is truncated NOW (the returned plan
+            # is a LogicalRDD either way, so per-round plan growth stays
+            # O(1)), but materialization + persistence happen on first use
+            # — inside the next round's step job, where the two references
+            # (nbr join + union) share the one checkpoint RDD.
             labels = (
                 stepped.join(hop, "label")
                 .select("node", F.col("label2").alias("label"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            _release_local_checkpoint(stepped)
+            pending = stepped
     finally:
         sym.unpersist()
         # sym is gone; nothing can recompute from the edge snapshot now.
         _release_local_checkpoint(e)
+        # Non-convergence escape only (pending is always None at the
+        # return): drop the last doubling's parent blocks too.
+        if pending is not None:
+            _release_local_checkpoint(pending)
     raise RuntimeError(
         f"connected_components: no fixpoint after {max_iter} rounds — "
         "graph diameter exceeds the iteration budget; raise max_iter or "

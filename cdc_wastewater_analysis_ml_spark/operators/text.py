@@ -35,9 +35,23 @@ def tokenize(c: Column | str) -> Column:
     fixture SFs incl. the augmented corpus and the empty/whitespace/null
     edge cases).  ``normalize_text`` itself still exists for consumers
     that need the collapsed STRING (fingerprints, char n-grams).
+
+    r15 (opt): the string-argument path parses as ONE SQL expression
+    JVM-side (the rhp_sign lesson — each client-built Column node costs a
+    py4j round trip of serial driver time per consumer build); the parsed
+    nodes are identical to the Column form, which stays for Column
+    arguments.
     """
-    c = F.col(c) if isinstance(c, str) else c
+    if isinstance(c, str):
+        return F.expr(_tokenize_sql(f"`{c}`"))
     return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def _tokenize_sql(col_sql: str) -> str:
+    """SQL text of :func:`tokenize` over column expression ``col_sql`` —
+    parses to exactly the nodes the Column form builds (the ``'\\\\s+'``
+    SQL literal unescapes to the same ``\\s+`` regex)."""
+    return f"split(trim(lower({col_sql})), '\\\\s+')"
 
 
 def token_count(c: Column | str) -> Column:
@@ -59,7 +73,18 @@ def word_shingles(c: Column | str, n: int = 3) -> Column:
 
     Built with sequence+transform+slice — pure Catalyst expressions; a doc
     with fewer than ``n`` tokens yields one shingle (the whole text).
+
+    r15 (opt): the string-argument path parses as ONE SQL expression
+    JVM-side (see :func:`tokenize`) — node-identical to the Column form
+    (referencing the same Python ``toks`` Column twice duplicates the
+    subtree in the plan exactly like the repeated SQL text does).
     """
+    if isinstance(c, str):
+        toks = _tokenize_sql(f"`{c}`")
+        return F.expr(
+            f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)), "
+            f"i -> array_join(slice({toks}, i, {n}), ' '))"
+        )
     toks = tokenize(c)
     count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
     return F.transform(

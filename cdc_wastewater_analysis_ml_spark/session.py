@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 import warnings
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -164,15 +165,35 @@ def get_spark(
     return spark
 
 
+#: Sessions already asserted — ``spark.conf.set`` is one py4j round trip per
+#: conf, and the table loaders call :func:`apply_runtime_confs` on EVERY
+#: load, so re-asserting the same values cost ~40 round trips of serial
+#: driver time per query build (r15 opt).  Weak identity keys: a new wrapper
+#: for the same JVM session (e.g. foreachBatch micro-batches) just misses
+#: and re-applies — the pre-memo behavior, never stale.
+_RUNTIME_CONFS_APPLIED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
 def apply_runtime_confs(spark: SparkSession) -> None:
     """Assert the runtime-settable confs on an externally built session.
 
     Safe/idempotent: only touches confs that can change after JVM start.
     Called by the table loaders so driver-owned sessions get deterministic
-    time-zone and AQE behavior too.
+    time-zone and AQE behavior too.  Applied once per session object —
+    nothing in the engine mutates these confs afterwards, so one assertion
+    pins them for the session's lifetime.
     """
+    try:
+        if spark in _RUNTIME_CONFS_APPLIED:
+            return
+    except TypeError:  # pragma: no cover - unhashable session type
+        pass
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - conf may be static on some builds
             pass
+    try:
+        _RUNTIME_CONFS_APPLIED.add(spark)
+    except TypeError:  # pragma: no cover - weakref/hash unsupported
+        pass

@@ -517,3 +517,43 @@ def test_lsh_verify_packed_digest_arrays(spark, sf_small):
     assert "xxhash64" in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sql_rendered_text_ops_match_column_forms(spark):
+    """r15 (opt): tokenize/word_shingles parse their string-argument path
+    as ONE SQL expression JVM-side (serial-driver py4j cost per consumer
+    build); the contract is that the parsed plan is NODE-IDENTICAL to the
+    Column form — any divergence is a silent result change across every
+    shingle/tokenize consumer.  Pinned on analyzed plans (expr IDs and
+    lambda variable names normalized away) plus values on the edge corpus
+    (whitespace runs, empty, null, <n tokens)."""
+    from cdc_wastewater_analysis_ml_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "  The   quick\tbrown fox JUMPS over the lazy dog "),
+            (2, ""),
+            (3, None),
+            (4, "one"),
+            (5, "two words"),
+            (6, "a b c d e f g"),
+        ],
+        "id long, text string",
+    )
+
+    def _norm(plan: str) -> str:
+        return re.sub(r"#\d+", "#", re.sub(r"lambda [a-z_0-9]+", "lambda v", plan))
+
+    cases = [
+        (lambda c: T.tokenize(c),),
+        (lambda c: T.word_shingles(c, 1),),
+        (lambda c: T.word_shingles(c, 3),),
+        (lambda c: T.word_shingles(c, 5),),
+    ]
+    for (fn,) in cases:
+        a = df.select(fn("text").alias("o")).orderBy("id")
+        b = df.select(fn(F.col("text")).alias("o")).orderBy("id")
+        pa = _norm(a._jdf.queryExecution().analyzed().toString())
+        pb = _norm(b._jdf.queryExecution().analyzed().toString())
+        assert pa == pb, f"{pa}\n!=\n{pb}"
+        assert [r.o for r in a.collect()] == [r.o for r in b.collect()]
