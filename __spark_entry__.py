@@ -597,12 +597,16 @@ _ROUND_AFFECTED: dict[tuple[str, int], tuple[str, ...]] = {
     # other corpus op (pii/repetition/quality/chunk/LM/pack/tfidf and the
     # curation composite, which routes text ops + the fused LSH, not
     # contamination) is byte-untouched this round and keeps its latest row.
-    # r15: pack_token_stream/pack_token_counts only — consumers = the two
-    # packing-route queries (call-path precedent; contamination/pii/
-    # repetition/quality/chunk/LM/tfidf are byte-untouched).
+    # r15: pack_token_stream/pack_token_counts (text-free pack seam) +
+    # unigram_logprob (corpus total summed from the persisted tf relation
+    # instead of re-aggregating the vocab — Σ_tok Σ_doc tf ≡ Σ tf exactly)
+    # — consumers = the two packing-route queries + the one LM query
+    # (call-path precedent; contamination/pii/repetition/quality/chunk/
+    # tfidf are byte-untouched).
     ("operators/corpus.py", 15): (
         "corpus_pack_sequences",
         "pipeline_corpus_curation",
+        "corpus_unigram_logprob",
     ),
     ("operators/prefix.py", 6): (
         "corpus_pack_sequences",

@@ -281,7 +281,14 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     doc_tf = _doc_term_freq(df, text_col, id_col, "__tok", "__tf")
     vocab = doc_tf.groupBy("__tok").agg(F.sum("__tf").alias("__cnt"))
-    total = vocab.agg(F.sum("__cnt").alias("__total"))
+    # r15 (opt): the corpus total sums the PERSISTED tf relation directly —
+    # Σ_tok Σ_doc tf ≡ Σ_(doc,tok) tf exactly (bigint, order-free), but the
+    # vocab-derived form re-computed the whole vocab aggregate a second
+    # time (plan showed two identical __tok exchanges — AQE materialized
+    # them as separate serial stages) just to add its rows up.  A global
+    # sum over the cached tf rows is one map-side partial agg with no
+    # keyed exchange, and the total stage no longer waits on vocab.
+    total = doc_tf.agg(F.sum("__tf").alias("__total"))
     vocab_lp = vocab.crossJoin(F.broadcast(total)).select(
         "__tok", F.log(F.col("__cnt") / F.col("__total")).alias("__lp")
     )
