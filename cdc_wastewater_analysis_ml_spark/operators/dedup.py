@@ -1756,8 +1756,12 @@ def connected_components(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).persist()
     e0.count()
-    e = e0.localCheckpoint(eager=True)
-    e0.unpersist(blocking=False)
+    # r15 (opt): the checkpoint that snapshots the cached pairs is LAZY —
+    # it truncates lineage identically (LogicalRDD plan either way) but
+    # the copy rides the init job below instead of being its own serial
+    # job.  e0's cache must therefore survive until that job has run; the
+    # unpersist moves below the init _ckpt_with_sum.
+    e = e0.localCheckpoint(eager=False)
     sym = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
@@ -1796,6 +1800,10 @@ def connected_components(
         .select(F.col("src").alias("node"), "label"),
         "init",
     )
+    # The init job above has materialized e's checkpoint blocks (from the
+    # e0 cache, with full AQE — the r6 two-step contract) and sym's cache;
+    # only now is the caller-plan cache droppable.
+    e0.unpersist(blocking=False)
     # r15 (opt): the pointer-doubling checkpoint below is LAZY, so round
     # k's doubled labels materialize inside round k+1's (eager, observed)
     # step job — one serial job per non-final round instead of two.  Its
@@ -1860,6 +1868,9 @@ def connected_components(
         sym.unpersist()
         # sym is gone; nothing can recompute from the edge snapshot now.
         _release_local_checkpoint(e)
+        # Idempotent safety for the init-raises path (the success path
+        # already dropped it right after the init job).
+        e0.unpersist(blocking=False)
         # Non-convergence escape only (pending is always None at the
         # return): drop the last doubling's parent blocks too.
         if pending is not None:
